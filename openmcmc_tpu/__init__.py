@@ -1,0 +1,8 @@
+"""openmcmc_tpu: a TPU-native JAX MCMC framework.
+
+A from-scratch rebuild of the capabilities of sede-open/openMCMC, designed for TPU:
+stateless threefry PRNG, structured (banded) GMRF linear algebra as XLA scan kernels,
+lax.scan sampling loops, vmap chain parallelism, and jax.sharding multi-device scaling.
+"""
+
+__version__ = "0.1.0"

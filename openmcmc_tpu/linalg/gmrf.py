@@ -1,0 +1,343 @@
+"""GMRF sampling kernels: TPU-native rebuild of the reference's gmrf module.
+
+Reference: /root/reference/src/openmcmc/gmrf.py (Rue & Held 2005 algorithms).
+Design changes for TPU:
+
+- All randomness is stateless threefry (``jax.random``) instead of scipy's global RNG.
+- Precision matrices are :mod:`openmcmc_tpu.linalg.structured` types (Dense / Diagonal /
+  Banded) instead of np.ndarray / scipy.sparse; Cholesky and triangular solves map to
+  batched MXU kernels (dense) or ``lax.scan`` band kernels (GMRF tridiagonals).
+- The per-dimension truncated-normal Gibbs sweep (reference gmrf.py:201-266) is an
+  irreducibly sequential loop over dimensions: implemented as ``lax.scan`` over
+  coordinates, so it vectorizes across thousands of chains under ``vmap``.
+- Rejection sampling (reference gmrf.py:113-164) uses a ``lax.while_loop`` with
+  fixed-shape resampling and masked acceptance so shapes stay static.
+
+Every function is pure: ``(key, ...) -> sample`` and safe under jit/vmap/scan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from openmcmc_tpu.linalg import structured as st
+
+Array = jnp.ndarray
+StructuredOrArray = Union[st.Dense, st.Diagonal, st.Banded, Array]
+
+_LOG_2PI = float(jnp.log(2.0 * jnp.pi))
+
+
+def _as_chol(Q: Optional[StructuredOrArray], L: Optional[st.Structured]) -> st.Structured:
+    if L is not None:
+        return L
+    return st.cholesky(st.as_structured(Q))
+
+
+def sample_normal(
+    key: Array,
+    mu: Array,
+    Q: Optional[StructuredOrArray] = None,
+    L: Optional[st.Structured] = None,
+    n: int = 1,
+) -> Array:
+    """Sample x ~ N(mu, Q^{-1}) via Rue & Held Alg. 2.4 (reference gmrf.py:29-61).
+
+    x = mu + L^{-T} z with L the lower Cholesky factor of the precision Q.
+
+    Args:
+        key: PRNG key.
+        mu: mean, shape (p,), (p, 1) or (p, n).
+        Q: precision matrix (structured or dense array). Ignored when L given.
+        L: optional precomputed lower Cholesky factor of Q.
+        n: number of replicate samples (static).
+
+    Returns:
+        (p, n) samples.
+    """
+    chol = _as_chol(Q, L)
+    mu = jnp.asarray(mu)
+    p = mu.shape[0] if mu.ndim > 0 else 1
+    z = jax.random.normal(key, (p, n), dtype=mu.dtype if mu.dtype != jnp.int32 else jnp.float32)
+    v = st.solve_upper_t(chol, z)
+    return v + (mu.reshape(p, -1) if mu.ndim != 2 else mu)
+
+
+def sample_normal_canonical(
+    key: Array,
+    b: Array,
+    Q: Optional[StructuredOrArray] = None,
+    L: Optional[st.Structured] = None,
+) -> Array:
+    """Sample x ~ N(Q^{-1} b, Q^{-1}) via Rue & Held Alg. 2.5 (reference gmrf.py:167-198).
+
+    The single hottest kernel: used by the NormalNormal conjugate sampler every sweep.
+    mu = Q^{-1} b by two triangular solves against one Cholesky factorization, which is
+    then reused for the noise solve.
+    """
+    chol = _as_chol(Q, L)
+    b = jnp.asarray(b)
+    mu = st.cho_solve(chol, b).reshape(b.shape)
+    return sample_normal(key, mu, L=chol)
+
+
+def mvn_log_pdf(
+    x: Array,
+    mu: Array,
+    Q: Optional[StructuredOrArray] = None,
+    L: Optional[st.Structured] = None,
+    by_observation: bool = False,
+) -> Array:
+    """Log N(x; mu, Q^{-1}) in precision form (reference gmrf.py:321-348).
+
+    log p = 1/2 (log|Q| - d log 2 pi - || L^T (x - mu) ||^2) summed (or not) over the
+    replicate axis.
+    """
+    chol = _as_chol(Q, L)
+    x = jnp.asarray(x)
+    d = x.shape[0]
+    r = x - (mu if jnp.ndim(mu) == x.ndim else jnp.reshape(mu, (d, -1)))
+    w = st.chol_matvec_t(chol, r)
+    quad = jnp.sum(w * w, axis=0)
+    log_p = 0.5 * (st.chol_log_det(chol) - d * _LOG_2PI - quad)
+    if not by_observation:
+        log_p = jnp.sum(log_p)
+    return log_p
+
+
+# ---------------------------------------------------------------------------
+# Truncated normal helpers (1-D, vectorized)
+# ---------------------------------------------------------------------------
+
+
+def _standardize_bounds(mean, scale, lower, upper):
+    lower = -jnp.inf if lower is None else lower
+    upper = jnp.inf if upper is None else upper
+    a = (lower - mean) / scale
+    b = (upper - mean) / scale
+    return a, b
+
+
+def truncated_normal_rv(key: Array, mean, scale, lower=None, upper=None, shape=None) -> Array:
+    """Truncated normal draws (reference gmrf.py:269-292), elementwise broadcast.
+
+    Uses jax.random.truncated_normal on the standardized bounds (inverse-CDF based,
+    robust in the tails).
+    """
+    mean = jnp.asarray(mean, dtype=jnp.result_type(float))
+    scale = jnp.asarray(scale, dtype=mean.dtype)
+    a, b = _standardize_bounds(mean, scale, lower, upper)
+    if shape is None:
+        shape = jnp.broadcast_shapes(jnp.shape(mean), jnp.shape(scale), jnp.shape(a), jnp.shape(b))
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    z = jax.random.truncated_normal(key, a, b, shape, dtype=mean.dtype)
+    return mean + scale * z
+
+
+def truncated_normal_log_pdf(x, mean, scale, lower=None, upper=None) -> Array:
+    """Truncated normal log-density (reference gmrf.py:295-318), elementwise broadcast."""
+    x = jnp.asarray(x, dtype=jnp.result_type(float))
+    mean = jnp.asarray(mean, dtype=x.dtype)
+    scale = jnp.asarray(scale, dtype=x.dtype)
+    a, b = _standardize_bounds(mean, scale, lower, upper)
+    z = (x - mean) / scale
+    log_phi = -0.5 * (z * z + _LOG_2PI) - jnp.log(scale)
+    # log(Phi(b) - Phi(a)) computed stably via the complementary form on each side
+    log_mass = _log_ndtr_diff(a, b)
+    inside = jnp.logical_and(z >= a, z <= b)
+    return jnp.where(inside, log_phi - log_mass, -jnp.inf)
+
+
+def _log_ndtr_diff(a, b):
+    """log(Phi(b) - Phi(a)) for a < b, numerically stable in both tails."""
+    # When both bounds are in the upper tail, use survival functions: Phi(b)-Phi(a)
+    # = Phi(-a) - Phi(-b). Pick the side with better conditioning.
+    use_flip = (a + b) > 0
+    lo = jnp.where(use_flip, -b, a)
+    hi = jnp.where(use_flip, -a, b)
+    log_hi = jax.scipy.special.log_ndtr(hi)
+    log_lo = jax.scipy.special.log_ndtr(lo)
+    # log(e^log_hi - e^log_lo)
+    diff = log_lo - log_hi
+    return log_hi + jnp.log1p(-jnp.exp(diff))
+
+
+# ---------------------------------------------------------------------------
+# Multivariate truncated normal samplers
+# ---------------------------------------------------------------------------
+
+
+def sample_truncated_normal_rejection(
+    key: Array,
+    mu: Array,
+    Q: Optional[StructuredOrArray] = None,
+    L: Optional[st.Structured] = None,
+    lower=None,
+    upper=None,
+    n: int = 1,
+    max_iter: int = 1000,
+) -> Array:
+    """Rejection sampling for a box-truncated MVN (reference gmrf.py:113-164).
+
+    TPU adaptation: a ``lax.while_loop`` resamples *all* columns each round and keeps
+    previously accepted columns via masking, so shapes stay static. ``max_iter`` bounds
+    the loop for compile-safety.
+    """
+    chol = _as_chol(Q, L)
+    mu = jnp.asarray(mu)
+    p = mu.shape[0]
+    lower = -jnp.inf if lower is None else jnp.asarray(lower)
+    upper = jnp.inf if upper is None else jnp.asarray(upper)
+    lo = jnp.broadcast_to(jnp.reshape(lower, (-1, 1)) if jnp.ndim(lower) else lower, (p, 1))
+    hi = jnp.broadcast_to(jnp.reshape(upper, (-1, 1)) if jnp.ndim(upper) else upper, (p, 1))
+
+    def ok_mask(samples):
+        return jnp.all(jnp.logical_and(samples >= lo, samples <= hi), axis=0)
+
+    def cond(carry):
+        _, _, accepted, it = carry
+        return jnp.logical_and(~jnp.all(accepted), it < max_iter)
+
+    def body(carry):
+        k, samples, accepted, it = carry
+        k, sub = jax.random.split(k)
+        fresh = sample_normal(sub, mu, L=chol, n=n)
+        samples = jnp.where(accepted[None, :], samples, fresh)
+        return k, samples, ok_mask(samples), it + 1
+
+    key, sub = jax.random.split(key)
+    init = sample_normal(sub, mu, L=chol, n=n)
+    carry = (key, init, ok_mask(init), jnp.asarray(0))
+    _, samples, _, _ = lax.while_loop(cond, body, carry)
+    return samples
+
+
+def gibbs_canonical_truncated_normal(
+    key: Array,
+    b: Array,
+    Q: StructuredOrArray,
+    x: Array,
+    lower=None,
+    upper=None,
+) -> Array:
+    """One coordinate-wise Gibbs sweep of a box-truncated canonical Gaussian.
+
+    x ~ N_c(Q^{-1} b, Q^{-1}) s.t. lower < x < upper  (reference gmrf.py:201-266).
+    The per-dimension conditional mean is v_i (b_i - Q_{i,:} x + Q_{ii} x_i); the sweep
+    is inherently sequential in the dimension, so it is a ``lax.scan`` over coordinates
+    -- chain parallelism comes from ``vmap`` at the driver level.
+    """
+    Qs = st.as_structured(Q)
+    b = jnp.asarray(b).reshape(-1)
+    x = jnp.asarray(x)
+    shape_in = x.shape
+    xf = x.reshape(-1)
+    p = xf.shape[0]
+    lo = jnp.broadcast_to(-jnp.inf if lower is None else jnp.reshape(jnp.asarray(lower, xf.dtype), (-1,)), (p,))
+    hi = jnp.broadcast_to(jnp.inf if upper is None else jnp.reshape(jnp.asarray(upper, xf.dtype), (-1,)), (p,))
+    q_diag = st.diag(Qs)
+    keys = jax.random.split(key, p)
+
+    def step(xv, inp):
+        i, k = inp
+        q_ii = q_diag[i]
+        v_i = 1.0 / q_ii
+        cond_mean = v_i * (b[i] - st.row_dot(Qs, i, xv) + q_ii * xv[i])
+        draw = truncated_normal_rv(k, cond_mean, jnp.sqrt(v_i), lo[i], hi[i], shape=())
+        return xv.at[i].set(draw), None
+
+    xf, _ = lax.scan(step, xf, (jnp.arange(p), keys))
+    return xf.reshape(shape_in)
+
+
+def sample_truncated_normal(
+    key: Array,
+    mu: Array,
+    Q: Optional[StructuredOrArray] = None,
+    L: Optional[st.Structured] = None,
+    lower=None,
+    upper=None,
+    n: int = 1,
+    method: str = "Gibbs",
+    n_sweeps: int = 10,
+) -> Array:
+    """Sample from a box-truncated MVN (reference gmrf.py:64-110).
+
+    method="Gibbs": initialize at mu clipped into the box, then run ``n_sweeps``
+    coordinate Gibbs sweeps per sample column (the reference thins a Gibbs chain by 10;
+    here each replicate column gets an independent thinned chain, which vectorizes).
+    method="Rejection": masked rejection sampling.
+    """
+    if method == "Rejection":
+        return sample_truncated_normal_rejection(key, mu, Q=Q, L=L, lower=lower, upper=upper, n=n)
+    if method != "Gibbs":
+        raise TypeError("method should be either Gibbs or Rejection")
+
+    Qs = st.as_structured(Q) if Q is not None else None
+    mu = jnp.asarray(mu)
+    p = mu.shape[0]
+    mu_col = mu.reshape(p, -1)[:, :1]
+    if Qs is None:
+        raise ValueError("Gibbs truncated sampling requires the precision Q")
+    b = st.matvec(Qs, mu_col)
+    lo = -jnp.inf if lower is None else lower
+    hi = jnp.inf if upper is None else upper
+    x0 = jnp.clip(mu_col, jnp.reshape(jnp.asarray(lo), (-1, 1)) if jnp.ndim(lo) else lo,
+                  jnp.reshape(jnp.asarray(hi), (-1, 1)) if jnp.ndim(hi) else hi)
+    # Guard against infinite bounds producing NaN in clip of +-inf mu entries
+    x0 = jnp.where(jnp.isfinite(x0), x0, 0.0)
+
+    def one_column(k):
+        def sweep(x, kk):
+            return gibbs_canonical_truncated_normal(kk, b, Qs, x, lower=lower, upper=upper), None
+
+        x_final, _ = lax.scan(sweep, x0, jax.random.split(k, n_sweeps))
+        return x_final[:, 0]
+
+    cols = jax.vmap(one_column)(jax.random.split(key, n))
+    return cols.T
+
+
+# ---------------------------------------------------------------------------
+# RW1 precision builders
+# ---------------------------------------------------------------------------
+
+
+def precision_irregular(s: Array, banded: bool = True) -> StructuredOrArray:
+    """First-order random-walk precision for irregular locations (reference gmrf.py:375-411).
+
+    Q_ii = 1/del_{i-1} + 1/del_i (ends: one term); Q_{i,i+1} = -1/del_i.
+    Returns a Banded (bw=1) matrix by default -- the TPU-native replacement for the
+    reference's sparse.diags tridiagonal -- or a Dense matrix when banded=False.
+    """
+    s = jnp.asarray(s, dtype=jnp.result_type(float)).reshape(-1)
+    if s.shape[0] <= 1:
+        one = jnp.ones((1, 1), s.dtype)
+        return st.Banded(one) if banded else one
+    dr = 1.0 / jnp.diff(s)
+    d0 = jnp.concatenate([dr[:1], dr[:-1] + dr[1:], dr[-1:]])
+    if banded:
+        off = jnp.concatenate([-dr, jnp.zeros((1,), s.dtype)])
+        return st.Banded(jnp.stack([d0, off]))
+    return jnp.diagflat(d0) - jnp.diagflat(dr, -1) - jnp.diagflat(dr, 1)
+
+
+def precision_temporal(time, unit_length: float = 1.0, banded: bool = True) -> StructuredOrArray:
+    """Temporal RW1 precision from datetimes or seconds (reference gmrf.py:351-372).
+
+    Accepts pandas DatetimeArray/DatetimeIndex, np.datetime64 arrays, or a plain array
+    of seconds.
+    """
+    import numpy as np  # host-side preprocessing only
+
+    t = np.asarray(time)
+    if np.issubdtype(t.dtype, np.datetime64):
+        secs = (t - t.min()) / np.timedelta64(1, "s")
+    else:
+        secs = t - t.min()
+    return precision_irregular(jnp.asarray(secs, dtype=jnp.result_type(float)) / unit_length, banded=banded)

@@ -1,0 +1,431 @@
+"""Structured symmetric positive-definite matrices for TPU-native GMRF linear algebra.
+
+This module is the TPU replacement for the reference's scipy.sparse + SuperLU layer
+(reference: /root/reference/src/openmcmc/gmrf.py:414-520 ``solve``/``cho_solve``/
+``cholesky``/``sparse_cholesky``).  Instead of generic sparse matrices factored on the
+host by SuperLU, we represent precision matrices by *structure*:
+
+- :class:`Dense`    -- a full (p, p) SPD matrix; Cholesky/solves run batched on the MXU.
+- :class:`Diagonal` -- a diagonal matrix held as its (p,) diagonal; all ops elementwise
+  on the VPU (replaces ``sparse.diags`` usage, reference parameter.py:491-501).
+- :class:`Banded`   -- a symmetric banded matrix with lower bandwidth ``bw`` stored as
+  (bw+1, p) lower bands; Cholesky and triangular solves are O(p * bw^2) ``lax.scan``
+  kernels that vectorize across thousands of chains under ``vmap`` (replaces SuperLU
+  ``splu`` on the RW1 tridiagonal precisions, reference gmrf.py:489-520).
+
+All types are registered pytrees so they can live inside jitted/vmapped/scanned code
+and inside the MCMC state.  Operations are written for canonical un-batched shapes;
+chain batching is obtained by ``jax.vmap`` at the driver level.
+
+Band storage convention (lower bands, column-major within a band):
+    bands[j, i] = A[i + j, i]   for j = 0..bw, valid when i + j < p (zero-padded tail).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# MCMC kernels are numerically sensitive: pin matmuls to full float32 precision on the
+# MXU (default TPU matmul precision is bfloat16-ish and loses ~3 decimal digits).
+_PREC = lax.Precision.HIGHEST
+
+
+def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Precision-pinned matrix multiply (a @ b) for use across the framework."""
+    return jnp.matmul(a, b, precision=_PREC)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Dense:
+    """Dense SPD matrix, shape (p, p)."""
+
+    mat: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.mat,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.mat.shape
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Diagonal:
+    """Diagonal matrix held as its diagonal, shape (p,)."""
+
+    diag_: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.diag_,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        p = self.diag_.shape[-1]
+        return (p, p)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Banded:
+    """Symmetric banded SPD matrix with lower bandwidth bw, stored as (bw + 1, p) lower bands."""
+
+    bands: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.bands,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def bw(self) -> int:
+        return self.bands.shape[-2] - 1
+
+    @property
+    def shape(self):
+        p = self.bands.shape[-1]
+        return (p, p)
+
+
+Structured = Union[Dense, Diagonal, Banded]
+
+# Cholesky factors carry the same structure as the matrix they factor:
+#   Dense   -> Dense lower-triangular
+#   Diagonal-> Diagonal of sqrt entries
+#   Banded  -> Banded lower factor in the same band storage
+
+
+def as_structured(value) -> Structured:
+    """Coerce a raw array (or structured matrix) to a Structured type.
+
+    A 2-D square array becomes Dense; a 1-D array becomes Diagonal; structured
+    values pass through.  Mirrors the reference's duck-typing of np.ndarray vs
+    scipy.sparse matrices in state entries (reference gmrf.py:431-434).
+    """
+    if isinstance(value, (Dense, Diagonal, Banded)):
+        return value
+    arr = jnp.asarray(value)
+    if arr.ndim == 2 and arr.shape[0] == arr.shape[1]:
+        return Dense(arr)
+    if arr.ndim == 1:
+        return Diagonal(arr)
+    raise TypeError(f"Cannot interpret array of shape {arr.shape} as a structured matrix")
+
+
+def dim(a: Structured) -> int:
+    """Matrix dimension p."""
+    if isinstance(a, Dense):
+        return a.mat.shape[-1]
+    if isinstance(a, Diagonal):
+        return a.diag_.shape[-1]
+    return a.bands.shape[-1]
+
+
+def to_dense(a: Structured) -> jnp.ndarray:
+    """Materialize as a (p, p) dense array (test/debug utility)."""
+    if isinstance(a, Dense):
+        return a.mat
+    if isinstance(a, Diagonal):
+        return jnp.diagflat(a.diag_)
+    p = dim(a)
+    out = jnp.diagflat(a.bands[0])
+    for j in range(1, a.bw + 1):
+        band = a.bands[j, : p - j]
+        out = out + jnp.diagflat(band, -j) + jnp.diagflat(band, j)
+    return out
+
+
+def to_dense_lower(chol: Structured) -> jnp.ndarray:
+    """Materialize a lower-triangular structured Cholesky factor as a dense array."""
+    if isinstance(chol, Dense):
+        return chol.mat
+    if isinstance(chol, Diagonal):
+        return jnp.diagflat(chol.diag_)
+    p = dim(chol)
+    out = jnp.diagflat(chol.bands[0])
+    for j in range(1, chol.bw + 1):
+        out = out + jnp.diagflat(chol.bands[j, : p - j], -j)
+    return out
+
+
+def diag(a: Structured) -> jnp.ndarray:
+    """Main diagonal, shape (p,)."""
+    if isinstance(a, Dense):
+        return jnp.diagonal(a.mat, axis1=-2, axis2=-1)
+    if isinstance(a, Diagonal):
+        return a.diag_
+    return a.bands[0]
+
+
+def scale(c, a: Structured) -> Structured:
+    """c * A for a (possibly traced) scalar c."""
+    c = jnp.asarray(c).reshape(())
+    if isinstance(a, Dense):
+        return Dense(c * a.mat)
+    if isinstance(a, Diagonal):
+        return Diagonal(c * a.diag_)
+    return Banded(c * a.bands)
+
+
+def _banded_from_diagonal(d: Diagonal, bw: int) -> Banded:
+    p = d.diag_.shape[-1]
+    bands = jnp.zeros((bw + 1, p), d.diag_.dtype).at[0].set(d.diag_)
+    return Banded(bands)
+
+
+def add(a: Structured, b: Structured) -> Structured:
+    """A + B, promoting to the least-dense structure able to represent the sum."""
+    # Dense wins
+    if isinstance(a, Dense) or isinstance(b, Dense):
+        return Dense(to_dense(a) + to_dense(b))
+    if isinstance(a, Diagonal) and isinstance(b, Diagonal):
+        return Diagonal(a.diag_ + b.diag_)
+    # At least one Banded, none Dense
+    if isinstance(a, Diagonal):
+        a = _banded_from_diagonal(a, b.bw)
+    if isinstance(b, Diagonal):
+        b = _banded_from_diagonal(b, a.bw)
+    bw = max(a.bw, b.bw)
+    pa = jnp.pad(a.bands, ((0, bw - a.bw), (0, 0)))
+    pb = jnp.pad(b.bands, ((0, bw - b.bw), (0, 0)))
+    return Banded(pa + pb)
+
+
+def matvec(a: Structured, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ x for x of shape (p,) or (p, n)."""
+    if isinstance(a, Dense):
+        return mm(a.mat, x)
+    if isinstance(a, Diagonal):
+        d = a.diag_ if x.ndim == 1 else a.diag_[:, None]
+        return d * x
+    # symmetric banded: y[i] = b0[i] x[i] + sum_j bands[j,i] x[i+j] + bands[j,i-j] x[i-j]
+    bands = a.bands
+    vec = x.ndim == 1
+    if vec:
+        x = x[:, None]
+    y = bands[0][:, None] * x
+    p = x.shape[0]
+    for j in range(1, a.bw + 1):
+        bj = bands[j][:, None]
+        # upper part: y[i] += bands[j, i] * x[i + j]  (valid i < p - j)
+        x_up = jnp.concatenate([x[j:], jnp.zeros((j, x.shape[1]), x.dtype)], axis=0)
+        y = y + bj * x_up
+        # lower part: y[i] += bands[j, i - j] * x[i - j] (valid i >= j)
+        contrib = bj * x  # value that lands at row i + j
+        y = y + jnp.concatenate([jnp.zeros((j, x.shape[1]), x.dtype), contrib[: p - j]], axis=0)
+    return y[:, 0] if vec else y
+
+
+def row_dot(a: Structured, i, x: jnp.ndarray) -> jnp.ndarray:
+    """Dot product of row i of A with x (x shape (p,) or (p, 1)) -> scalar array.
+
+    Used by the sequential truncated-normal Gibbs sweep (reference gmrf.py:254-266).
+    """
+    xf = x.reshape(-1)
+    if isinstance(a, Dense):
+        row = lax.dynamic_slice_in_dim(a.mat, i, 1, axis=0)[0]
+        return jnp.dot(row, xf, precision=_PREC)
+    if isinstance(a, Diagonal):
+        return a.diag_[i] * xf[i]
+    # banded: entries at columns i-j (bands[j, i-j]) and i+j (bands[j, i]), plus diag.
+    p = xf.shape[0]
+    total = a.bands[0, i] * xf[i]
+    for j in range(1, a.bw + 1):
+        up_ok = (i + j) < p
+        lo_ok = (i - j) >= 0
+        iu = jnp.minimum(i + j, p - 1)
+        il = jnp.maximum(i - j, 0)
+        total = total + jnp.where(up_ok, a.bands[j, i] * xf[iu], 0.0)
+        total = total + jnp.where(lo_ok, a.bands[j, il] * xf[il], 0.0)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Cholesky factorizations
+# ---------------------------------------------------------------------------
+
+
+def cholesky(a: Structured) -> Structured:
+    """Lower Cholesky factor, in the same structure as the input.
+
+    Dense uses the batched MXU kernel via jnp.linalg.cholesky; Diagonal is a sqrt;
+    Banded runs an O(p * bw^2) lax.scan recurrence that vectorizes across chains.
+    (TPU-native replacement for reference gmrf.py:465-520.)
+    """
+    if isinstance(a, Dense):
+        return Dense(jnp.linalg.cholesky(a.mat))
+    if isinstance(a, Diagonal):
+        return Diagonal(jnp.sqrt(a.diag_))
+    return Banded(_banded_cholesky(a.bands))
+
+
+def _banded_cholesky(bands: jnp.ndarray) -> jnp.ndarray:
+    """Banded Cholesky: lower band storage in, lower band storage of L out.
+
+    Column recurrence (scan over columns i):
+        L[i, i]     = sqrt(A[i, i] - sum_m L[i, i-1-m]^2)
+        L[i+j, i]   = (A[i+j, i] - sum_m L[i+j, i-1-m] * L[i, i-1-m]) / L[i, i]
+    The carry holds the band-storage columns of the last bw columns of L.
+    """
+    bw = bands.shape[0] - 1
+    p = bands.shape[-1]
+    dtype = bands.dtype
+    if bw == 0:
+        return jnp.sqrt(bands)
+
+    m_idx = jnp.arange(bw)
+    j_idx = jnp.arange(1, bw + 1)
+
+    def step(w, inp):
+        # w: (bw, bw+1) band-columns of L for columns i-1, i-2, ..., i-bw
+        i, a_col = inp
+        wp = jnp.pad(w, ((0, 0), (0, bw)))  # room to index up to 2*bw
+        lik = wp[m_idx, 1 + m_idx]  # L[i, i-1-m]
+        s0 = jnp.sum(lik * lik)
+        d = jnp.sqrt(a_col[0] - s0)
+        # cross[j-1, m] = L[i+j, i-1-m]
+        cross = wp[m_idx[None, :], j_idx[:, None] + 1 + m_idx[None, :]]
+        sj = mm(cross, lik)
+        off = (a_col[1:] - sj) / d
+        # zero out entries that fall outside the matrix (i + j >= p)
+        valid = (i + j_idx) < p
+        off = jnp.where(valid, off, jnp.zeros_like(off))
+        col = jnp.concatenate([d[None], off])
+        w_new = jnp.concatenate([col[None, :], w[:-1]], axis=0) if bw > 1 else col[None, :]
+        return w_new, col
+
+    w0 = jnp.zeros((bw, bw + 1), dtype)
+    _, cols = lax.scan(step, w0, (jnp.arange(p), bands.T))
+    return cols.T
+
+
+# ---------------------------------------------------------------------------
+# Triangular solves against a lower Cholesky factor
+# ---------------------------------------------------------------------------
+
+
+def solve_lower(chol: Structured, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L w = b for lower-triangular structured L; b is (p,) or (p, n)."""
+    if isinstance(chol, Dense):
+        return jax.scipy.linalg.solve_triangular(chol.mat, b, lower=True)
+    if isinstance(chol, Diagonal):
+        d = chol.diag_ if b.ndim == 1 else chol.diag_[:, None]
+        return b / d
+    return _banded_solve_lower(chol.bands, b)
+
+
+def solve_upper_t(chol: Structured, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L^T x = b for lower-triangular structured L; b is (p,) or (p, n)."""
+    if isinstance(chol, Dense):
+        return jax.scipy.linalg.solve_triangular(chol.mat, b, lower=True, trans=1)
+    if isinstance(chol, Diagonal):
+        d = chol.diag_ if b.ndim == 1 else chol.diag_[:, None]
+        return b / d
+    return _banded_solve_upper_t(chol.bands, b)
+
+
+def _band_rows(bands: jnp.ndarray) -> jnp.ndarray:
+    """Row storage R[j, i] = L[i, i-j] from column storage C[j, i] = L[i+j, i]."""
+    bw = bands.shape[0] - 1
+    rows = [bands[0]]
+    for j in range(1, bw + 1):
+        rows.append(jnp.concatenate([jnp.zeros((j,), bands.dtype), bands[j, : bands.shape[-1] - j]]))
+    return jnp.stack(rows)
+
+
+def _banded_solve_lower(bands: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Forward substitution: x[i] = (b[i] - sum_j L[i, i-j] x[i-j]) / L[i, i]."""
+    bw = bands.shape[0] - 1
+    if bw == 0:
+        return b / (bands[0] if b.ndim == 1 else bands[0][:, None])
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]
+    n = b.shape[1]
+    rows = _band_rows(bands)  # (bw+1, p)
+
+    def step(carry, inp):
+        # carry: (bw, n) previous x values, carry[m] = x[i-1-m]
+        row, rhs = inp  # row: (bw+1,), rhs: (n,)
+        acc = rhs - mm(row[1:], carry)  # sum over j=1..bw of L[i, i-j] * x[i-j]
+        x_i = acc / row[0]
+        new = jnp.concatenate([x_i[None, :], carry[:-1]], axis=0) if bw > 1 else x_i[None, :]
+        return new, x_i
+
+    c0 = jnp.zeros((bw, n), b.dtype)
+    _, xs = lax.scan(step, c0, (rows.T, b))
+    return xs[:, 0] if vec else xs
+
+
+def _banded_solve_upper_t(bands: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Back substitution on L^T: x[i] = (b[i] - sum_j L[i+j, i] x[i+j]) / L[i, i]."""
+    bw = bands.shape[0] - 1
+    if bw == 0:
+        return b / (bands[0] if b.ndim == 1 else bands[0][:, None])
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]
+    n = b.shape[1]
+
+    def step(carry, inp):
+        # carry[m] = x[i+1+m]
+        col, rhs = inp  # col: (bw+1,) band column i of L
+        acc = rhs - mm(col[1:], carry)
+        x_i = acc / col[0]
+        new = jnp.concatenate([x_i[None, :], carry[:-1]], axis=0) if bw > 1 else x_i[None, :]
+        return new, x_i
+
+    c0 = jnp.zeros((bw, n), b.dtype)
+    _, xs = lax.scan(step, c0, (bands.T, b), reverse=True)
+    return xs[:, 0] if vec else xs
+
+
+def chol_log_det(chol: Structured) -> jnp.ndarray:
+    """log det(Q) = 2 * sum(log diag(L)) for lower Cholesky factor L of Q."""
+    return 2.0 * jnp.sum(jnp.log(diag(chol)))
+
+
+def chol_matvec_t(chol: Structured, x: jnp.ndarray) -> jnp.ndarray:
+    """L^T @ x for lower-triangular structured L; x is (p,) or (p, n)."""
+    if isinstance(chol, Dense):
+        return mm(jnp.swapaxes(chol.mat, -1, -2), x)
+    if isinstance(chol, Diagonal):
+        d = chol.diag_ if x.ndim == 1 else chol.diag_[:, None]
+        return d * x
+    # (L^T)[i, i+j] = C[j, i]
+    bands = chol.bands
+    vec = x.ndim == 1
+    if vec:
+        x = x[:, None]
+    y = bands[0][:, None] * x
+    for j in range(1, bands.shape[0]):
+        x_up = jnp.concatenate([x[j:], jnp.zeros((j, x.shape[1]), x.dtype)], axis=0)
+        y = y + bands[j][:, None] * x_up
+    return y[:, 0] if vec else y
+
+
+def cho_solve(chol: Structured, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve Q x = b given the lower Cholesky factor of Q (reference gmrf.py:437-462)."""
+    return solve_upper_t(chol, solve_lower(chol, b))
+
+
+def solve(a: Structured, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b for SPD structured A (reference gmrf.py:414-434)."""
+    return cho_solve(cholesky(a), b)

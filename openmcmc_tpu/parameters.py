@@ -1,0 +1,243 @@
+"""Parameter functional forms mapping state entries to distribution parameters.
+
+TPU-native rebuild of the reference's parameter layer
+(/root/reference/src/openmcmc/parameter.py). The forms are *static configuration*
+(plain frozen dataclasses holding strings); their methods are pure functions of the
+state dict and trace cleanly under jit/vmap/scan. Differences from the reference:
+
+- Matrix-valued predictors return :mod:`openmcmc_tpu.linalg.structured` types instead
+  of np.ndarray / scipy.sparse (MixtureParameterMatrix builds a Diagonal, never a
+  materialized sparse matrix -- reference parameter.py:491-501).
+- Gradients return dense jnp arrays; the one-hot allocation gradient is built with
+  vectorized equality instead of Python loops.
+
+State convention matches the reference: state[name] has shape (p, n) with p = parameter
+dimension and n = replicates (reference distribution/distribution.py:7-14).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Union
+
+import jax.numpy as jnp
+
+from openmcmc_tpu.linalg import structured as st
+
+
+@dataclass(frozen=True)
+class Parameter(ABC):
+    """Abstract functional form (reference parameter.py:26-71)."""
+
+    @abstractmethod
+    def predictor(self, state: dict):
+        """Evaluate the functional form on the current state."""
+
+    @abstractmethod
+    def get_param_list(self) -> List[str]:
+        """All state names this form reads."""
+
+    @abstractmethod
+    def get_grad_param_list(self) -> List[str]:
+        """State names for which grad() is defined."""
+
+    @abstractmethod
+    def grad(self, state: dict, param: str) -> jnp.ndarray:
+        """d predictor / d param, shape (n_param, n_predictor)."""
+
+
+@dataclass(frozen=True)
+class Identity(Parameter):
+    """f = state[form] (reference parameter.py:74-141)."""
+
+    form: str
+
+    def predictor(self, state: dict):
+        return state[self.form]
+
+    def get_param_list(self):
+        return [self.form]
+
+    def get_grad_param_list(self):
+        return [self.form]
+
+    def grad(self, state: dict, param: str) -> jnp.ndarray:
+        value = state[self.form]
+        if value.ndim > 1 and value.shape[1] > 1:
+            raise ValueError("Gradient in Identity should not be used for variables 2D and above.")
+        p = value.size
+        if param == self.form:
+            return jnp.eye(p, dtype=value.dtype)
+        return jnp.zeros((p, p), dtype=value.dtype)
+
+
+def _freeze_dict(d: dict) -> tuple:
+    return tuple(sorted(d.items()))
+
+
+@dataclass(frozen=True, init=False)
+class LinearCombination(Parameter):
+    """f = sum_i state[prefactor_i] @ state[param_i] (reference parameter.py:144-228).
+
+    ``form`` maps parameter name -> prefactor (design matrix) name, e.g.
+    {'beta': 'X'} produces X @ beta.
+    """
+
+    form: tuple  # frozen dict items: ((param, prefactor), ...)
+
+    def __init__(self, form: Union[dict, tuple]):
+        items = _freeze_dict(form) if isinstance(form, dict) else tuple(form)
+        object.__setattr__(self, "form", items)
+
+    @property
+    def form_dict(self) -> Dict[str, str]:
+        return dict(self.form)
+
+    def predictor(self, state: dict):
+        return self.predictor_conditional(state)
+
+    def predictor_conditional(self, state: dict, term_to_exclude: Union[str, Sequence[str], None] = None):
+        """Predictor excluding given terms -- used by conjugate samplers
+        (reference parameter.py:174-197)."""
+        if term_to_exclude is None:
+            term_to_exclude = []
+        if isinstance(term_to_exclude, str):
+            term_to_exclude = [term_to_exclude]
+        total = 0
+        for prm, prefactor in self.form:
+            if prm not in term_to_exclude:
+                total = total + state[prefactor] @ self._term_value(state, prm)
+        return total
+
+    def _term_value(self, state: dict, prm: str):
+        return state[prm]
+
+    def get_param_list(self):
+        keys = [prm for prm, _ in self.form]
+        values = [pre for _, pre in self.form]
+        return keys + values
+
+    def get_grad_param_list(self):
+        return [prm for prm, _ in self.form]
+
+    def grad(self, state: dict, param: str) -> jnp.ndarray:
+        return state[self.form_dict[param]].T
+
+
+@dataclass(frozen=True, init=False)
+class LinearCombinationWithTransform(LinearCombination):
+    """Linear combination with optional per-term exp() transform
+    (reference parameter.py:231-297)."""
+
+    transform: tuple
+
+    def __init__(self, form: Union[dict, tuple], transform: Union[dict, tuple]):
+        super().__init__(form)
+        items = _freeze_dict(transform) if isinstance(transform, dict) else tuple(transform)
+        object.__setattr__(self, "transform", items)
+
+    @property
+    def transform_dict(self) -> Dict[str, bool]:
+        return dict(self.transform)
+
+    def _term_value(self, state: dict, prm: str):
+        value = state[prm]
+        if self.transform_dict[prm]:
+            value = jnp.exp(value)
+        return value
+
+    def grad(self, state: dict, param: str) -> jnp.ndarray:
+        base = state[self.form_dict[param]].T
+        if self.transform_dict[param]:
+            return jnp.exp(state[param]) * base
+        return base
+
+
+@dataclass(frozen=True)
+class ScaledMatrix(Parameter):
+    """f = scalar * matrix, the scalar-precision-times-penalty form
+    (reference parameter.py:300-373).
+
+    The matrix state entry may be a structured matrix (Dense/Diagonal/Banded) or a raw
+    (p, p) array; the predictor always returns a structured matrix.
+    """
+
+    matrix: str
+    scalar: str
+
+    def predictor(self, state: dict) -> st.Structured:
+        scalar = jnp.reshape(jnp.asarray(state[self.scalar]), ())
+        return st.scale(scalar, st.as_structured(state[self.matrix]))
+
+    def get_param_list(self):
+        return [self.scalar, self.matrix]
+
+    def get_grad_param_list(self):
+        return [self.scalar]
+
+    def grad(self, state: dict, param: str):
+        return st.as_structured(state[self.matrix])
+
+    def precision_unscaled(self, state: dict, _=None) -> st.Structured:
+        """Unscaled penalty matrix -- conjugate NormalGamma hook
+        (reference parameter.py:362-373)."""
+        return st.as_structured(state[self.matrix])
+
+
+@dataclass(frozen=True)
+class MixtureParameter(Parameter, ABC):
+    """Shared machinery for allocation-indexed parameters (reference parameter.py:376-417)."""
+
+    param: str
+    allocation: str
+
+    def get_element_match(self, state: dict, element_index) -> jnp.ndarray:
+        """Indicator of allocation == element_index; broadcasts over an index vector."""
+        alloc = state[self.allocation].reshape(-1)
+        element_index = jnp.asarray(element_index)
+        if element_index.ndim == 0:
+            return (alloc == element_index).astype(jnp.int32)[None, :]
+        return (alloc[None, :] == element_index.reshape(-1, 1)[:, 0][:, None]).astype(jnp.int32)
+
+    def get_param_list(self):
+        return [self.param, self.allocation]
+
+
+@dataclass(frozen=True)
+class MixtureParameterVector(MixtureParameter):
+    """f = state[param][state[allocation]] gather (reference parameter.py:420-471)."""
+
+    def predictor(self, state: dict) -> jnp.ndarray:
+        alloc = state[self.allocation].reshape(-1).astype(jnp.int32)
+        return state[self.param][alloc]
+
+    def grad(self, state: dict, param: str) -> jnp.ndarray:
+        n_components = state[param].shape[0]
+        match = self.get_element_match(state, jnp.arange(n_components))
+        return match.astype(state[param].dtype)
+
+    def get_grad_param_list(self):
+        return [self.param]
+
+
+@dataclass(frozen=True)
+class MixtureParameterMatrix(MixtureParameter):
+    """f = diag(state[param][state[allocation]]) as a structured Diagonal
+    (reference parameter.py:474-538; never materializes a sparse matrix)."""
+
+    def predictor(self, state: dict) -> st.Diagonal:
+        alloc = state[self.allocation].reshape(-1).astype(jnp.int32)
+        return st.Diagonal(state[self.param].reshape(-1)[alloc])
+
+    def grad(self, state: dict, param: str):
+        raise TypeError("Not defined in this case")
+
+    def get_grad_param_list(self):
+        return []
+
+    def precision_unscaled(self, state: dict, element_index) -> st.Diagonal:
+        """Diagonal 0/1 mask of allocation == element_index -- conjugate NormalGamma
+        hook (reference parameter.py:525-538)."""
+        alloc = state[self.allocation].reshape(-1)
+        return st.Diagonal((alloc == element_index).astype(jnp.result_type(float)))

@@ -1,0 +1,273 @@
+"""Tests for structured matrices and GMRF kernels.
+
+Parity strategy mirrors the reference test suite (reference tests/test_grmf.py):
+solve/cho_solve/cholesky checked against dense numpy equivalents; mvn_log_pdf against
+scipy.stats.multivariate_normal; statistical checks on samplers (chi-square Mahalanobis
+coverage) -- but vectorized over many draws so tolerances can be tight.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as sps
+
+from openmcmc_tpu.linalg import gmrf
+from openmcmc_tpu.linalg import structured as st
+
+
+def random_spd(rng, p):
+    A = rng.normal(size=(p, p))
+    return A @ A.T + p * np.eye(p)
+
+
+def random_banded_spd(rng, p, bw):
+    dense = random_spd(rng, p)
+    mask = np.abs(np.subtract.outer(np.arange(p), np.arange(p))) <= bw
+    dense = dense * mask + np.diag(np.abs(dense).sum(1))  # keep diagonally dominant
+    bands = np.zeros((bw + 1, p))
+    for j in range(bw + 1):
+        bands[j, : p - j] = np.diagonal(dense, -j)
+    return st.Banded(jnp.asarray(bands)), dense
+
+
+@pytest.mark.parametrize("p", [1, 5, 17])
+def test_dense_roundtrip(rng, p):
+    dense = random_spd(rng, p)
+    a = st.as_structured(jnp.asarray(dense))
+    assert isinstance(a, st.Dense)
+    np.testing.assert_allclose(st.to_dense(a), dense, rtol=1e-6)
+    np.testing.assert_allclose(st.diag(a), np.diag(dense), rtol=1e-6)
+
+
+@pytest.mark.parametrize("p,bw", [(5, 1), (10, 1), (10, 2), (17, 3), (4, 3)])
+def test_banded_to_dense_and_matvec(rng, p, bw):
+    a, dense = random_banded_spd(rng, p, bw)
+    np.testing.assert_allclose(st.to_dense(a), dense, rtol=1e-5)
+    x = rng.normal(size=(p, 3))
+    np.testing.assert_allclose(st.matvec(a, jnp.asarray(x)), dense @ x, rtol=1e-4, atol=1e-5)
+    xv = rng.normal(size=p)
+    np.testing.assert_allclose(st.matvec(a, jnp.asarray(xv)), dense @ xv, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("p,bw", [(5, 1), (32, 1), (17, 2), (9, 3)])
+def test_banded_cholesky_vs_dense(rng, p, bw):
+    a, dense = random_banded_spd(rng, p, bw)
+    chol = st.cholesky(a)
+    L_ref = np.linalg.cholesky(dense)
+    np.testing.assert_allclose(st.to_dense_lower(chol), L_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("p,bw", [(7, 1), (23, 2)])
+def test_banded_solves(rng, p, bw):
+    a, dense = random_banded_spd(rng, p, bw)
+    chol = st.cholesky(a)
+    L_ref = np.linalg.cholesky(dense)
+    b = rng.normal(size=(p, 4))
+    np.testing.assert_allclose(st.solve_lower(chol, jnp.asarray(b)), np.linalg.solve(L_ref, b), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        st.solve_upper_t(chol, jnp.asarray(b)), np.linalg.solve(L_ref.T, b), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(st.cho_solve(chol, jnp.asarray(b)), np.linalg.solve(dense, b), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(st.solve(a, jnp.asarray(b)), np.linalg.solve(dense, b), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        st.chol_matvec_t(chol, jnp.asarray(b)), L_ref.T @ b, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_diagonal_ops(rng):
+    d = np.abs(rng.normal(size=7)) + 1.0
+    a = st.Diagonal(jnp.asarray(d))
+    x = rng.normal(size=(7, 2))
+    np.testing.assert_allclose(st.matvec(a, jnp.asarray(x)), d[:, None] * x, rtol=1e-6)
+    chol = st.cholesky(a)
+    np.testing.assert_allclose(st.diag(chol), np.sqrt(d), rtol=1e-6)
+    np.testing.assert_allclose(st.cho_solve(chol, jnp.asarray(x)), x / d[:, None], rtol=1e-5)
+
+
+def test_add_promotion(rng):
+    p = 8
+    diag = st.Diagonal(jnp.ones(p) * 2.0)
+    banded, dense_b = random_banded_spd(rng, p, 1)
+    dense = st.Dense(jnp.asarray(random_spd(rng, p)))
+    s1 = st.add(diag, banded)
+    assert isinstance(s1, st.Banded)
+    np.testing.assert_allclose(st.to_dense(s1), 2.0 * np.eye(p) + dense_b, rtol=1e-5)
+    s2 = st.add(banded, dense)
+    assert isinstance(s2, st.Dense)
+    np.testing.assert_allclose(st.to_dense(s2), dense_b + np.asarray(dense.mat), rtol=1e-5)
+    s3 = st.add(diag, diag)
+    assert isinstance(s3, st.Diagonal)
+    b2, dense_b2 = random_banded_spd(rng, p, 2)
+    s4 = st.add(banded, b2)
+    assert isinstance(s4, st.Banded) and s4.bw == 2
+    np.testing.assert_allclose(st.to_dense(s4), dense_b + dense_b2, rtol=1e-5)
+
+
+def test_row_dot(rng):
+    p = 11
+    banded, dense = random_banded_spd(rng, p, 2)
+    x = rng.normal(size=(p, 1))
+    for i in [0, 1, 5, 9, 10]:
+        np.testing.assert_allclose(
+            st.row_dot(banded, jnp.asarray(i), jnp.asarray(x)), dense[i] @ x[:, 0], rtol=1e-4, atol=1e-5
+        )
+    d = st.Dense(jnp.asarray(dense))
+    np.testing.assert_allclose(st.row_dot(d, jnp.asarray(3), jnp.asarray(x)), dense[3] @ x[:, 0], rtol=1e-5)
+
+
+def test_mvn_log_pdf_vs_scipy(rng, key):
+    p = 6
+    Q = random_spd(rng, p)
+    mu = rng.normal(size=(p, 1))
+    x = rng.normal(size=(p, 4))
+    got = gmrf.mvn_log_pdf(jnp.asarray(x), jnp.asarray(mu), Q=jnp.asarray(Q))
+    cov = np.linalg.inv(Q)
+    want = sps.multivariate_normal.logpdf(x.T, mean=mu[:, 0], cov=cov).sum()
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    by_obs = gmrf.mvn_log_pdf(jnp.asarray(x), jnp.asarray(mu), Q=jnp.asarray(Q), by_observation=True)
+    np.testing.assert_allclose(by_obs, sps.multivariate_normal.logpdf(x.T, mean=mu[:, 0], cov=cov), rtol=1e-4)
+
+
+def test_mvn_log_pdf_banded(rng):
+    p = 12
+    banded, dense = random_banded_spd(rng, p, 1)
+    mu = rng.normal(size=(p, 1))
+    x = rng.normal(size=(p, 3))
+    got = gmrf.mvn_log_pdf(jnp.asarray(x), jnp.asarray(mu), Q=banded)
+    want = sps.multivariate_normal.logpdf(x.T, mean=mu[:, 0], cov=np.linalg.inv(dense)).sum()
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_sample_normal_moments(rng, key):
+    """Chi-square Mahalanobis coverage, as reference tests/test_grmf.py:45-90 but with
+    many more samples (vectorized) so the tolerance is tight."""
+    p = 4
+    Q = random_spd(rng, p)
+    mu = rng.normal(size=(p, 1))
+    n = 20000
+    x = gmrf.sample_normal(key, jnp.asarray(mu), Q=jnp.asarray(Q), n=n)
+    assert x.shape == (p, n)
+    r = np.asarray(x) - mu
+    maha = np.einsum("in,ij,jn->n", r, Q, r)
+    # Mahalanobis distances ~ chi2(p): mean p, var 2p
+    assert abs(maha.mean() - p) < 5 * np.sqrt(2 * p / n)
+    emp_cov = np.cov(np.asarray(x))
+    np.testing.assert_allclose(emp_cov, np.linalg.inv(Q), atol=0.05)
+
+
+def test_sample_normal_canonical_moments(rng, key):
+    p = 3
+    Q = random_spd(rng, p)
+    b = rng.normal(size=(p, 1))
+    xs = jax.vmap(lambda k: gmrf.sample_normal_canonical(k, jnp.asarray(b), Q=jnp.asarray(Q)))(
+        jax.random.split(key, 20000)
+    )
+    mean = np.asarray(xs).mean(0)
+    np.testing.assert_allclose(mean, np.linalg.solve(Q, b), atol=0.05)
+
+
+def test_sample_normal_canonical_banded_matches_dense_distribution(rng, key):
+    banded, dense = random_banded_spd(rng, 10, 1)
+    b = rng.normal(size=(10, 1))
+    x1 = gmrf.sample_normal_canonical(key, jnp.asarray(b), Q=banded)
+    x2 = gmrf.sample_normal_canonical(key, jnp.asarray(b), Q=jnp.asarray(dense))
+    # same key, same underlying distribution, same L^T solve => identical draws
+    np.testing.assert_allclose(x1, x2, rtol=1e-3, atol=1e-4)
+
+
+def test_truncated_normal_rv_bounds_and_moments(key):
+    n = 50000
+    x = gmrf.truncated_normal_rv(key, 1.0, 2.0, lower=0.0, upper=3.0, shape=(n,))
+    assert float(x.min()) >= 0.0 and float(x.max()) <= 3.0
+    want = sps.truncnorm.mean((0 - 1) / 2, (3 - 1) / 2, loc=1, scale=2)
+    assert abs(float(x.mean()) - want) < 0.02
+
+
+def test_truncated_normal_log_pdf_vs_scipy():
+    x = np.linspace(0.1, 2.9, 7)
+    got = gmrf.truncated_normal_log_pdf(jnp.asarray(x), 1.0, 2.0, lower=0.0, upper=3.0)
+    want = sps.truncnorm.logpdf(x, (0 - 1) / 2, (3 - 1) / 2, loc=1, scale=2)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    out = gmrf.truncated_normal_log_pdf(jnp.asarray(5.0), 1.0, 2.0, lower=0.0, upper=3.0)
+    assert np.isneginf(out)
+    one_sided = gmrf.truncated_normal_log_pdf(jnp.asarray(x), 1.0, 2.0, lower=0.0, upper=None)
+    want_one = sps.truncnorm.logpdf(x, (0 - 1) / 2, np.inf, loc=1, scale=2)
+    np.testing.assert_allclose(one_sided, want_one, rtol=1e-4)
+
+
+def test_rejection_sampler_respects_bounds(rng, key):
+    p = 3
+    Q = random_spd(rng, p)
+    mu = np.zeros((p, 1))
+    x = gmrf.sample_truncated_normal_rejection(
+        key, jnp.asarray(mu), Q=jnp.asarray(Q), lower=-1.0, upper=1.0, n=256
+    )
+    assert x.shape == (p, 256)
+    assert float(jnp.min(x)) >= -1.0 and float(jnp.max(x)) <= 1.0
+
+
+def test_gibbs_truncated_agrees_with_rejection(rng, key):
+    """Welch-style agreement between Gibbs and rejection truncated samplers
+    (reference tests/test_grmf.py:93-147)."""
+    p = 2
+    Q = np.array([[2.0, 0.5], [0.5, 1.5]])
+    mu = np.array([[0.3], [-0.2]])
+    k1, k2 = jax.random.split(key)
+    n = 4000
+    xg = gmrf.sample_truncated_normal(k1, jnp.asarray(mu), Q=jnp.asarray(Q), lower=0.0, upper=2.0, n=n)
+    xr = gmrf.sample_truncated_normal_rejection(k2, jnp.asarray(mu), Q=jnp.asarray(Q), lower=0.0, upper=2.0, n=n)
+    assert float(jnp.min(xg)) >= 0.0 and float(jnp.max(xg)) <= 2.0
+    mg, mr = np.asarray(xg).mean(1), np.asarray(xr).mean(1)
+    sg, sr = np.asarray(xg).std(1), np.asarray(xr).std(1)
+    se = np.sqrt(sg**2 / n + sr**2 / n)
+    assert np.all(np.abs(mg - mr) < 6 * se)
+
+
+def test_precision_irregular_matches_reference_structure():
+    s = jnp.asarray([0.0, 1.0, 3.0, 6.0])
+    P = gmrf.precision_irregular(s)
+    assert isinstance(P, st.Banded) and P.bw == 1
+    dr = 1.0 / np.diff(np.asarray(s))
+    want = np.diag(np.concatenate([[dr[0]], dr[:-1] + dr[1:], [dr[-1]]])) - np.diag(dr, 1) - np.diag(dr, -1)
+    np.testing.assert_allclose(st.to_dense(P), want, rtol=1e-6)
+    P_dense = gmrf.precision_irregular(s, banded=False)
+    np.testing.assert_allclose(P_dense, want, rtol=1e-6)
+    # single location
+    P1 = gmrf.precision_irregular(jnp.asarray([2.0]))
+    np.testing.assert_allclose(st.to_dense(P1), [[1.0]])
+
+
+def test_precision_temporal_datetimes():
+    import pandas as pd
+
+    t = pd.date_range("2022-04-01T01:00:00", "2022-04-01T01:01:00", periods=5)
+    P = gmrf.precision_temporal(t)
+    assert isinstance(P, st.Banded)
+    assert st.to_dense(P).shape == (5, 5)
+    # regular spacing of 15s -> off-diagonals -1/15
+    np.testing.assert_allclose(np.asarray(st.to_dense(P))[0, 1], -1 / 15, rtol=1e-5)
+
+
+def test_vmap_banded_cholesky(rng, key):
+    """The band kernels must vectorize across a chain axis (core of the perf story)."""
+    p, bw, chains = 16, 1, 64
+    base, dense = random_banded_spd(rng, p, bw)
+    scales = jnp.linspace(0.5, 2.0, chains)
+
+    def sample_one(s, k):
+        Q = st.scale(s, base)
+        return gmrf.sample_normal_canonical(k, jnp.ones((p, 1)), Q=Q)
+
+    xs = jax.vmap(sample_one)(scales, jax.random.split(key, chains))
+    assert xs.shape == (chains, p, 1)
+    assert bool(jnp.all(jnp.isfinite(xs)))
+
+
+def test_bandwidth_zero_banded(key):
+    """Regression: p=1 / bw=0 Banded matrices must work through the solve kernels."""
+    chol = st.cholesky(st.Banded(jnp.asarray([[4.0, 9.0, 16.0]])))
+    np.testing.assert_allclose(st.cho_solve(chol, jnp.asarray([[4.0], [9.0], [16.0]])), np.ones((3, 1)), rtol=1e-6)
+    P1 = gmrf.precision_irregular(jnp.asarray([5.0]))
+    x1 = gmrf.sample_normal(key, jnp.zeros((1, 1)), Q=P1, n=4)
+    assert x1.shape == (1, 4) and bool(jnp.all(jnp.isfinite(x1)))
