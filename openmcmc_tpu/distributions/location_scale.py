@@ -1,0 +1,244 @@
+"""Location-scale distributions: Normal, LogNormal, NullDistribution.
+
+TPU-native rebuild of reference distribution/location_scale.py. Precision parameters
+evaluate to structured matrices (Dense/Diagonal/Banded), so GMRF priors keep their
+bandedness all the way into the Cholesky kernels. Analytic gradient/Hessian cases
+mirror the reference (location_scale.py:190-250, 302-402); everything else falls back
+to exact autodiff instead of finite differences.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+
+from openmcmc_tpu.distributions.base import Distribution
+from openmcmc_tpu.linalg import gmrf
+from openmcmc_tpu.linalg import structured as st
+from openmcmc_tpu.linalg.structured import mm
+from openmcmc_tpu.parameters import (
+    Identity,
+    LinearCombination,
+    MixtureParameterMatrix,
+    MixtureParameterVector,
+    Parameter,
+    ScaledMatrix,
+)
+
+_MEAN_TYPES = (Identity, LinearCombination, MixtureParameterVector)
+_PRECISION_TYPES = (Identity, ScaledMatrix, MixtureParameterMatrix)
+
+
+def _coerce(value, allowed, what):
+    if isinstance(value, str):
+        value = Identity(value)
+    if not isinstance(value, allowed):
+        names = ", ".join(t.__name__ for t in allowed)
+        raise TypeError(f"{what} expected to be one of [{names}]")
+    return value
+
+
+@dataclass(frozen=True, init=False)
+class LocationScale(Distribution):
+    """Mean + precision parameterization (reference location_scale.py:31-62)."""
+
+    mean: Parameter
+    precision: Parameter
+
+    def __init__(self, response: str, mean, precision):
+        object.__setattr__(self, "response", response)
+        object.__setattr__(self, "mean", _coerce(mean, _MEAN_TYPES, "mean"))
+        object.__setattr__(self, "precision", _coerce(precision, _PRECISION_TYPES, "precision"))
+
+    @property
+    def _dist_params(self) -> List[str]:
+        return self.mean.get_param_list() + self.precision.get_param_list()
+
+    def _precision_structured(self, state: dict) -> st.Structured:
+        return st.as_structured(self.precision.predictor(state))
+
+
+class NullDistribution(LocationScale):
+    """Zero log-density / gradient / Hessian; used for prior-recovery testing of the
+    reversible-jump sampler (reference location_scale.py:65-123)."""
+
+    def log_p(self, state: dict, by_observation: bool = False):
+        if by_observation:
+            return jnp.zeros(state[self.response].shape[1])
+        return jnp.asarray(0.0)
+
+    def grad_log_p(self, state: dict, param: str, hessian_required: bool = True):
+        grad = jnp.zeros(state[param].shape)
+        if hessian_required:
+            d = state[param].shape[0]
+            return grad, jnp.zeros((d, d))
+        return grad
+
+    def sample(self, key, state: dict, n: int = 1):
+        return None
+
+
+@dataclass(frozen=True, init=False)
+class Normal(LocationScale):
+    """Multivariate normal in precision form, with optional box truncation
+    (reference location_scale.py:126-272).
+
+    As in the reference, the truncated log_p does NOT renormalize for the truncation
+    (valid for comparisons over the response at fixed mean/precision; reference
+    location_scale.py:148-151); out-of-domain responses get -inf.
+    """
+
+    domain_response_lower: Optional[tuple]
+    domain_response_upper: Optional[tuple]
+
+    def __init__(self, response, mean, precision, domain_response_lower=None, domain_response_upper=None):
+        import numpy as np
+
+        super().__init__(response, mean, precision)
+
+        def conv(v):
+            if v is None:
+                return None
+            return tuple(np.atleast_1d(np.asarray(v, dtype=float)).reshape(-1).tolist())
+
+        object.__setattr__(self, "domain_response_lower", conv(domain_response_lower))
+        object.__setattr__(self, "domain_response_upper", conv(domain_response_upper))
+
+    @property
+    def truncated(self) -> bool:
+        return self.domain_response_lower is not None or self.domain_response_upper is not None
+
+    def _bounds(self):
+        lo = None if self.domain_response_lower is None else jnp.asarray(self.domain_response_lower).reshape(-1, 1)
+        hi = None if self.domain_response_upper is None else jnp.asarray(self.domain_response_upper).reshape(-1, 1)
+        return lo, hi
+
+    def out_of_domain(self, state: dict):
+        """Traced boolean: does the response lie outside the stated domain?
+        (reference location_scale.py:169-188)."""
+        x = state[self.response]
+        lo, hi = self._bounds()
+        bad = jnp.asarray(False)
+        if lo is not None:
+            bad = jnp.logical_or(bad, jnp.any(x < lo))
+        if hi is not None:
+            bad = jnp.logical_or(bad, jnp.any(x > hi))
+        return bad
+
+    def log_p(self, state: dict, by_observation: bool = False):
+        Q = self._precision_structured(state)
+        mu = self.mean.predictor(state)
+        log_p = gmrf.mvn_log_pdf(state[self.response], mu, Q=Q, by_observation=by_observation)
+        if self.truncated:
+            log_p = jnp.where(self.out_of_domain(state), -jnp.inf, log_p)
+        return log_p
+
+    def grad_log_p(self, state: dict, param: str, hessian_required: bool = True):
+        """Three analytic cases as in the reference (location_scale.py:190-250):
+        response; linear mean parameter; autodiff fallback."""
+        if param == self.response:
+            Q = self._precision_structured(state)
+            r = state[self.response] - self.mean.predictor(state)
+            grad = -st.matvec(Q, r)
+            if hessian_required:
+                n = state[param].shape[1]
+                hessian = st.to_dense(Q)
+                if n > 1:
+                    hessian = jnp.kron(hessian, jnp.eye(n, dtype=hessian.dtype))
+                return grad, hessian
+            return grad
+
+        if param in self.mean.get_grad_param_list() and param not in self.precision.get_grad_param_list():
+            Q = self._precision_structured(state)
+            r = jnp.sum(state[self.response] - self.mean.predictor(state), axis=1, keepdims=True)
+            grad_param = self.mean.grad(state, param)  # (d_param, d_resp)
+            # grad_param @ Q applied columnwise: (Q @ grad_param.T).T keeps Q structured
+            grad_times_prec = st.matvec(Q, grad_param.T).T
+            grad = mm(grad_times_prec, r)
+            if hessian_required:
+                n = state[self.response].shape[1]
+                hessian = n * mm(grad_times_prec, grad_param.T)
+                return grad, hessian
+            return grad
+
+        return super().grad_log_p(state, param, hessian_required=hessian_required)
+
+    def sample(self, key, state: dict, n: int = 1) -> jnp.ndarray:
+        mean = self.mean.predictor(state)
+        Q = self._precision_structured(state)
+        if not self.truncated:
+            return gmrf.sample_normal(key, mean, Q=Q, n=n)
+        lo, hi = self._bounds()
+        return gmrf.sample_truncated_normal(key, mean, Q=Q, lower=lo, upper=hi, n=n)
+
+
+@dataclass(frozen=True, init=False)
+class LogNormal(LocationScale):
+    """Multivariate log-normal: MVN on log(response) with Jacobian -sum log x
+    (reference location_scale.py:275-418)."""
+
+    def __init__(self, response, mean, precision):
+        super().__init__(response, mean, precision)
+
+    def log_p(self, state: dict, by_observation: bool = False):
+        Q = self._precision_structured(state)
+        mu = self.mean.predictor(state)
+        x = state[self.response]
+        log_p = gmrf.mvn_log_pdf(jnp.log(x), mu, Q=Q, by_observation=True) - jnp.sum(jnp.log(x), axis=0)
+        if not by_observation:
+            log_p = jnp.sum(log_p)
+        return log_p
+
+    def grad_log_p(self, state: dict, param: str, hessian_required: bool = True):
+        Q = self._precision_structured(state)
+        if param == self.response:
+            x = state[self.response]
+            r = jnp.log(x) - self.mean.predictor(state)
+            grad = -(1.0 / x) * (1.0 + st.matvec(Q, r))
+        elif param in self.mean.get_grad_param_list() and param not in self.precision.get_grad_param_list():
+            r = jnp.sum(jnp.log(state[self.response]) - self.mean.predictor(state), axis=1, keepdims=True)
+            grad_param = self.mean.grad(state, param)
+            grad = mm(st.matvec(Q, grad_param.T).T, r)
+        else:
+            grad = self._autodiff_grad(state, param)
+
+        if hessian_required:
+            return grad, self.hessian_log_p(state, param)
+        return grad
+
+    def hessian_log_p(self, state: dict, param: str) -> jnp.ndarray:
+        """NEGATIVE Hessian, three cases as reference location_scale.py:352-402.
+
+        Response case for (d, n) responses: block structure over replicates with
+        flattening order matching x.reshape(-1) (row-major over (d, n)):
+            -H[(i,k), (j,k)] = (1/x_ik) Q_ij (1/x_jk) - delta_ij (1/x_ik^2)(1 + [Q r]_ik)
+        """
+        if param == self.response:
+            Q = self._precision_structured(state)
+            x = state[self.response]
+            d, n = x.shape
+            r = jnp.log(x) - self.mean.predictor(state)
+            recip = 1.0 / x
+            qd = st.to_dense(Q)
+            # blocks[k] over observations: outer(recip[:, k]) * Q
+            blocks = jnp.einsum("ik,ij,jk->kij", recip, qd, recip)
+            out = jnp.zeros((n, d, n, d), x.dtype)
+            idx = jnp.arange(n)
+            out = out.at[idx, :, idx, :].set(blocks)
+            out = out.transpose((1, 0, 3, 2)).reshape(n * d, n * d)
+            diag_term = (recip**2 * (1.0 + st.matvec(Q, r))).reshape(-1)
+            return out - jnp.diagflat(diag_term)
+
+        if param in self.mean.get_grad_param_list() and param not in self.precision.get_grad_param_list():
+            Q = self._precision_structured(state)
+            grad_param = self.mean.grad(state, param)
+            return state[self.response].shape[1] * mm(st.matvec(Q, grad_param.T).T, grad_param.T)
+
+        return self._autodiff_neg_hessian(state, param)
+
+    def sample(self, key, state: dict, n: int = 1) -> jnp.ndarray:
+        mean = self.mean.predictor(state)
+        Q = self._precision_structured(state)
+        return jnp.exp(gmrf.sample_normal(key, mean, Q=Q, n=n))

@@ -1,0 +1,245 @@
+"""MCMC driver: fused Gibbs sweep inside lax.scan, vmapped over chains, sharded over a mesh.
+
+TPU-native rebuild of reference mcmc.py:19-115. Architectural translation:
+
+reference (one Python interpreter, one chain)      ->  this driver
+---------------------------------------------------------------------------
+for i in tqdm(range(-n_burn, n_iter))  (mcmc.py:97) ->  lax.scan over iterations
+  for _ in range(n_thin): for s in samplers (:98-100) -> fused sweep (scan over thin)
+state dict of np arrays, mutated in place           ->  immutable pytree carry
+store dict of NaN-filled np arrays (:81-85)         ->  scan-stacked outputs
+one chain per process                               ->  vmap over a chain axis
+(nothing)                                           ->  NamedSharding of the chain axis
+                                                        over a jax.sharding.Mesh (ICI)
+
+The state is split once, statically, into per-chain *sampled* entries (the scan carry,
+batched over chains) and constant *data* entries (closed over, broadcast). Sampling is
+communication-free across devices; only diagnostics reduce across chains.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from openmcmc_tpu.linalg import structured as st
+from openmcmc_tpu.model import Model
+from openmcmc_tpu.samplers.base import Sampler
+from openmcmc_tpu.samplers.metropolis import MetropolisHastings, acceptance_rate
+
+
+def _coerce_state(state: dict) -> dict:
+    """Coerce raw entries to >=2-D column arrays (reference mcmc.py:63-76).
+
+    Structured matrices pass through (the analog of the reference's sparse
+    passthrough); integer arrays keep an integer dtype (allocation indices)."""
+    out = {}
+    for name, value in state.items():
+        if isinstance(value, (st.Dense, st.Diagonal, st.Banded)):
+            out[name] = value
+            continue
+        arr = np.asarray(value)
+        if np.issubdtype(arr.dtype, np.integer):
+            arr = arr.astype(np.int32)
+        else:
+            arr = arr.astype(np.result_type(float, arr.dtype) if arr.dtype != np.float64 else arr.dtype)
+            arr = arr.astype(jnp.result_type(float))
+        if arr.ndim == 0:
+            arr = arr.reshape(1, 1)
+        elif arr.ndim == 1:
+            arr = arr.reshape(-1, 1)
+        out[name] = jnp.asarray(arr)
+    return out
+
+
+@dataclasses.dataclass
+class MCMCResult:
+    """Output of a run: stacked draws plus final carry for checkpoint/resume.
+
+    store[name] has shape (n_chains, n_iter) + state_shape; log_post is
+    (n_chains, n_iter). acceptance maps MH sampler param -> percent accepted per chain.
+    """
+
+    store: Dict[str, jnp.ndarray]
+    log_post: jnp.ndarray
+    stats: Dict[str, dict]
+    final_state: Dict[str, jnp.ndarray]
+    final_key: jnp.ndarray
+
+    @property
+    def acceptance(self) -> Dict[str, jnp.ndarray]:
+        return {name: acceptance_rate(s) for name, s in self.stats.items() if "proposal" in s}
+
+
+class MCMC:
+    """Drive a set of per-parameter samplers over a model (reference mcmc.py:19-115).
+
+    Args:
+        state: initial values: data entries (constant across chains) and optionally
+            initial values for sampled parameters (missing ones are drawn from their
+            priors, reference mcmc.py:78-81). Values may be arrays or structured
+            matrices. Per-chain initial values may be supplied with a leading chain axis
+            by listing the entry in ``chain_state_names`` and passing shape
+            (n_chains, p, n).
+        samplers: one sampler per inferred parameter, applied in order each sweep.
+        model: full model (used for log_post and fitted-value storage).
+        n_burn / n_iter / n_thin: burn-in, stored iterations, thinning (reference
+            semantics: every stored iteration runs n_thin full sweeps).
+        n_chains: number of independent chains, vmapped.
+        store_names: subset of sampled parameters to store (default: all sampled params
+            + fitted responses; pass [] to store nothing but log_post).
+        mesh: optional jax.sharding.Mesh; chains are sharded over ``chain_axis``.
+    """
+
+    def __init__(
+        self,
+        state: dict,
+        samplers: Sequence[Sampler],
+        model: Model,
+        n_burn: int = 5000,
+        n_iter: int = 5000,
+        n_thin: int = 1,
+        n_chains: int = 1,
+        seed: int = 0,
+        store_names: Optional[List[str]] = None,
+        chain_state_names: Sequence[str] = (),
+        mesh=None,
+        chain_axis: str = "chains",
+    ):
+        self.samplers = list(samplers)
+        self.model = model
+        self.n_burn = int(n_burn)
+        self.n_iter = int(n_iter)
+        self.n_thin = int(n_thin)
+        self.n_chains = int(n_chains)
+        self.mesh = mesh
+        self.chain_axis = chain_axis
+        self.key = jax.random.PRNGKey(seed) if np.ndim(seed) == 0 else seed
+
+        coerced = _coerce_state(state)
+        # per-chain (carried) entries: everything any sampler can modify + extras
+        chain_names = []
+        for sampler in self.samplers:
+            for name in getattr(sampler, "updated_names", [sampler.param]):
+                if name not in chain_names:
+                    chain_names.append(name)
+        for name in chain_state_names:
+            if name not in chain_names:
+                chain_names.append(name)
+        self.chain_state_names = chain_names
+        self.data = {k: v for k, v in coerced.items() if k not in chain_names}
+        self.initial_chain_state = {k: v for k, v in coerced.items() if k in chain_names}
+
+        if store_names is None:
+            store_names = list(chain_names)
+        self.store_names = list(store_names)
+        self._stats_names = [s.param for s in self.samplers]
+
+    # -- construction of the pure step functions ----------------------------
+
+    def _full_state(self, chain_state: dict) -> dict:
+        full = dict(self.data)
+        full.update(chain_state)
+        return full
+
+    def _init_single_chain(self, key) -> dict:
+        """Draw missing sampled parameters from their priors (reference mcmc.py:78-81)."""
+        chain_state = dict(self.initial_chain_state)
+        for sampler in self.samplers:
+            if sampler.param not in chain_state:
+                key, sub = jax.random.split(key)
+                value = sampler.model[sampler.param].sample(sub, self._full_state(chain_state), n=1)
+                chain_state[sampler.param] = value
+        return chain_state
+
+    def _init_stats(self) -> dict:
+        return {s.param: s.init_stats() for s in self.samplers}
+
+    def _sweep(self, key, chain_state: dict, stats: dict):
+        """One stored iteration: n_thin full passes over all samplers (reference mcmc.py:98-100)."""
+
+        def one_pass(carry, k):
+            cs, sts = carry
+            full = self._full_state(cs)
+            keys = jax.random.split(k, len(self.samplers))
+            for i, sampler in enumerate(self.samplers):
+                full, sampler_stats = sampler.step(keys[i], full, sts[sampler.param])
+                sts = dict(sts)
+                sts[sampler.param] = sampler_stats
+            new_cs = {name: full[name] for name in self.chain_state_names}
+            return (new_cs, sts), None
+
+        if self.n_thin == 1:
+            (chain_state, stats), _ = one_pass((chain_state, stats), key)
+            return chain_state, stats
+        (chain_state, stats), _ = lax.scan(one_pass, (chain_state, stats), jax.random.split(key, self.n_thin))
+        return chain_state, stats
+
+    def _record(self, chain_state: dict) -> dict:
+        full = self._full_state(chain_state)
+        out = {name: chain_state[name] for name in self.store_names if name in chain_state}
+        out["log_post"] = self.model.log_p(full)
+        if self.model.response is not None:
+            for response, predictor_name in self.model.response.items():
+                predictor = getattr(self.model[response], predictor_name)
+                out[f"{response}_fitted"] = predictor.predictor(full)
+        return out
+
+    def _single_chain_run(self, key):
+        key, init_key = jax.random.split(key)
+        chain_state = self._init_single_chain(init_key)
+        stats = self._init_stats()
+
+        def burn_body(carry, k):
+            cs, sts = carry
+            cs, sts = self._sweep(k, cs, sts)
+            return (cs, sts), None
+
+        def main_body(carry, k):
+            cs, sts = carry
+            cs, sts = self._sweep(k, cs, sts)
+            return (cs, sts), self._record(cs)
+
+        key, burn_key, main_key = jax.random.split(key, 3)
+        if self.n_burn > 0:
+            (chain_state, stats), _ = lax.scan(
+                burn_body, (chain_state, stats), jax.random.split(burn_key, self.n_burn)
+            )
+        (chain_state, stats), records = lax.scan(
+            main_body, (chain_state, stats), jax.random.split(main_key, self.n_iter)
+        )
+        return chain_state, stats, records, key
+
+    # -- public API ----------------------------------------------------------
+
+    def run(self) -> MCMCResult:
+        """Run burn + sampling for all chains; jitted, vmapped, optionally sharded
+        (reference mcmc.py:87-115)."""
+        chain_keys = jax.random.split(self.key, self.n_chains)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(self.mesh, PartitionSpec(self.chain_axis))
+            chain_keys = jax.device_put(chain_keys, sharding)
+
+        run_fn = jax.jit(jax.vmap(self._single_chain_run))
+        final_state, stats, records, final_keys = run_fn(chain_keys)
+
+        log_post = records.pop("log_post")
+        return MCMCResult(
+            store=records,
+            log_post=log_post,
+            stats=stats,
+            final_state=final_state,
+            final_key=final_keys,
+        )
+
+    def run_mcmc(self) -> MCMCResult:
+        """Reference-API alias (reference mcmc.py:87)."""
+        return self.run()

@@ -1,0 +1,23 @@
+"""Samplers: conjugate Gibbs, Metropolis-Hastings family, reversible jump."""
+
+from openmcmc_tpu.samplers.base import Sampler
+from openmcmc_tpu.samplers.conjugate import MixtureAllocation, NormalGamma, NormalNormal
+from openmcmc_tpu.samplers.metropolis import (
+    ManifoldMALA,
+    MetropolisHastings,
+    RandomWalk,
+    RandomWalkLoop,
+    acceptance_rate,
+)
+
+__all__ = [
+    "Sampler",
+    "NormalNormal",
+    "NormalGamma",
+    "MixtureAllocation",
+    "MetropolisHastings",
+    "RandomWalk",
+    "RandomWalkLoop",
+    "ManifoldMALA",
+    "acceptance_rate",
+]

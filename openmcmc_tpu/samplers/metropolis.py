@@ -1,0 +1,209 @@
+"""Metropolis-Hastings family: RandomWalk, RandomWalkLoop, ManifoldMALA.
+
+TPU-native rebuild of reference sampler/metropolis_hastings.py. Key design changes:
+
+- Accept/reject is branchless: the proposal is always computed and a ``jnp.where``
+  select keeps either the proposed or current value, so all vmapped chains stay in
+  lockstep (no per-chain control-flow divergence).
+- Proposals return a dict of only the entries they modify; the select runs over that
+  set (never over the full state, avoiding HBM traffic on constant data).
+- Acceptance counting is a scanned stats pytree ({'accept', 'proposal'} int32 counters),
+  replacing the mutable AcceptRate object (reference metropolis_hastings.py:25-66).
+- No deepcopy per proposal (reference metropolis_hastings.py:237,314): state dicts are
+  immutable-by-convention; an updated dict shares all unmodified leaves.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from openmcmc_tpu.linalg import gmrf
+from openmcmc_tpu.linalg import structured as st
+from openmcmc_tpu.model import Model
+from openmcmc_tpu.samplers.base import Sampler
+
+
+def acceptance_rate(stats: dict) -> jnp.ndarray:
+    """Percentage of proposals accepted, from a sampler's stats pytree."""
+    return 100.0 * stats["accept"] / jnp.maximum(stats["proposal"], 1)
+
+
+class MetropolisHastings(Sampler):
+    """Abstract MH sampler (reference metropolis_hastings.py:69-173).
+
+    Subclasses implement ``proposal(key, state) -> (updates, logp_pr_g_cr, logp_cr_g_pr)``
+    where ``updates`` contains only the state entries the proposal modifies.
+    """
+
+    def __init__(self, param: str, model: Model, step=0.2):
+        super().__init__(param, model)
+        # step size kept under step_size: .step is the update method
+        self.step_size = jnp.atleast_2d(jnp.asarray(step, dtype=jnp.result_type(float)))
+
+    def init_stats(self):
+        return {"accept": jnp.zeros((), jnp.int32), "proposal": jnp.zeros((), jnp.int32)}
+
+    def proposal(self, key, state: dict, param_index=None) -> Tuple[dict, jnp.ndarray, jnp.ndarray]:
+        raise NotImplementedError
+
+    def _conditional_log_p(self, state: dict) -> jnp.ndarray:
+        total = 0.0
+        for dist in self.model.values():
+            total = total + dist.log_p(state)
+        return total
+
+    def _accept_reject(self, key, state, updates, logp_pr_g_cr, logp_cr_g_pr, stats):
+        """Branchless accept/reject (reference metropolis_hastings.py:127-173)."""
+        prop_state = dict(state)
+        prop_state.update(updates)
+        logp_cs = self._conditional_log_p(state)
+        logp_pr = self._conditional_log_p(prop_state)
+        log_accept = logp_pr + logp_cr_g_pr - (logp_cs + logp_pr_g_cr)
+        accept = jnp.log(jax.random.uniform(key)) < log_accept
+        new_state = dict(state)
+        for name, proposed in updates.items():
+            new_state[name] = jnp.where(accept, proposed, state[name])
+        new_stats = {
+            "accept": stats["accept"] + accept.astype(jnp.int32),
+            "proposal": stats["proposal"] + 1,
+        }
+        return new_state, new_stats
+
+    def step(self, key, state: dict, stats: dict) -> Tuple[dict, dict]:
+        k_prop, k_acc = jax.random.split(key)
+        updates, logp_pr_g_cr, logp_cr_g_pr = self.proposal(k_prop, state)
+        return self._accept_reject(k_acc, state, updates, logp_pr_g_cr, logp_cr_g_pr, stats)
+
+
+class RandomWalk(MetropolisHastings):
+    """(Truncated) Gaussian random-walk proposals (reference metropolis_hastings.py:176-269).
+
+    ``domain_limits`` is a (p, 2) array of [lower, upper] proposal truncation bounds;
+    ``state_update_function(key, prop_updates, state) -> (prop_updates, logp_fwd, logp_rev)``
+    optionally recomputes dependent state entries (e.g. basis matrices) for the proposal;
+    when provided, the full model is kept (no conditional restriction), matching the
+    reference (metropolis_hastings.py:201-209).
+    """
+
+    def __init__(
+        self,
+        param: str,
+        model: Model,
+        step=0.2,
+        domain_limits=None,
+        state_update_function: Optional[Callable] = None,
+    ):
+        self.param = param
+        self.max_variable_size = None
+        self.state_update_function = state_update_function
+        self.model = model if state_update_function is not None else model.conditional(param)
+        self.step_size = jnp.atleast_2d(jnp.asarray(step, dtype=jnp.result_type(float)))
+        self.domain_limits = None if domain_limits is None else np.asarray(domain_limits, dtype=float)
+
+    def proposal(self, key, state: dict, param_index=None):
+        value = state[self.param]
+        if param_index is None:
+            mu = value
+            step = self.step_size
+        else:
+            mu = lax.dynamic_slice_in_dim(value, param_index, 1, axis=1)
+            step = self.step_size if self.step_size.shape[1] == 1 else lax.dynamic_slice_in_dim(
+                self.step_size, param_index, 1, axis=1
+            )
+
+        k_draw, k_update = jax.random.split(key)
+        if self.domain_limits is None:
+            z = mu + step * jax.random.normal(k_draw, mu.shape, dtype=mu.dtype)
+            logp_pr_g_cr = jnp.asarray(0.0)
+            logp_cr_g_pr = jnp.asarray(0.0)
+        else:
+            lb = jnp.asarray(self.domain_limits[:, 0]).reshape(-1, 1)
+            ub = jnp.asarray(self.domain_limits[:, 1]).reshape(-1, 1)
+            z = gmrf.truncated_normal_rv(k_draw, mu, step, lower=lb, upper=ub, shape=mu.shape)
+            logp_pr_g_cr = jnp.sum(gmrf.truncated_normal_log_pdf(z, mu, step, lower=lb, upper=ub))
+            logp_cr_g_pr = jnp.sum(gmrf.truncated_normal_log_pdf(mu, z, step, lower=lb, upper=ub))
+
+        if param_index is None:
+            proposed = z
+        else:
+            proposed = lax.dynamic_update_slice_in_dim(value, z, param_index, axis=1)
+        updates = {self.param: proposed}
+
+        if self.state_update_function is not None:
+            updates, logp_fwd, logp_rev = self.state_update_function(k_update, updates, state, param_index)
+            logp_pr_g_cr = logp_pr_g_cr + logp_fwd
+            logp_cr_g_pr = logp_cr_g_pr + logp_rev
+        return updates, logp_pr_g_cr, logp_cr_g_pr
+
+
+class RandomWalkLoop(RandomWalk):
+    """One-at-a-time RW update over the n replicate columns of the parameter
+    (reference metropolis_hastings.py:272-289), as a ``lax.scan`` over columns."""
+
+    def step(self, key, state: dict, stats: dict) -> Tuple[dict, dict]:
+        n = state[self.param].shape[1]
+        updated_names = [self.param]
+        # scan carries only the entries this sampler can modify plus the stats
+        if self.state_update_function is not None:
+            raise NotImplementedError("RandomWalkLoop with state_update_function: use RandomWalk per column")
+
+        def body(carry, inp):
+            value, st_acc, st_prop = carry
+            idx, k = inp
+            cur_state = dict(state)
+            cur_state[self.param] = value
+            k_prop, k_acc = jax.random.split(k)
+            updates, lf, lr = self.proposal(k_prop, cur_state, param_index=idx)
+            new_state, new_stats = self._accept_reject(
+                k_acc, cur_state, updates, lf, lr, {"accept": st_acc, "proposal": st_prop}
+            )
+            return (new_state[self.param], new_stats["accept"], new_stats["proposal"]), None
+
+        keys = jax.random.split(key, n)
+        (value, acc, prop), _ = lax.scan(
+            body, (state[self.param], stats["accept"], stats["proposal"]), (jnp.arange(n), keys)
+        )
+        new_state = dict(state)
+        new_state[self.param] = value
+        return new_state, {"accept": acc, "proposal": prop}
+
+
+class ManifoldMALA(MetropolisHastings):
+    """Simplified manifold MALA (Girolami & Calderhead 2011), reference
+    metropolis_hastings.py:292-373.
+
+    Proposal: N(theta + 1/2 s^2 H^{-1} g, s^2 H^{-1}) with H the model's negative
+    Hessian at theta; forward and reverse proposals each require a gradient+Hessian
+    evaluation and a Cholesky factorization (dense, batched on the MXU under vmap).
+    """
+
+    def proposal(self, key, state: dict, param_index=None):
+        mu_cr, chol_cr = self._proposal_params(state)
+        proposed = gmrf.sample_normal(key, mu_cr, L=chol_cr).reshape(state[self.param].shape)
+        updates = {self.param: proposed}
+
+        prop_state = dict(state)
+        prop_state.update(updates)
+        logp_pr_g_cr = self._log_proposal_density(proposed, mu_cr, chol_cr)
+
+        mu_pr, chol_pr = self._proposal_params(prop_state)
+        logp_cr_g_pr = self._log_proposal_density(state[self.param], mu_pr, chol_pr)
+        return updates, logp_pr_g_cr, logp_cr_g_pr
+
+    def _proposal_params(self, state: dict):
+        grad, hessian = self.model.grad_log_p(state, param=self.param, hessian_required=True)
+        step2 = (self.step_size.reshape(()) ** 2) if self.step_size.size == 1 else (self.step_size**2)
+        precision = st.Dense(hessian / step2)
+        chol = st.cholesky(precision)
+        drift = st.cho_solve(chol, grad.reshape(-1, 1)).reshape(state[self.param].shape)
+        mu = state[self.param] + 0.5 * drift
+        return mu, chol
+
+    def _log_proposal_density(self, value, mu, chol) -> jnp.ndarray:
+        w = st.chol_matvec_t(chol, (value - mu).reshape(-1, 1))
+        return jnp.sum(jnp.log(st.diag(chol))) - 0.5 * jnp.sum(w * w)

@@ -1,0 +1,161 @@
+"""Driver tests, mirroring reference tests/test_mcmc.py: state coercion, missing-param
+prior initialization, store shapes, and the two end-to-end reference example workloads
+(linear regression, GMRF smoother) with posterior checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmcmc_tpu.distributions import Gamma, Normal
+from openmcmc_tpu.linalg import gmrf
+from openmcmc_tpu.linalg import structured as st
+from openmcmc_tpu.mcmc import MCMC, _coerce_state
+from openmcmc_tpu.model import Model
+from openmcmc_tpu.parameters import LinearCombination, ScaledMatrix
+from openmcmc_tpu.samplers import NormalGamma, NormalNormal, RandomWalk
+
+
+def test_coerce_state():
+    out = _coerce_state(
+        {
+            "scalar": 2.0,
+            "vec": [1.0, 2.0],
+            "mat": np.ones((2, 3)),
+            "ints": np.array([1, 2], dtype=np.int64),
+            "structured": st.Diagonal(jnp.ones(3)),
+        }
+    )
+    assert out["scalar"].shape == (1, 1)
+    assert out["vec"].shape == (2, 1)
+    assert out["mat"].shape == (2, 3)
+    assert out["ints"].dtype == jnp.int32 and out["ints"].shape == (2, 1)
+    assert isinstance(out["structured"], st.Diagonal)
+
+
+def _linreg(rng, n_chains=8, n_burn=300, n_iter=400, drop_beta=False):
+    N = 60
+    true_beta = np.array([2.0, 0.5])
+    x = np.sort(rng.random(N))
+    X = np.stack([np.ones(N), x], 1)
+    y = X @ true_beta + rng.normal(0, 0.1, N)
+    mdl = Model(
+        [
+            Normal("y", mean=LinearCombination(form={"beta": "X"}), precision=ScaledMatrix("P_tau", "tau")),
+            Normal("beta", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+            Gamma("lambda", shape="a_lambda", rate="b_lambda"),
+        ],
+        response={"y": "mean"},
+    )
+    samplers = [NormalNormal("beta", mdl), NormalGamma("tau", mdl), NormalGamma("lambda", mdl)]
+    state = {
+        "y": y,
+        "X": X,
+        "P_tau": st.Diagonal(jnp.ones(N)),
+        "tau": 1.0,
+        "P_lambda": st.Diagonal(jnp.ones(2)),
+        "mu": [0.0, 0.0],
+        "lambda": 0.01,
+        "a_tau": 1e-3,
+        "b_tau": 1e-3,
+        "a_lambda": 1e-3,
+        "b_lambda": 1e-3,
+    }
+    if not drop_beta:
+        state["beta"] = [0.0, 0.0]
+    mcmc = MCMC(state, samplers, mdl, n_burn=n_burn, n_iter=n_iter, n_chains=n_chains, seed=0)
+    return mcmc, X, y, true_beta
+
+
+def test_linear_regression_end_to_end(rng):
+    mcmc, X, y, true_beta = _linreg(rng)
+    res = mcmc.run()
+    beta = np.asarray(res.store["beta"])
+    assert beta.shape == (8, 400, 2, 1)
+    gls = np.linalg.solve(X.T @ X, X.T @ y)
+    np.testing.assert_allclose(beta.mean((0, 1)).ravel(), gls, atol=0.05)
+    tau = np.asarray(res.store["tau"])
+    assert 30 < tau.mean() < 300  # true tau = 100
+    assert np.isfinite(np.asarray(res.log_post)).all()
+    # fitted-value storage via model.response
+    fitted = np.asarray(res.store["y_fitted"])
+    assert fitted.shape == (8, 400, 60, 1)
+    np.testing.assert_allclose(fitted.mean((0, 1)).ravel(), X @ gls, atol=0.1)
+
+
+def test_missing_param_initialized_from_prior(rng):
+    """Params absent from the initial state are drawn from their priors
+    (reference mcmc.py:78-81)."""
+    mcmc, X, y, _ = _linreg(rng, n_chains=4, n_burn=50, n_iter=50, drop_beta=True)
+    assert "beta" not in mcmc.initial_chain_state
+    res = mcmc.run()
+    assert np.isfinite(np.asarray(res.store["beta"])).all()
+
+
+def test_store_names_subset(rng):
+    mcmc, _, _, _ = _linreg(rng, n_chains=2, n_burn=20, n_iter=30)
+    mcmc.store_names = ["tau"]
+    res = mcmc.run()
+    assert set(res.store.keys()) == {"tau", "y_fitted"}
+    assert res.log_post.shape == (2, 30)
+
+
+def test_thinning_runs_extra_sweeps(rng):
+    mcmc, _, _, _ = _linreg(rng, n_chains=2, n_burn=10, n_iter=20)
+    mcmc.n_thin = 3
+    res = mcmc.run()
+    assert np.asarray(res.store["beta"]).shape == (2, 20, 2, 1)
+
+
+def test_gmrf_smoother_end_to_end(rng):
+    """North-star workload (reference examples/4): banded RW1 prior, conjugate sweep."""
+    n_time = 50
+    s = jnp.asarray(np.arange(n_time, dtype=float))
+    P_lam = gmrf.precision_irregular(s)
+    P_lam = st.Banded(P_lam.bands.at[0, 0].add(0.001))
+    t = np.arange(n_time, dtype=float)
+    b_true = np.sin(t / 8.0) + 2.0
+    y = b_true + rng.normal(0, 0.3, n_time)
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+    state = {
+        "y": y,
+        "b": y.copy(),
+        "mu": np.zeros(n_time),
+        "lambda": 10.0,
+        "P_lambda": P_lam,
+        "a_lam": 10.0,
+        "b_lam": 1.0,
+        "tau": 1.0,
+        "P_tau": st.Diagonal(jnp.ones(n_time)),
+        "a_tau": 1.0,
+        "b_tau": 1.0,
+    }
+    mcmc = MCMC(state, samplers, mdl, n_burn=200, n_iter=400, n_chains=8, seed=1)
+    res = mcmc.run()
+    post = np.asarray(res.store["b"]).mean((0, 1)).ravel()
+    rmse = float(np.sqrt(((post - b_true) ** 2).mean()))
+    assert rmse < 0.25, rmse
+    tau = np.asarray(res.store["tau"]).mean()
+    assert 2.0 < tau < 40.0  # true tau ~ 11
+
+
+def test_multi_sampler_key_independence(rng):
+    """Different seeds give different chains; same seed reproduces exactly."""
+    mcmc1, _, _, _ = _linreg(rng, n_chains=2, n_burn=10, n_iter=20)
+    res1 = mcmc1.run()
+    mcmc2, _, _, _ = _linreg(np.random.default_rng(42), n_chains=2, n_burn=10, n_iter=20)
+    res2 = mcmc2.run()
+    np.testing.assert_array_equal(np.asarray(res1.store["beta"]), np.asarray(res2.store["beta"]))
+    mcmc3, _, _, _ = _linreg(np.random.default_rng(42), n_chains=2, n_burn=10, n_iter=20)
+    mcmc3.key = jax.random.PRNGKey(99)
+    res3 = mcmc3.run()
+    assert not np.allclose(np.asarray(res1.store["beta"]), np.asarray(res3.store["beta"]))

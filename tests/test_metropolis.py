@@ -1,0 +1,99 @@
+"""Metropolis-Hastings family tests: posterior recovery for RandomWalk /
+RandomWalkLoop / ManifoldMALA on a conjugate Normal-Normal target with a known
+posterior, truncated proposals, acceptance accounting."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openmcmc_tpu.distributions import Normal
+from openmcmc_tpu.mcmc import MCMC
+from openmcmc_tpu.model import Model
+from openmcmc_tpu.samplers import ManifoldMALA, RandomWalk, RandomWalkLoop
+
+
+@pytest.fixture
+def normal_target(rng):
+    N = 40
+    y = rng.normal(1.0, 1.0, N).reshape(1, N)
+    mdl = Model(
+        [
+            Normal("y", mean="mu", precision="tau"),
+            Normal("mu", mean="m0", precision="p0"),
+        ]
+    )
+    state = {"y": y, "tau": np.eye(1), "m0": 0.0, "p0": np.eye(1) * 0.5}
+    post_prec = N * 1.0 + 0.5
+    post_mean = y.sum() / post_prec
+    return mdl, state, post_mean, 1.0 / np.sqrt(post_prec)
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda mdl: RandomWalk("mu", mdl, step=0.5),
+        lambda mdl: ManifoldMALA("mu", mdl, step=1.0),
+    ],
+    ids=["random_walk", "mmala"],
+)
+def test_posterior_recovery(normal_target, make):
+    mdl, state, post_mean, post_sd = normal_target
+    mcmc = MCMC(state, [make(mdl)], mdl, n_burn=300, n_iter=700, n_chains=16, seed=0)
+    res = mcmc.run()
+    mu = np.asarray(res.store["mu"])
+    assert abs(mu.mean() - post_mean) < 4 * post_sd / np.sqrt(200)
+    np.testing.assert_allclose(mu.std(), post_sd, rtol=0.15)
+    acc = np.asarray(res.acceptance["mu"])
+    assert np.all(acc > 5) and np.all(acc <= 100)
+
+
+def test_random_walk_loop_updates_each_column(rng):
+    """Column-at-a-time updates with independent accept/reject
+    (reference metropolis_hastings.py:272-289)."""
+    n_rep = 3
+    y = rng.normal(0.5, 1.0, (1, n_rep))
+    mdl = Model(
+        [
+            Normal("theta", mean="m0", precision="p0"),
+        ]
+    )
+    state = {"theta": np.zeros((1, n_rep)), "m0": np.zeros((1, 1)), "p0": np.eye(1)}
+    mcmc = MCMC(state, [RandomWalkLoop("theta", mdl, step=0.8)], mdl, n_burn=200, n_iter=600, n_chains=8, seed=1)
+    res = mcmc.run()
+    theta = np.asarray(res.store["theta"])  # (8, 600, 1, 3)
+    # each column targets N(0, 1): check moments per column
+    np.testing.assert_allclose(theta.mean((0, 1)), np.zeros((1, n_rep)), atol=0.15)
+    np.testing.assert_allclose(theta.std((0, 1)), np.ones((1, n_rep)), rtol=0.15)
+    # proposal counter: one per column per iteration
+    assert int(np.asarray(res.stats["theta"]["proposal"])[0]) == n_rep * (200 + 600)
+
+
+def test_truncated_random_walk_respects_domain(rng):
+    mdl = Model([Normal("theta", mean="m0", precision="p0", domain_response_lower=0.0)])
+    state = {"theta": np.full((1, 1), 0.5), "m0": np.zeros((1, 1)), "p0": np.eye(1)}
+    sampler = RandomWalk("theta", mdl, step=0.5, domain_limits=np.array([[0.0, np.inf]]))
+    mcmc = MCMC(state, [sampler], mdl, n_burn=100, n_iter=400, n_chains=8, seed=2)
+    res = mcmc.run()
+    theta = np.asarray(res.store["theta"])
+    assert theta.min() >= 0.0
+    # half-normal moments: mean sqrt(2/pi), sd sqrt(1 - 2/pi)
+    np.testing.assert_allclose(theta.mean(), np.sqrt(2 / np.pi), atol=0.1)
+
+
+def test_acceptance_statistics_counted(normal_target):
+    mdl, state, _, _ = normal_target
+    mcmc = MCMC(state, [RandomWalk("mu", mdl, step=0.5)], mdl, n_burn=50, n_iter=100, n_chains=4, seed=3)
+    res = mcmc.run()
+    stats = res.stats["mu"]
+    assert np.all(np.asarray(stats["proposal"]) == 150)
+    assert np.all(np.asarray(stats["accept"]) <= 150)
+    assert np.all(np.asarray(stats["accept"]) > 0)
+
+
+def test_mmala_uses_fisher_preconditioning(normal_target):
+    """mMALA acceptance should be very high on a Gaussian target with step ~ 1."""
+    mdl, state, _, _ = normal_target
+    mcmc = MCMC(state, [ManifoldMALA("mu", mdl, step=1.0)], mdl, n_burn=100, n_iter=300, n_chains=4, seed=4)
+    res = mcmc.run()
+    assert np.all(np.asarray(res.acceptance["mu"]) > 60)
