@@ -92,8 +92,11 @@ class Normal(LocationScale):
 
     domain_response_lower: Optional[tuple]
     domain_response_upper: Optional[tuple]
+    n_active: Optional[str]
 
-    def __init__(self, response, mean, precision, domain_response_lower=None, domain_response_upper=None):
+    def __init__(
+        self, response, mean, precision, domain_response_lower=None, domain_response_upper=None, n_active=None
+    ):
         import numpy as np
 
         super().__init__(response, mean, precision)
@@ -105,6 +108,17 @@ class Normal(LocationScale):
 
         object.__setattr__(self, "domain_response_lower", conv(domain_response_lower))
         object.__setattr__(self, "domain_response_upper", conv(domain_response_upper))
+        # n_active: optional count entry name for the padded reversible-jump
+        # convention -- response DIMENSIONS at index >= count are padding and must not
+        # contribute to log_p/gradients. Only supported with Diagonal-structured
+        # precisions (mixture priors and scaled diagonals), which is the reference's
+        # own RJ use case (reference tests/test_reversible_jump.py:194-196).
+        object.__setattr__(self, "n_active", n_active)
+
+    @property
+    def _dist_params(self) -> List[str]:
+        extra = [self.n_active] if self.n_active else []
+        return self.mean.get_param_list() + self.precision.get_param_list() + extra
 
     @property
     def truncated(self) -> bool:
@@ -120,17 +134,49 @@ class Normal(LocationScale):
         (reference location_scale.py:169-188)."""
         x = state[self.response]
         lo, hi = self._bounds()
+        active = None
+        if self.n_active is not None:
+            active = self._active_mask(state)[:, None] > 0
         bad = jnp.asarray(False)
         if lo is not None:
-            bad = jnp.logical_or(bad, jnp.any(x < lo))
+            viol = x < lo
+            if active is not None:
+                viol = jnp.logical_and(viol, active)
+            bad = jnp.logical_or(bad, jnp.any(viol))
         if hi is not None:
-            bad = jnp.logical_or(bad, jnp.any(x > hi))
+            viol = x > hi
+            if active is not None:
+                viol = jnp.logical_and(viol, active)
+            bad = jnp.logical_or(bad, jnp.any(viol))
         return bad
 
-    def log_p(self, state: dict, by_observation: bool = False):
+    def _active_mask(self, state: dict):
+        from openmcmc_tpu.padding import active_mask
+
+        d = state[self.response].shape[0]
+        return active_mask(state[self.n_active], d, dtype=jnp.result_type(float))
+
+    def _masked_log_p(self, state: dict, by_observation: bool):
+        """log_p over active dimensions only; requires a Diagonal precision."""
         Q = self._precision_structured(state)
-        mu = self.mean.predictor(state)
-        log_p = gmrf.mvn_log_pdf(state[self.response], mu, Q=Q, by_observation=by_observation)
+        if not isinstance(Q, st.Diagonal):
+            raise TypeError("Normal with n_active requires a Diagonal-structured precision")
+        mask = self._active_mask(state)[:, None]
+        r = state[self.response] - self.mean.predictor(state)
+        lam = Q.diag_[:, None]
+        terms = 0.5 * (jnp.log(lam) - jnp.log(2.0 * jnp.pi) - lam * r * r) * mask
+        log_p = jnp.sum(terms, axis=0)
+        if not by_observation:
+            log_p = jnp.sum(log_p)
+        return log_p
+
+    def log_p(self, state: dict, by_observation: bool = False):
+        if self.n_active is not None:
+            log_p = self._masked_log_p(state, by_observation)
+        else:
+            Q = self._precision_structured(state)
+            mu = self.mean.predictor(state)
+            log_p = gmrf.mvn_log_pdf(state[self.response], mu, Q=Q, by_observation=by_observation)
         if self.truncated:
             log_p = jnp.where(self.out_of_domain(state), -jnp.inf, log_p)
         return log_p
@@ -138,6 +184,20 @@ class Normal(LocationScale):
     def grad_log_p(self, state: dict, param: str, hessian_required: bool = True):
         """Three analytic cases as in the reference (location_scale.py:190-250):
         response; linear mean parameter; autodiff fallback."""
+        if param == self.response and self.n_active is not None:
+            # masked response case: inactive dims get zero gradient and unit Hessian
+            # diagonal (keeps Fisher preconditioning invertible under padding)
+            Q = self._precision_structured(state)
+            if not isinstance(Q, st.Diagonal):
+                raise TypeError("Normal with n_active requires a Diagonal-structured precision")
+            mask = self._active_mask(state)
+            r = state[self.response] - self.mean.predictor(state)
+            grad = -(Q.diag_[:, None] * r) * mask[:, None]
+            if hessian_required:
+                hess_diag = Q.diag_ * mask + (1.0 - mask)
+                return grad, jnp.diagflat(hess_diag)
+            return grad
+
         if param == self.response:
             Q = self._precision_structured(state)
             r = state[self.response] - self.mean.predictor(state)

@@ -31,25 +31,44 @@ _SCALARISH = (Identity, LinearCombination, MixtureParameterVector)
 @dataclass(frozen=True, init=False)
 class Gamma(Distribution):
     """Gamma in shape/rate convention: f(x) ∝ x^(a-1) exp(-b x) (reference
-    distribution.py:201-278)."""
+    distribution.py:201-278).
+
+    ``n_active``: optional name of an integer count state entry; replicate columns at
+    index >= count are padding (reversible-jump convention, see openmcmc_tpu.padding)
+    and contribute zero to log_p. Padded response values may be zero; the density is
+    evaluated on a safe clamp and masked out.
+    """
 
     shape: Parameter
     rate: Parameter
+    n_active: Union[str, None]
 
-    def __init__(self, response: str, shape, rate):
+    def __init__(self, response: str, shape, rate, n_active=None):
         object.__setattr__(self, "response", response)
         object.__setattr__(self, "shape", _as_parameter(shape, _SCALARISH, "shape"))
         object.__setattr__(self, "rate", _as_parameter(rate, _SCALARISH, "rate"))
+        object.__setattr__(self, "n_active", n_active)
 
     @property
     def _dist_params(self) -> List[str]:
-        return self.shape.get_param_list() + self.rate.get_param_list()
+        extra = [self.n_active] if self.n_active else []
+        return self.shape.get_param_list() + self.rate.get_param_list() + extra
 
     def log_p(self, state: dict, by_observation: bool = False):
         x = state[self.response]
         a = self.shape.predictor(state)
         b = self.rate.predictor(state)
-        log_p = jnp.sum((a - 1.0) * jnp.log(x) - b * x + a * jnp.log(b) - jax.scipy.special.gammaln(a), axis=0)
+        if self.n_active is not None:
+            from openmcmc_tpu.padding import active_mask
+
+            mask = active_mask(state[self.n_active], x.shape[1], dtype=x.dtype)
+            x_safe = jnp.where(mask[None, :] > 0, x, 1.0)
+            terms = (a - 1.0) * jnp.log(x_safe) - b * x_safe + a * jnp.log(b) - jax.scipy.special.gammaln(a)
+            log_p = jnp.sum(terms, axis=0) * mask
+        else:
+            log_p = jnp.sum(
+                (a - 1.0) * jnp.log(x) - b * x + a * jnp.log(b) - jax.scipy.special.gammaln(a), axis=0
+            )
         if not by_observation:
             log_p = jnp.sum(log_p)
         return log_p
@@ -95,12 +114,17 @@ class Poisson(Distribution):
 
 @dataclass(frozen=True, init=False)
 class Uniform(Distribution):
-    """Uniform over a p-dimensional hyper-rectangle (reference distribution.py:377-458)."""
+    """Uniform over a p-dimensional hyper-rectangle (reference distribution.py:377-458).
+
+    ``n_active``: optional count entry name; replicate columns >= count are padding
+    (reversible-jump convention) and contribute zero to log_p.
+    """
 
     domain_response_lower: tuple
     domain_response_upper: tuple
+    n_active: Union[str, None]
 
-    def __init__(self, response: str, domain_response_lower=0.0, domain_response_upper=1.0):
+    def __init__(self, response: str, domain_response_lower=0.0, domain_response_upper=1.0, n_active=None):
         import numpy as np
 
         object.__setattr__(self, "response", response)
@@ -108,10 +132,11 @@ class Uniform(Distribution):
         hi = np.atleast_1d(np.asarray(domain_response_upper, dtype=float)).reshape(-1)
         object.__setattr__(self, "domain_response_lower", tuple(lo.tolist()))
         object.__setattr__(self, "domain_response_upper", tuple(hi.tolist()))
+        object.__setattr__(self, "n_active", n_active)
 
     @property
     def _dist_params(self) -> List[str]:
-        return []
+        return [self.n_active] if self.n_active else []
 
     def _limits(self, state: dict):
         d = state[self.response].shape[0]
@@ -128,6 +153,13 @@ class Uniform(Distribution):
     def log_p(self, state: dict, by_observation: bool = False):
         n = state[self.response].shape[1]
         log_p = -jnp.sum(jnp.log(self.domain_range(state)))
+        if self.n_active is not None:
+            from openmcmc_tpu.padding import active_mask
+
+            mask = active_mask(state[self.n_active], n, dtype=jnp.result_type(float))
+            if by_observation:
+                return mask * log_p
+            return jnp.sum(mask) * log_p
         if by_observation:
             return jnp.ones(n) * log_p
         return n * log_p

@@ -2,6 +2,7 @@
 
 from openmcmc_tpu.samplers.base import Sampler
 from openmcmc_tpu.samplers.conjugate import MixtureAllocation, NormalGamma, NormalNormal
+from openmcmc_tpu.samplers.reversible_jump import ReversibleJump
 from openmcmc_tpu.samplers.metropolis import (
     ManifoldMALA,
     MetropolisHastings,
@@ -19,5 +20,6 @@ __all__ = [
     "RandomWalk",
     "RandomWalkLoop",
     "ManifoldMALA",
+    "ReversibleJump",
     "acceptance_rate",
 ]

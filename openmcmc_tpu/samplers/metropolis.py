@@ -40,10 +40,15 @@ class MetropolisHastings(Sampler):
     where ``updates`` contains only the state entries the proposal modifies.
     """
 
-    def __init__(self, param: str, model: Model, step=0.2):
+    def __init__(self, param: str, model: Model, step=0.2, active_count=None, updated_names=None):
         super().__init__(param, model)
         # step size kept under step_size: .step is the update method
         self.step_size = jnp.atleast_2d(jnp.asarray(step, dtype=jnp.result_type(float)))
+        # active_count: optional name of an integer count entry; entries of the
+        # sampled parameter beyond the count (padded reversible-jump convention,
+        # see openmcmc_tpu.padding) are frozen by the proposal.
+        self.active_count = active_count
+        self.updated_names = updated_names if updated_names is not None else [param]
 
     def init_stats(self):
         return {"accept": jnp.zeros((), jnp.int32), "proposal": jnp.zeros((), jnp.int32)}
@@ -57,7 +62,7 @@ class MetropolisHastings(Sampler):
             total = total + dist.log_p(state)
         return total
 
-    def _accept_reject(self, key, state, updates, logp_pr_g_cr, logp_cr_g_pr, stats):
+    def _accept_reject(self, key, state, updates, logp_pr_g_cr, logp_cr_g_pr, stats, force_reject=None):
         """Branchless accept/reject (reference metropolis_hastings.py:127-173)."""
         prop_state = dict(state)
         prop_state.update(updates)
@@ -65,6 +70,8 @@ class MetropolisHastings(Sampler):
         logp_pr = self._conditional_log_p(prop_state)
         log_accept = logp_pr + logp_cr_g_pr - (logp_cs + logp_pr_g_cr)
         accept = jnp.log(jax.random.uniform(key)) < log_accept
+        if force_reject is not None:
+            accept = jnp.logical_and(accept, jnp.logical_not(force_reject))
         new_state = dict(state)
         for name, proposed in updates.items():
             new_state[name] = jnp.where(accept, proposed, state[name])
@@ -97,6 +104,8 @@ class RandomWalk(MetropolisHastings):
         step=0.2,
         domain_limits=None,
         state_update_function: Optional[Callable] = None,
+        active_count=None,
+        updated_names=None,
     ):
         self.param = param
         self.max_variable_size = None
@@ -104,6 +113,8 @@ class RandomWalk(MetropolisHastings):
         self.model = model if state_update_function is not None else model.conditional(param)
         self.step_size = jnp.atleast_2d(jnp.asarray(step, dtype=jnp.result_type(float)))
         self.domain_limits = None if domain_limits is None else np.asarray(domain_limits, dtype=float)
+        self.active_count = active_count
+        self.updated_names = updated_names if updated_names is not None else [param]
 
     def proposal(self, key, state: dict, param_index=None):
         value = state[self.param]
@@ -147,29 +158,42 @@ class RandomWalkLoop(RandomWalk):
 
     def step(self, key, state: dict, stats: dict) -> Tuple[dict, dict]:
         n = state[self.param].shape[1]
-        updated_names = [self.param]
-        # scan carries only the entries this sampler can modify plus the stats
-        if self.state_update_function is not None:
-            raise NotImplementedError("RandomWalkLoop with state_update_function: use RandomWalk per column")
+        carried = list(dict.fromkeys(self.updated_names))  # param + hook-updated entries
 
         def body(carry, inp):
-            value, st_acc, st_prop = carry
+            values, st_acc, st_prop = carry
             idx, k = inp
             cur_state = dict(state)
-            cur_state[self.param] = value
+            cur_state.update(values)
             k_prop, k_acc = jax.random.split(k)
             updates, lf, lr = self.proposal(k_prop, cur_state, param_index=idx)
+            active = jnp.asarray(True)
+            if self.active_count is not None:
+                active = idx < jnp.reshape(state[self.active_count], ())
             new_state, new_stats = self._accept_reject(
-                k_acc, cur_state, updates, lf, lr, {"accept": st_acc, "proposal": st_prop}
+                k_acc,
+                cur_state,
+                updates,
+                lf,
+                lr,
+                {"accept": st_acc, "proposal": st_prop},
+                force_reject=jnp.logical_not(active),
             )
-            return (new_state[self.param], new_stats["accept"], new_stats["proposal"]), None
+            new_stats = {
+                "accept": new_stats["accept"],
+                # only count proposals for active columns
+                "proposal": st_prop + active.astype(jnp.int32),
+            }
+            new_values = {name: new_state[name] for name in carried}
+            return (new_values, new_stats["accept"], new_stats["proposal"]), None
 
         keys = jax.random.split(key, n)
-        (value, acc, prop), _ = lax.scan(
-            body, (state[self.param], stats["accept"], stats["proposal"]), (jnp.arange(n), keys)
+        init_values = {name: state[name] for name in carried}
+        (values, acc, prop), _ = lax.scan(
+            body, (init_values, stats["accept"], stats["proposal"]), (jnp.arange(n), keys)
         )
         new_state = dict(state)
-        new_state[self.param] = value
+        new_state.update(values)
         return new_state, {"accept": acc, "proposal": prop}
 
 
@@ -185,6 +209,14 @@ class ManifoldMALA(MetropolisHastings):
     def proposal(self, key, state: dict, param_index=None):
         mu_cr, chol_cr = self._proposal_params(state)
         proposed = gmrf.sample_normal(key, mu_cr, L=chol_cr).reshape(state[self.param].shape)
+        if self.active_count is not None:
+            # padded reversible-jump convention: freeze entries beyond the count
+            # (their Hessian rows are identity and their gradient is zero, so the
+            # forward/reverse proposal terms on them cancel in the accept ratio)
+            from openmcmc_tpu.padding import active_mask
+
+            mask = active_mask(state[self.active_count], proposed.shape[0], proposed.dtype)[:, None]
+            proposed = mask * proposed + (1.0 - mask) * state[self.param]
         updates = {self.param: proposed}
 
         prop_state = dict(state)
