@@ -190,10 +190,17 @@ class MCMC:
                 out[f"{response}_fitted"] = predictor.predictor(full)
         return out
 
+    def _single_chain_resume(self, key, chain_state, stats):
+        """Continue a chain from a saved carry (checkpoint/resume path)."""
+        return self._run_from(key, chain_state, stats)
+
     def _single_chain_run(self, key):
         key, init_key = jax.random.split(key)
         chain_state = self._init_single_chain(init_key)
         stats = self._init_stats()
+        return self._run_from(key, chain_state, stats)
+
+    def _run_from(self, key, chain_state, stats):
 
         def burn_body(carry, k):
             cs, sts = carry
@@ -217,10 +224,17 @@ class MCMC:
 
     # -- public API ----------------------------------------------------------
 
-    def run(self) -> MCMCResult:
+    def run(self, resume: Optional["MCMCResult"] = None) -> MCMCResult:
         """Run burn + sampling for all chains; jitted, vmapped, optionally sharded
-        (reference mcmc.py:87-115)."""
-        chain_keys = jax.random.split(self.key, self.n_chains)
+        (reference mcmc.py:87-115).
+
+        Pass ``resume`` (a previous MCMCResult, e.g. restored from a checkpoint) to
+        continue the chains from their final carry: prior-init and burn-in are skipped
+        and n_iter further stored iterations are drawn."""
+        if resume is not None:
+            chain_keys = resume.final_key
+        else:
+            chain_keys = jax.random.split(self.key, self.n_chains)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -228,8 +242,20 @@ class MCMC:
             sharding = NamedSharding(self.mesh, PartitionSpec(self.chain_axis))
             chain_keys = jax.device_put(chain_keys, sharding)
 
-        run_fn = jax.jit(jax.vmap(self._single_chain_run))
-        final_state, stats, records, final_keys = run_fn(chain_keys)
+        if resume is not None:
+            carry_state = resume.final_state
+            carry_stats = resume.stats
+            if self.mesh is not None:
+                carry_state = jax.device_put(carry_state, sharding)
+            n_burn, self.n_burn = self.n_burn, 0  # no re-burn on resume
+            try:
+                run_fn = jax.jit(jax.vmap(self._single_chain_resume))
+                final_state, stats, records, final_keys = run_fn(chain_keys, carry_state, carry_stats)
+            finally:
+                self.n_burn = n_burn
+        else:
+            run_fn = jax.jit(jax.vmap(self._single_chain_run))
+            final_state, stats, records, final_keys = run_fn(chain_keys)
 
         log_post = records.pop("log_post")
         return MCMCResult(
