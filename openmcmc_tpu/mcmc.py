@@ -139,6 +139,8 @@ class MCMC:
             store_names = list(chain_names)
         self.store_names = list(store_names)
         self._stats_names = [s.param for s in self.samplers]
+        self._run_fn = None
+        self._resume_fn = None
 
     # -- construction of the pure step functions ----------------------------
 
@@ -249,13 +251,17 @@ class MCMC:
                 carry_state = jax.device_put(carry_state, sharding)
             n_burn, self.n_burn = self.n_burn, 0  # no re-burn on resume
             try:
-                run_fn = jax.jit(jax.vmap(self._single_chain_resume))
-                final_state, stats, records, final_keys = run_fn(chain_keys, carry_state, carry_stats)
+                if self._resume_fn is None:
+                    self._resume_fn = jax.jit(jax.vmap(self._single_chain_resume))
+                final_state, stats, records, final_keys = self._resume_fn(chain_keys, carry_state, carry_stats)
             finally:
                 self.n_burn = n_burn
         else:
-            run_fn = jax.jit(jax.vmap(self._single_chain_run))
-            final_state, stats, records, final_keys = run_fn(chain_keys)
+            # cache the jitted program: re-wrapping in jax.jit on every call would
+            # re-trace the full scan program (seconds) even on identical shapes
+            if self._run_fn is None:
+                self._run_fn = jax.jit(jax.vmap(self._single_chain_run))
+            final_state, stats, records, final_keys = self._run_fn(chain_keys)
 
         log_post = records.pop("log_post")
         return MCMCResult(
