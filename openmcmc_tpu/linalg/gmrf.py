@@ -72,15 +72,28 @@ def sample_normal_canonical(
     b: Array,
     Q: Optional[StructuredOrArray] = None,
     L: Optional[st.Structured] = None,
+    _allow_pallas: bool = True,
 ) -> Array:
     """Sample x ~ N(Q^{-1} b, Q^{-1}) via Rue & Held Alg. 2.5 (reference gmrf.py:167-198).
 
     The single hottest kernel: used by the NormalNormal conjugate sampler every sweep.
     mu = Q^{-1} b by two triangular solves against one Cholesky factorization, which is
-    then reused for the noise solve.
+    then reused for the noise solve. Tridiagonal precisions dispatch to the fused
+    Pallas TPU kernel under chain batching (see linalg.pallas_tridiag); b must then be
+    a single column.
     """
-    chol = _as_chol(Q, L)
     b = jnp.asarray(b)
+    if (
+        _allow_pallas
+        and L is None
+        and isinstance(Q, st.Banded)
+        and Q.bw == 1
+        and b.reshape(-1).shape[0] == Q.bands.shape[-1]
+    ):
+        from openmcmc_tpu.linalg.pallas_tridiag import sample_canonical_tridiag
+
+        return sample_canonical_tridiag(key, b, Q.bands)
+    chol = _as_chol(Q, L)
     mu = st.cho_solve(chol, b).reshape(b.shape)
     return sample_normal(key, mu, L=chol)
 
