@@ -65,6 +65,47 @@ class Distribution(ABC):
             return grad, self._autodiff_neg_hessian(state, param)
         return grad
 
+    # -- finite-difference cross-checks --------------------------------------
+
+    def grad_log_p_diff(self, state: dict, param: str, step_size: float = 1e-4) -> jnp.ndarray:
+        """Central-difference gradient of log_p (reference distribution.py:124-158).
+
+        Kept for parity and as an independent cross-check of the autodiff/analytic
+        gradients; vectorized over perturbed states instead of the reference's
+        per-element deepcopy loop."""
+        shape = state[param].shape
+        flat = jnp.asarray(state[param]).reshape(-1)
+        d = flat.shape[0]
+        eye = jnp.eye(d, dtype=flat.dtype) * (step_size / 2.0)
+
+        def one(delta):
+            plus = dict(state)
+            plus[param] = (flat + delta).reshape(shape)
+            minus = dict(state)
+            minus[param] = (flat - delta).reshape(shape)
+            return (jnp.sum(self.log_p(plus)) - jnp.sum(self.log_p(minus))) / step_size
+
+        return jax.vmap(one)(eye).reshape(shape)
+
+    def hessian_log_p_diff(self, state: dict, param: str, step_size: float = 1e-4) -> jnp.ndarray:
+        """Finite-difference NEGATIVE Hessian (reference distribution.py:160-198):
+        differences of grad_log_p_diff along each coordinate."""
+        shape = state[param].shape
+        flat = jnp.asarray(state[param]).reshape(-1)
+        d = flat.shape[0]
+        eye = jnp.eye(d, dtype=flat.dtype) * (step_size / 2.0)
+
+        def one(delta):
+            plus = dict(state)
+            plus[param] = (flat + delta).reshape(shape)
+            minus = dict(state)
+            minus[param] = (flat - delta).reshape(shape)
+            g_plus = self.grad_log_p_diff(plus, param, step_size).reshape(-1)
+            g_minus = self.grad_log_p_diff(minus, param, step_size).reshape(-1)
+            return (g_minus - g_plus) / step_size
+
+        return jax.vmap(one, out_axes=1)(eye)
+
     # -- autodiff helpers ---------------------------------------------------
 
     def _scalar_log_p(self, state: dict, param: str):

@@ -122,6 +122,10 @@ def mvn_log_pdf(
     return log_p
 
 
+# Reference-API alias (reference gmrf.py:321 ``multivariate_normal_pdf``).
+multivariate_normal_pdf = mvn_log_pdf
+
+
 # ---------------------------------------------------------------------------
 # Truncated normal helpers (1-D, vectorized)
 # ---------------------------------------------------------------------------

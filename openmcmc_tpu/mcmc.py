@@ -139,8 +139,7 @@ class MCMC:
             store_names = list(chain_names)
         self.store_names = list(store_names)
         self._stats_names = [s.param for s in self.samplers]
-        self._run_fn = None
-        self._resume_fn = None
+        self._fn_cache = {}
 
     # -- construction of the pure step functions ----------------------------
 
@@ -251,17 +250,22 @@ class MCMC:
                 carry_state = jax.device_put(carry_state, sharding)
             n_burn, self.n_burn = self.n_burn, 0  # no re-burn on resume
             try:
-                if self._resume_fn is None:
-                    self._resume_fn = jax.jit(jax.vmap(self._single_chain_resume))
-                final_state, stats, records, final_keys = self._resume_fn(chain_keys, carry_state, carry_stats)
+                # cache the jitted program (keyed by the loop bounds it bakes in):
+                # re-wrapping in jax.jit on every call would re-trace the full scan
+                # program (seconds) even on identical shapes
+                cache_key = ("resume", self.n_burn, self.n_iter, self.n_thin)
+                if cache_key not in self._fn_cache:
+                    self._fn_cache[cache_key] = jax.jit(jax.vmap(self._single_chain_resume))
+                final_state, stats, records, final_keys = self._fn_cache[cache_key](
+                    chain_keys, carry_state, carry_stats
+                )
             finally:
                 self.n_burn = n_burn
         else:
-            # cache the jitted program: re-wrapping in jax.jit on every call would
-            # re-trace the full scan program (seconds) even on identical shapes
-            if self._run_fn is None:
-                self._run_fn = jax.jit(jax.vmap(self._single_chain_run))
-            final_state, stats, records, final_keys = self._run_fn(chain_keys)
+            cache_key = ("run", self.n_burn, self.n_iter, self.n_thin)
+            if cache_key not in self._fn_cache:
+                self._fn_cache[cache_key] = jax.jit(jax.vmap(self._single_chain_run))
+            final_state, stats, records, final_keys = self._fn_cache[cache_key](chain_keys)
 
         log_post = records.pop("log_post")
         return MCMCResult(
@@ -275,3 +279,62 @@ class MCMC:
     def run_mcmc(self) -> MCMCResult:
         """Reference-API alias (reference mcmc.py:87)."""
         return self.run()
+
+    def run_chunked(
+        self,
+        n_chunks: int,
+        checkpoint_path: Optional[str] = None,
+        progress: bool = True,
+    ) -> MCMCResult:
+        """Run n_iter iterations as ``n_chunks`` device programs with host visibility.
+
+        Between chunks the carry returns to the host, giving (1) progress reporting --
+        the analog of the reference's tqdm bar (reference mcmc.py:97), which a single
+        fused lax.scan cannot provide -- and (2) optional periodic checkpointing for
+        crash recovery (reference has none; SURVEY.md section 5). The chains are
+        bit-identical to a single run() only chunk-internally; chunk boundaries re-key
+        from the carried per-chain keys, which is an equally valid PRNG stream.
+
+        n_iter must be divisible by n_chunks. Burn-in runs inside the first chunk.
+        """
+        import time as _time
+
+        if self.n_iter % n_chunks != 0:
+            raise ValueError("n_iter must be divisible by n_chunks")
+        chunk_iter = self.n_iter // n_chunks
+        n_iter_full, self.n_iter = self.n_iter, chunk_iter
+        result: Optional[MCMCResult] = None
+        stores = []
+        log_posts = []
+        try:
+            t0 = _time.perf_counter()
+            for chunk in range(n_chunks):
+                result = self.run(resume=result)
+                stores.append(result.store)
+                log_posts.append(result.log_post)
+                if checkpoint_path is not None:
+                    from openmcmc_tpu.checkpoint import save_checkpoint
+
+                    jax.block_until_ready(result.final_state)
+                    save_checkpoint(checkpoint_path, result)
+                if progress:
+                    jax.block_until_ready(result.log_post)
+                    done = (chunk + 1) * chunk_iter
+                    rate = done / (_time.perf_counter() - t0)
+                    print(
+                        f"[openmcmc_tpu] {done}/{n_iter_full} iterations "
+                        f"({self.n_chains} chains, {rate:.1f} it/s)",
+                        flush=True,
+                    )
+        finally:
+            self.n_iter = n_iter_full
+        store = {
+            name: jnp.concatenate([s[name] for s in stores], axis=1) for name in stores[0]
+        }
+        return MCMCResult(
+            store=store,
+            log_post=jnp.concatenate(log_posts, axis=1),
+            stats=result.stats,
+            final_state=result.final_state,
+            final_key=result.final_key,
+        )

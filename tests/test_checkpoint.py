@@ -69,3 +69,23 @@ def test_save_with_store(rng, tmp_path):
     restored = load_checkpoint(path)
     np.testing.assert_allclose(np.asarray(restored.store["mu"]), np.asarray(res.store["mu"]), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(restored.log_post), np.asarray(res.log_post), rtol=1e-6)
+
+
+def test_run_chunked(rng, tmp_path, capsys):
+    mcmc = _make(rng, n_iter=40)
+    res = mcmc.run_chunked(4, checkpoint_path=str(tmp_path / "chunk.npz"), progress=True)
+    assert res.store["mu"].shape == (4, 40, 12, 1)
+    assert res.log_post.shape == (4, 40)
+    assert np.isfinite(np.asarray(res.log_post)).all()
+    out = capsys.readouterr().out
+    assert "40/40 iterations" in out
+    # checkpoint from the last chunk restores
+    from openmcmc_tpu.checkpoint import load_checkpoint
+
+    restored = load_checkpoint(str(tmp_path / "chunk.npz"))
+    np.testing.assert_array_equal(np.asarray(restored.final_key), np.asarray(res.final_key))
+    # moments match an unchunked run
+    res_full = _make(np.random.default_rng(42), n_iter=40).run()
+    np.testing.assert_allclose(
+        np.asarray(res.store["mu"]).mean((0, 1)), np.asarray(res_full.store["mu"]).mean((0, 1)), atol=0.2
+    )

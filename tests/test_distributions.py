@@ -254,3 +254,21 @@ def test_mixture_normal_log_p(rng):
     lam = np.asarray(state["lams"])[alloc[:, 0], 0]
     want = sps.norm.logpdf(y, loc=m, scale=1 / np.sqrt(lam)).sum()
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_finite_difference_cross_check(rng):
+    """The FD parity methods agree with the analytic/autodiff gradients
+    (the reference's own default machinery, distribution.py:124-198)."""
+    p = 3
+    A = rng.normal(size=(p, p))
+    state = {
+        "y": jnp.asarray(rng.normal(size=(p, 1))),
+        "mu": jnp.asarray(rng.normal(size=(p, 1))),
+        "Q": jnp.asarray(A @ A.T + p * np.eye(p)),
+    }
+    dist = Normal("y", mean="mu", precision="Q")
+    grad, hess = dist.grad_log_p(state, "y")
+    fd_grad = dist.grad_log_p_diff(state, "y", step_size=1e-2)
+    np.testing.assert_allclose(grad, fd_grad, rtol=5e-2, atol=5e-2)
+    fd_hess = dist.hessian_log_p_diff(state, "y", step_size=1e-1)
+    np.testing.assert_allclose(hess, fd_hess, rtol=0.1, atol=0.3)
