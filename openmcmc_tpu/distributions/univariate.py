@@ -180,18 +180,21 @@ class Categorical(Distribution):
     parameter is (p, n_cat). log_p is the exact log-probability of the observed index
     sequence, sum_j log prob[i, x[i, j]].
 
-    NOTE (deliberate difference): for n > 1 replicates without by_observation, the
-    reference aggregates counts and evaluates a multinomial pmf including the
-    log-multinomial coefficient (reference distribution.py:347-350); here log_p is
-    always the probability of the specific index sequence (no ordering coefficient),
-    which is the quantity every sampler in the framework needs.
+    By default log_p is the probability of the specific index sequence (no ordering
+    coefficient) -- the quantity every sampler in the framework needs. Pass
+    ``aggregated=True`` to reproduce the reference's behavior for n > 1 replicates
+    without by_observation: counts are aggregated per dimension and the multinomial
+    pmf INCLUDING the log-multinomial coefficient is evaluated (reference
+    distribution.py:347-350).
     """
 
     prob: Parameter
+    aggregated: bool
 
-    def __init__(self, response: str, prob):
+    def __init__(self, response: str, prob, aggregated: bool = False):
         object.__setattr__(self, "response", response)
         object.__setattr__(self, "prob", _as_parameter(prob, (Identity,), "prob"))
+        object.__setattr__(self, "aggregated", bool(aggregated))
 
     @property
     def _dist_params(self) -> List[str]:
@@ -201,6 +204,15 @@ class Categorical(Distribution):
         x = state[self.response].astype(jnp.int32)  # (p, n)
         prob = self.prob.predictor(state)  # (p, n_cat)
         logprob = jnp.log(prob)
+        n = x.shape[1]
+        if self.aggregated and not by_observation and n > 1:
+            # reference path: multinomial pmf on aggregated counts, with coefficient
+            n_cat = prob.shape[1]
+            counts = jnp.sum(x[:, :, None] == jnp.arange(n_cat)[None, None, :], axis=1)  # (p, n_cat)
+            coeff = jax.scipy.special.gammaln(n + 1.0) - jnp.sum(
+                jax.scipy.special.gammaln(counts + 1.0), axis=1
+            )
+            return jnp.sum(coeff + jnp.sum(counts * logprob, axis=1))
         # gather per element: rows index p, values index category
         row = jnp.arange(x.shape[0])[:, None]
         lp = logprob[row, x]  # (p, n)

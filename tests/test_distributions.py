@@ -272,3 +272,20 @@ def test_finite_difference_cross_check(rng):
     np.testing.assert_allclose(grad, fd_grad, rtol=5e-2, atol=5e-2)
     fd_hess = dist.hessian_log_p_diff(state, "y", step_size=1e-1)
     np.testing.assert_allclose(hess, fd_hess, rtol=0.1, atol=0.3)
+
+
+def test_categorical_aggregated_parity(rng):
+    """aggregated=True reproduces the reference's multinomial-coefficient path."""
+    x = np.asarray(rng.integers(0, 3, size=(2, 6)), dtype=np.int32)
+    prob = np.asarray([[0.2, 0.3, 0.5], [0.6, 0.3, 0.1]])
+    state = {"z": jnp.asarray(x), "prob": jnp.asarray(prob)}
+    dist = Categorical("z", prob="prob", aggregated=True)
+    got = float(dist.log_p(state))
+    want = sum(
+        sps.multinomial.logpmf(np.bincount(x[i], minlength=3), n=6, p=prob[i]) for i in range(2)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    # sequence path unchanged by default
+    d2 = Categorical("z", prob="prob")
+    want_seq = sum(np.log(prob[i, x[i, j]]) for i in range(2) for j in range(6))
+    np.testing.assert_allclose(float(d2.log_p(state)), want_seq, rtol=1e-4)
