@@ -3,3 +3,10 @@
 from openmcmc_tpu.parallel.sharding import make_mesh, pooled_mean_var, shard_chains
 
 __all__ = ["make_mesh", "shard_chains", "pooled_mean_var"]
+
+from openmcmc_tpu.parallel.distributed_gmrf import (  # noqa: E402
+    sample_rw1_canonical_sharded,
+    tridiag_solve_sharded,
+)
+
+__all__ += ["tridiag_solve_sharded", "sample_rw1_canonical_sharded"]
