@@ -137,6 +137,11 @@ class MCMC:
 
         if store_names is None:
             store_names = list(chain_names)
+        unknown = [n for n in store_names if n not in chain_names]
+        if unknown:
+            raise ValueError(
+                f"store_names {unknown} are not sampled parameters; samplers update {chain_names}"
+            )
         self.store_names = list(store_names)
         self._stats_names = [s.param for s in self.samplers]
         self._fn_cache = {}
@@ -161,15 +166,18 @@ class MCMC:
     def _init_stats(self) -> dict:
         return {s.param: s.init_stats() for s in self.samplers}
 
-    def _sweep(self, key, chain_state: dict, stats: dict):
-        """One stored iteration: n_thin full passes over all samplers (reference mcmc.py:98-100)."""
+    def _sweep(self, key, chain_state: dict, stats: dict, adapt: bool = False):
+        """One stored iteration: n_thin full passes over all samplers (reference mcmc.py:98-100).
+
+        adapt=True only during burn-in: Metropolis step sizes tune toward their target
+        acceptance rates, then the kernel freezes for the sampling phase."""
 
         def one_pass(carry, k):
             cs, sts = carry
             full = self._full_state(cs)
             keys = jax.random.split(k, len(self.samplers))
             for i, sampler in enumerate(self.samplers):
-                full, sampler_stats = sampler.step(keys[i], full, sts[sampler.param])
+                full, sampler_stats = sampler.step(keys[i], full, sts[sampler.param], adapt=adapt)
                 sts = dict(sts)
                 sts[sampler.param] = sampler_stats
             new_cs = {name: full[name] for name in self.chain_state_names}
@@ -205,7 +213,7 @@ class MCMC:
 
         def burn_body(carry, k):
             cs, sts = carry
-            cs, sts = self._sweep(k, cs, sts)
+            cs, sts = self._sweep(k, cs, sts, adapt=True)
             return (cs, sts), None
 
         def main_body(carry, k):

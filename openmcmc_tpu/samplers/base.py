@@ -46,8 +46,12 @@ class Sampler(ABC):
         return {}
 
     @abstractmethod
-    def step(self, key, state: dict, stats: dict) -> Tuple[dict, dict]:
-        """Draw a new value for ``self.param``; return the updated state and stats."""
+    def step(self, key, state: dict, stats: dict, adapt: bool = False) -> Tuple[dict, dict]:
+        """Draw a new value for ``self.param``; return the updated state and stats.
+
+        ``adapt`` is True during burn-in sweeps: samplers with tunable proposal
+        parameters (Metropolis step sizes) update them from the acceptance signal;
+        it must be False during the sampling phase (fixed kernel => valid chain)."""
 
     # -- reference-API convenience ------------------------------------------
 

@@ -51,7 +51,7 @@ class NormalNormal(Sampler):
         if not isinstance(prior, Normal):
             raise TypeError("NormalNormal requires a Normal prior on the sampled parameter")
 
-    def step(self, key, state: dict, stats: dict) -> Tuple[dict, dict]:
+    def step(self, key, state: dict, stats: dict, adapt: bool = False) -> Tuple[dict, dict]:
         param = self.param
         Q = None
         b = jnp.zeros((state[param].shape[0], 1))
@@ -107,7 +107,7 @@ class NormalGamma(Sampler):
         if not isinstance(precision, (Identity, ScaledMatrix, MixtureParameterMatrix)):
             raise TypeError("precision must be either Identity, ScaledMatrix or MixtureParameterMatrix")
 
-    def step(self, key, state: dict, stats: dict) -> Tuple[dict, dict]:
+    def step(self, key, state: dict, stats: dict, adapt: bool = False) -> Tuple[dict, dict]:
         param = self.param
         normal_dist = self.model[self.normal_param]
         precision = normal_dist.precision
@@ -179,7 +179,7 @@ class MixtureAllocation(Sampler):
         if not isinstance(self.model[response_param].precision, MixtureParameterMatrix):
             raise TypeError("Precision must be of type MixtureParameterMatrix")
 
-    def step(self, key, state: dict, stats: dict) -> Tuple[dict, dict]:
+    def step(self, key, state: dict, stats: dict, adapt: bool = False) -> Tuple[dict, dict]:
         response_dist = self.model[self.response_param]
         allocation_prior = self.model[self.param].prob.predictor(state)  # (n, m)
         y = state[self.response_param]  # (n, 1)

@@ -40,7 +40,20 @@ class MetropolisHastings(Sampler):
     where ``updates`` contains only the state entries the proposal modifies.
     """
 
-    def __init__(self, param: str, model: Model, step=0.2, active_count=None, updated_names=None):
+    #: default acceptance-rate target for step adaptation (overridden per subclass)
+    default_target_accept = 0.234
+
+    def __init__(
+        self,
+        param: str,
+        model: Model,
+        step=0.2,
+        active_count=None,
+        updated_names=None,
+        adapt_step: bool = False,
+        target_accept: Optional[float] = None,
+        adapt_rate: float = 0.05,
+    ):
         super().__init__(param, model)
         # step size kept under step_size: .step is the update method
         self.step_size = jnp.atleast_2d(jnp.asarray(step, dtype=jnp.result_type(float)))
@@ -49,9 +62,31 @@ class MetropolisHastings(Sampler):
         # see openmcmc_tpu.padding) are frozen by the proposal.
         self.active_count = active_count
         self.updated_names = updated_names if updated_names is not None else [param]
+        # Robbins-Monro step adaptation during burn-in (beyond the reference, which
+        # uses fixed step sizes): log step moves toward the target acceptance rate,
+        # per chain; the kernel is frozen once sampling starts.
+        self.adapt_step = bool(adapt_step)
+        self.target_accept = float(target_accept) if target_accept is not None else self.default_target_accept
+        self.adapt_rate = float(adapt_rate)
 
     def init_stats(self):
-        return {"accept": jnp.zeros((), jnp.int32), "proposal": jnp.zeros((), jnp.int32)}
+        stats = {"accept": jnp.zeros((), jnp.int32), "proposal": jnp.zeros((), jnp.int32)}
+        if self.adapt_step:
+            stats["log_step"] = jnp.log(self.step_size)
+        return stats
+
+    def _step_value(self, stats: dict):
+        if self.adapt_step:
+            return jnp.exp(stats["log_step"])
+        return self.step_size
+
+    def _adapt(self, stats: dict, log_accept, adapt: bool) -> dict:
+        if not self.adapt_step or not adapt:
+            return stats
+        alpha = jnp.exp(jnp.minimum(log_accept, 0.0))
+        new_stats = dict(stats)
+        new_stats["log_step"] = stats["log_step"] + self.adapt_rate * (alpha - self.target_accept)
+        return new_stats
 
     def proposal(self, key, state: dict, param_index=None) -> Tuple[dict, jnp.ndarray, jnp.ndarray]:
         raise NotImplementedError
@@ -75,16 +110,18 @@ class MetropolisHastings(Sampler):
         new_state = dict(state)
         for name, proposed in updates.items():
             new_state[name] = jnp.where(accept, proposed, state[name])
-        new_stats = {
-            "accept": stats["accept"] + accept.astype(jnp.int32),
-            "proposal": stats["proposal"] + 1,
-        }
-        return new_state, new_stats
+        new_stats = dict(stats)
+        new_stats["accept"] = stats["accept"] + accept.astype(jnp.int32)
+        new_stats["proposal"] = stats["proposal"] + 1
+        return new_state, new_stats, log_accept
 
-    def step(self, key, state: dict, stats: dict) -> Tuple[dict, dict]:
+    def step(self, key, state: dict, stats: dict, adapt: bool = False) -> Tuple[dict, dict]:
         k_prop, k_acc = jax.random.split(key)
-        updates, logp_pr_g_cr, logp_cr_g_pr = self.proposal(k_prop, state)
-        return self._accept_reject(k_acc, state, updates, logp_pr_g_cr, logp_cr_g_pr, stats)
+        updates, logp_pr_g_cr, logp_cr_g_pr = self.proposal(k_prop, state, step=self._step_value(stats))
+        new_state, new_stats, log_accept = self._accept_reject(
+            k_acc, state, updates, logp_pr_g_cr, logp_cr_g_pr, stats
+        )
+        return new_state, self._adapt(new_stats, log_accept, adapt)
 
 
 class RandomWalk(MetropolisHastings):
@@ -97,6 +134,8 @@ class RandomWalk(MetropolisHastings):
     reference (metropolis_hastings.py:201-209).
     """
 
+    default_target_accept = 0.234
+
     def __init__(
         self,
         param: str,
@@ -106,6 +145,9 @@ class RandomWalk(MetropolisHastings):
         state_update_function: Optional[Callable] = None,
         active_count=None,
         updated_names=None,
+        adapt_step: bool = False,
+        target_accept: Optional[float] = None,
+        adapt_rate: float = 0.05,
     ):
         self.param = param
         self.max_variable_size = None
@@ -115,16 +157,20 @@ class RandomWalk(MetropolisHastings):
         self.domain_limits = None if domain_limits is None else np.asarray(domain_limits, dtype=float)
         self.active_count = active_count
         self.updated_names = updated_names if updated_names is not None else [param]
+        self.adapt_step = bool(adapt_step)
+        self.target_accept = float(target_accept) if target_accept is not None else self.default_target_accept
+        self.adapt_rate = float(adapt_rate)
 
-    def proposal(self, key, state: dict, param_index=None):
+    def proposal(self, key, state: dict, param_index=None, step=None):
         value = state[self.param]
+        step_size = self.step_size if step is None else step
         if param_index is None:
             mu = value
-            step = self.step_size
+            step = step_size
         else:
             mu = lax.dynamic_slice_in_dim(value, param_index, 1, axis=1)
-            step = self.step_size if self.step_size.shape[1] == 1 else lax.dynamic_slice_in_dim(
-                self.step_size, param_index, 1, axis=1
+            step = step_size if step_size.shape[1] == 1 else lax.dynamic_slice_in_dim(
+                step_size, param_index, 1, axis=1
             )
 
         k_draw, k_update = jax.random.split(key)
@@ -156,45 +202,39 @@ class RandomWalkLoop(RandomWalk):
     """One-at-a-time RW update over the n replicate columns of the parameter
     (reference metropolis_hastings.py:272-289), as a ``lax.scan`` over columns."""
 
-    def step(self, key, state: dict, stats: dict) -> Tuple[dict, dict]:
+    default_target_accept = 0.44  # 1-D optimal acceptance
+
+    def step(self, key, state: dict, stats: dict, adapt: bool = False) -> Tuple[dict, dict]:
         n = state[self.param].shape[1]
         carried = list(dict.fromkeys(self.updated_names))  # param + hook-updated entries
 
         def body(carry, inp):
-            values, st_acc, st_prop = carry
+            values, sts = carry
             idx, k = inp
             cur_state = dict(state)
             cur_state.update(values)
             k_prop, k_acc = jax.random.split(k)
-            updates, lf, lr = self.proposal(k_prop, cur_state, param_index=idx)
+            updates, lf, lr = self.proposal(k_prop, cur_state, param_index=idx, step=self._step_value(sts))
             active = jnp.asarray(True)
             if self.active_count is not None:
                 active = idx < jnp.reshape(state[self.active_count], ())
-            new_state, new_stats = self._accept_reject(
-                k_acc,
-                cur_state,
-                updates,
-                lf,
-                lr,
-                {"accept": st_acc, "proposal": st_prop},
-                force_reject=jnp.logical_not(active),
+            new_state, new_stats, log_accept = self._accept_reject(
+                k_acc, cur_state, updates, lf, lr, sts, force_reject=jnp.logical_not(active)
             )
-            new_stats = {
-                "accept": new_stats["accept"],
-                # only count proposals for active columns
-                "proposal": st_prop + active.astype(jnp.int32),
-            }
+            # only count proposals (and adapt) for active columns
+            new_stats["proposal"] = sts["proposal"] + active.astype(jnp.int32)
+            if self.adapt_step:
+                adapted = self._adapt(new_stats, log_accept, adapt)
+                new_stats["log_step"] = jnp.where(active, adapted["log_step"], new_stats["log_step"])
             new_values = {name: new_state[name] for name in carried}
-            return (new_values, new_stats["accept"], new_stats["proposal"]), None
+            return (new_values, new_stats), None
 
         keys = jax.random.split(key, n)
         init_values = {name: state[name] for name in carried}
-        (values, acc, prop), _ = lax.scan(
-            body, (init_values, stats["accept"], stats["proposal"]), (jnp.arange(n), keys)
-        )
+        (values, out_stats), _ = lax.scan(body, (init_values, stats), (jnp.arange(n), keys))
         new_state = dict(state)
         new_state.update(values)
-        return new_state, {"accept": acc, "proposal": prop}
+        return new_state, out_stats
 
 
 class ManifoldMALA(MetropolisHastings):
@@ -206,8 +246,11 @@ class ManifoldMALA(MetropolisHastings):
     evaluation and a Cholesky factorization (dense, batched on the MXU under vmap).
     """
 
-    def proposal(self, key, state: dict, param_index=None):
-        mu_cr, chol_cr = self._proposal_params(state)
+    default_target_accept = 0.574  # MALA-optimal acceptance
+
+    def proposal(self, key, state: dict, param_index=None, step=None):
+        step = self._current_step if step is None else step
+        mu_cr, chol_cr = self._proposal_params(state, step)
         proposed = gmrf.sample_normal(key, mu_cr, L=chol_cr).reshape(state[self.param].shape)
         if self.active_count is not None:
             # padded reversible-jump convention: freeze entries beyond the count
@@ -223,13 +266,19 @@ class ManifoldMALA(MetropolisHastings):
         prop_state.update(updates)
         logp_pr_g_cr = self._log_proposal_density(proposed, mu_cr, chol_cr)
 
-        mu_pr, chol_pr = self._proposal_params(prop_state)
+        mu_pr, chol_pr = self._proposal_params(prop_state, step)
         logp_cr_g_pr = self._log_proposal_density(state[self.param], mu_pr, chol_pr)
         return updates, logp_pr_g_cr, logp_cr_g_pr
 
-    def _proposal_params(self, state: dict):
+    @property
+    def _current_step(self):
+        return self.step_size
+
+    def _proposal_params(self, state: dict, step_size=None):
+        if step_size is None:
+            step_size = self.step_size
         grad, hessian = self.model.grad_log_p(state, param=self.param, hessian_required=True)
-        step2 = (self.step_size.reshape(()) ** 2) if self.step_size.size == 1 else (self.step_size**2)
+        step2 = (step_size.reshape(()) ** 2) if step_size.size == 1 else (step_size**2)
         precision = st.Dense(hessian / step2)
         chol = st.cholesky(precision)
         drift = st.cho_solve(chol, grad.reshape(-1, 1)).reshape(state[self.param].shape)

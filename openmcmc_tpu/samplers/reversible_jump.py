@@ -92,6 +92,7 @@ class ReversibleJump(MetropolisHastings):
         self.updated_names = list(dict.fromkeys(updated_names))
         self.step_size = jnp.atleast_2d(jnp.asarray(0.0))
         self.active_count = param
+        self.adapt_step = False  # RJ moves have no tunable step size
 
     # ------------------------------------------------------------------
     # move machinery
@@ -112,7 +113,7 @@ class ReversibleJump(MetropolisHastings):
         p_birth = jnp.where(jnp.logical_and(k == 2, jnp.logical_not(birth)), 1.0, p_birth)
         return p_birth, p_death
 
-    def proposal(self, key, state: dict, param_index=None):
+    def proposal(self, key, state: dict, param_index=None, step=None):
         k_move, k_birth, k_death = jax.random.split(key, 3)
         k = self._count(state)
         u = jax.random.uniform(k_move)

@@ -101,6 +101,15 @@ def test_store_names_subset(rng):
     assert res.log_post.shape == (2, 30)
 
 
+def test_store_names_validated(rng):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not sampled parameters"):
+        _linreg(rng, n_chains=2, n_burn=5, n_iter=5)[0].__class__(
+            {"y": np.zeros(3)}, [], None, store_names=["nope"]
+        )
+
+
 def test_thinning_runs_extra_sweeps(rng):
     mcmc, _, _, _ = _linreg(rng, n_chains=2, n_burn=10, n_iter=20)
     mcmc.n_thin = 3

@@ -97,3 +97,46 @@ def test_mmala_uses_fisher_preconditioning(normal_target):
     mcmc = MCMC(state, [ManifoldMALA("mu", mdl, step=1.0)], mdl, n_burn=100, n_iter=300, n_chains=4, seed=4)
     res = mcmc.run()
     assert np.all(np.asarray(res.acceptance["mu"]) > 60)
+
+
+@pytest.mark.parametrize(
+    "make,target",
+    [
+        (lambda mdl: RandomWalk("mu", mdl, step=5.0, adapt_step=True), 0.234),
+        (lambda mdl: RandomWalk("mu", mdl, step=0.001, adapt_step=True), 0.234),
+        (lambda mdl: ManifoldMALA("mu", mdl, step=0.05, adapt_step=True), 0.574),
+    ],
+    ids=["rw_too_big", "rw_too_small", "mmala_too_small"],
+)
+def test_step_adaptation_reaches_target(normal_target, make, target):
+    """Robbins-Monro adaptation during burn-in drives acceptance toward the target,
+    starting from badly mistuned step sizes."""
+    mdl, state, post_mean, post_sd = normal_target
+    mcmc = MCMC(state, [make(mdl)], mdl, n_burn=1500, n_iter=600, n_chains=8, seed=6)
+    res = mcmc.run()
+    acc = np.asarray(res.acceptance["mu"])
+    # sampling-phase acceptance within a sensible band around the target
+    assert np.all(acc / 100.0 > target - 0.17), acc
+    assert np.all(acc / 100.0 < target + 0.3), acc
+    mu = np.asarray(res.store["mu"])
+    assert abs(mu.mean() - post_mean) < 5 * post_sd / np.sqrt(100)
+    # adapted step stored per chain
+    assert "log_step" in res.stats["mu"]
+
+
+def test_random_walk_loop_adaptation(rng):
+    n_rep = 2
+    mdl = Model([Normal("theta", mean="m0", precision="p0")])
+    state = {"theta": np.zeros((1, n_rep)), "m0": np.zeros((1, 1)), "p0": np.eye(1)}
+    mcmc = MCMC(
+        state,
+        [RandomWalkLoop("theta", mdl, step=20.0, adapt_step=True)],
+        mdl,
+        n_burn=1500,
+        n_iter=600,
+        n_chains=8,
+        seed=7,
+    )
+    res = mcmc.run()
+    acc = np.asarray(res.acceptance["theta"]) / 100.0
+    assert np.all(acc > 0.25) and np.all(acc < 0.7), acc
