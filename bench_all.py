@@ -1,0 +1,246 @@
+"""Benchmark all five BASELINE.json workloads against the measured reference.
+
+Reference numbers (single chain, numpy/scipy, 1 CPU core) come from
+reference_measured.json (produced by scripts/measure_reference.py). Each workload here
+runs the same model configuration with many vmapped chains on one TPU chip; the metric
+is aggregate multi-chain ESS/sec of the headline parameter, computed with the same
+estimator on both sides.
+
+Prints one JSON line per workload plus a summary line; writes BENCH_ALL.json.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openmcmc_tpu import padding
+from openmcmc_tpu.diagnostics import ess_per_param
+from openmcmc_tpu.distributions import Gamma, Normal, NullDistribution, Poisson, Uniform
+from openmcmc_tpu.linalg import gmrf
+from openmcmc_tpu.linalg import structured as st
+from openmcmc_tpu.mcmc import MCMC
+from openmcmc_tpu.model import Model
+from openmcmc_tpu.parameters import (
+    LinearCombination,
+    MixtureParameterMatrix,
+    MixtureParameterVector,
+    ScaledMatrix,
+)
+from openmcmc_tpu.samplers import (
+    ManifoldMALA,
+    NormalGamma,
+    NormalNormal,
+    RandomWalk,
+    RandomWalkLoop,
+    ReversibleJump,
+)
+
+RESULTS = {}
+
+
+def run_workload(name, mcmc, param, ess_chunk=16, chunks=1):
+    # chunks > 1 splits the run into several device programs (MCMC.run_chunked):
+    # needed for very long single executions (the RJ stack at 512 x 5000)
+    def go():
+        if chunks > 1:
+            return mcmc.run_chunked(chunks, progress=False)
+        return mcmc.run()
+
+    res = go()
+    jax.block_until_ready(res.store)  # compile + warm
+    t0 = time.perf_counter()
+    res = go()
+    jax.block_until_ready(res.store)
+    wall = time.perf_counter() - t0
+    draws = res.store[param]
+    draws = draws.reshape(draws.shape[0], draws.shape[1], -1)
+    ess = float(jnp.mean(ess_per_param(draws, chunk_size=ess_chunk)))
+    iters = (mcmc.n_burn + mcmc.n_iter) * mcmc.n_thin
+    entry = {
+        "wall_s": round(wall, 3),
+        "n_chains": mcmc.n_chains,
+        "iters": iters,
+        "iters_per_s": round(iters / wall, 1),
+        "ess": round(ess, 1),
+        "ess_per_s": round(ess / wall, 1),
+    }
+    RESULTS[name] = entry
+    return res, entry
+
+
+def linreg(n_chains=4096):
+    rng = np.random.default_rng(0)
+    N = 100
+    x = np.sort(rng.random(N))
+    X = np.stack([np.ones(N), x], 1)
+    y = X @ np.array([2.0, 0.5]) + rng.normal(0, 0.1, N)
+    mdl = Model(
+        [
+            Normal("y", mean=LinearCombination(form={"beta": "X"}), precision=ScaledMatrix("P_tau", "tau")),
+            Normal("beta", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+            Gamma("lambda", shape="a_lambda", rate="b_lambda"),
+        ]
+    )
+    samplers = [NormalNormal("beta", mdl), NormalGamma("tau", mdl), NormalGamma("lambda", mdl)]
+    state = {
+        "y": y, "X": X, "beta": [0.0, 0.0], "P_tau": st.Diagonal(jnp.ones(N)), "tau": 1.0,
+        "P_lambda": st.Diagonal(jnp.ones(2)), "mu": [0.0, 0.0], "lambda": 0.01,
+        "a_tau": 1e-3, "b_tau": 1e-3, "a_lambda": 1e-3, "b_lambda": 1e-3,
+    }
+    return MCMC(state, samplers, mdl, n_burn=1000, n_iter=1000, n_chains=n_chains, seed=0), "beta"
+
+
+def random_walk_mh(n_chains=8192):
+    mdl = Model([Normal("y", mean="h", precision="tau"), Normal("h", mean="mu", precision="lambda")])
+    state = {
+        "y": np.array([[150.0, 155.0, 190.0, 160.0, 173.0]]),
+        "h": 200.0, "tau": jnp.eye(1) / 200.0, "mu": 160.0, "lambda": jnp.eye(1) / 100.0,
+    }
+    return MCMC(state, [RandomWalk("h", mdl, step=5.0)], mdl, n_burn=0, n_iter=1000, n_chains=n_chains, seed=0), "h"
+
+
+def mmala(n_chains=4096):
+    rng = np.random.default_rng(0)
+    N, d = 100, 5
+    X = rng.normal(size=(N, d))
+    y = X @ rng.normal(size=(d, 1)) + 0.1 * rng.normal(size=(N, 1))
+    mdl = Model(
+        [
+            Normal("y", mean=LinearCombination(form={"beta": "X"}), precision=ScaledMatrix("P", "tau")),
+            Normal("beta", mean="mu0", precision=ScaledMatrix("P0", "one")),
+        ]
+    )
+    state = {
+        "y": y, "X": X, "beta": np.zeros((d, 1)), "P": st.Diagonal(jnp.full((N,), 100.0)), "tau": 1.0,
+        "P0": st.Diagonal(jnp.full((d,), 0.01)), "mu0": np.zeros((d, 1)), "one": 1.0,
+    }
+    return MCMC(state, [ManifoldMALA("beta", mdl, step=1.0)], mdl, n_burn=200, n_iter=1000, n_chains=n_chains, seed=0), "beta"
+
+
+def gmrf_smoother(n_chains=8192):
+    rng = np.random.default_rng(0)
+    n_time = 100
+    s = np.linspace(0.0, 60.0, n_time)
+    P_lambda = gmrf.precision_irregular(jnp.asarray(s))
+    P_lambda = st.Banded(P_lambda.bands.at[0, 0].add(0.001))
+    y = np.sin(s / 20.0) + 2.0 * np.cos(s / 12.0) + 2.0 + rng.normal(0.0, 1.0, n_time)
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+    state = {
+        "y": y, "b": y.copy(), "mu": np.zeros(n_time), "lambda": 100.0, "P_lambda": P_lambda,
+        "a_lam": 10.0, "b_lam": 1.0, "tau": 1.0, "P_tau": st.Diagonal(jnp.ones(n_time)),
+        "a_tau": 1.0, "b_tau": 1.0,
+    }
+    m = MCMC(state, samplers, mdl, n_burn=200, n_iter=500, n_chains=n_chains, seed=7)
+    m.store_names = ["b", "tau", "lambda"]
+    return m, "b"
+
+
+N_MAX = 20
+
+
+def _make_basis(X, theta, omega, count):
+    om = jnp.where(omega > 0, omega, 1.0)
+    B = jax.scipy.stats.norm.pdf(X, loc=theta, scale=om)
+    return B * padding.active_mask(count, theta.shape[1], B.dtype)[None, :]
+
+
+def _rj_birth(key, cur, prop):
+    prop = dict(prop)
+    prop["B"] = _make_basis(prop["X"], prop["theta"], prop["omega"], prop["n_basis"])
+    return prop, jnp.asarray(0.0), jnp.asarray(0.0)
+
+
+def _rj_death(key, cur, prop, j):
+    return _rj_birth(key, cur, prop)
+
+
+def _rj_move(key, updates, state, i):
+    updates = dict(updates)
+    th = updates.get("theta", state["theta"])
+    om = updates.get("omega", state["omega"])
+    updates["B"] = _make_basis(state["X"], th, om, state["n_basis"])
+    return updates, jnp.asarray(0.0), jnp.asarray(0.0)
+
+
+def reversible_jump(n_chains=2048):
+    """Reference tests/test_reversible_jump.py prior-recovery config: rho=8, n_max=20."""
+    rng = np.random.default_rng(0)
+    n_data = 50
+    X = np.sort(rng.uniform(-10, 10, (n_data, 1)), axis=0)
+    k0 = 4
+    theta = np.zeros((1, N_MAX)); theta[0, :k0] = rng.uniform(-10, 10, k0)
+    omega = np.zeros((1, N_MAX)); omega[0, :k0] = 1.0
+    beta = np.zeros((N_MAX, 1)); beta[:k0] = 1.0
+    state = {
+        "X": X, "y": rng.normal(size=(n_data, 1)),
+        "n_basis": np.array([[k0]], dtype=np.int32),
+        "theta": theta, "omega": omega, "beta": beta,
+        "alloc_beta": np.zeros((N_MAX, 1), dtype=np.int32),
+        "mu_beta": 0.0, "tau_beta": 0.25, "rho": 8.0,
+        "a_omega": 3.0, "b_omega": 2.0,
+        "P": st.Diagonal(jnp.ones(n_data)), "tau_y": 100.0,
+    }
+    state["B"] = np.asarray(_make_basis(jnp.asarray(X), jnp.asarray(theta), jnp.asarray(omega), k0))
+    mdl = Model(
+        [
+            NullDistribution("y", mean=LinearCombination(form={"beta": "B"}), precision=ScaledMatrix("P", "tau_y")),
+            Normal("beta", mean=MixtureParameterVector("mu_beta", "alloc_beta"),
+                   precision=MixtureParameterMatrix("tau_beta", "alloc_beta"), n_active="n_basis"),
+            Poisson("n_basis", rate="rho"),
+            Uniform("theta", domain_response_lower=-10.0, domain_response_upper=10.0, n_active="n_basis"),
+            Gamma("omega", shape="a_omega", rate="b_omega", n_active="n_basis"),
+        ]
+    )
+    samplers = [
+        ManifoldMALA("beta", mdl, step=0.5, active_count="n_basis"),
+        RandomWalkLoop("theta", mdl, step=0.1, domain_limits=np.asarray([[-10.0, 10.0]]),
+                       state_update_function=_rj_move, active_count="n_basis", updated_names=["theta", "B"]),
+        RandomWalkLoop("omega", mdl, step=0.1, domain_limits=np.asarray([[0.5, 2.0]]),
+                       state_update_function=_rj_move, active_count="n_basis", updated_names=["omega", "B"]),
+        ReversibleJump("n_basis", mdl, associated_params=["theta", "omega"], n_max=N_MAX,
+                       state_birth_function=_rj_birth, state_death_function=_rj_death,
+                       matching_params={"variable": "beta", "matrix": "B", "scale": 1.0, "limits": [-10.0, 10.0]}),
+    ]
+    m = MCMC(state, samplers, mdl, n_burn=0, n_iter=5000, n_chains=n_chains, seed=0)
+    m.store_names = ["n_basis"]
+    return m, "n_basis"
+
+
+def main():
+    with open("reference_measured.json") as f:
+        ref = json.load(f)
+
+    workloads = [
+        ("linreg_gibbs", linreg, 1),
+        ("random_walk_mh", random_walk_mh, 1),
+        ("mmala", mmala, 1),
+        ("gmrf_smoother", gmrf_smoother, 1),
+        ("reversible_jump", reversible_jump, 20),
+    ]
+    for name, build, chunks in workloads:
+        mcmc, param = build()
+        _, entry = run_workload(name, mcmc, param, chunks=chunks)
+        entry["vs_baseline"] = round(entry["ess_per_s"] / ref[name]["ess_per_s"], 1)
+        entry["baseline_ess_per_s"] = ref[name]["ess_per_s"]
+        print(json.dumps({"workload": name, **entry}), flush=True)
+
+    with open("BENCH_ALL.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    speedups = [RESULTS[n]["vs_baseline"] for n, _, _ in workloads]
+    print(json.dumps({"summary": "speedups_vs_reference", "workloads": dict(zip([n for n, _, _ in workloads], speedups))}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""Measure the reference implementation on the BASELINE.json workload configs.
+
+Runs /root/reference (numpy/scipy, single chain, one CPU core) on each workload and
+records wall-clock + ESS into reference_measured.json. Run once per container; the
+TPU-side comparison lives in bench_all.py.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/reference/src")
+
+import numpy as np
+import pandas as pd
+from scipy import sparse
+from scipy.stats import norm
+
+RESULTS = {}
+
+
+def ess_of(draws_2d):
+    """draws_2d: (dim, n_iter) -> mean multi-chain ESS over dims (our estimator)."""
+    import os
+
+    sys.path.insert(0, "/root/repo")
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from openmcmc_tpu.diagnostics import ess_per_param
+
+    return float(np.asarray(ess_per_param(jnp.asarray(draws_2d.T[None, :, :]))).mean())
+
+
+def measure(name, build_and_run):
+    t0 = time.perf_counter()
+    draws, iters = build_and_run()
+    wall = time.perf_counter() - t0
+    ess = ess_of(draws)
+    RESULTS[name] = {
+        "wall_s": round(wall, 3),
+        "iters": iters,
+        "iters_per_s": round(iters / wall, 1),
+        "ess": round(ess, 1),
+        "ess_per_s": round(ess / wall, 2),
+    }
+    print(name, RESULTS[name], flush=True)
+
+
+def linreg():
+    from openmcmc.distribution.distribution import Gamma
+    from openmcmc.distribution.location_scale import Normal
+    from openmcmc.mcmc import MCMC
+    from openmcmc.model import Model
+    from openmcmc.parameter import LinearCombination, ScaledMatrix
+    from openmcmc.sampler.sampler import NormalGamma, NormalNormal
+
+    np.random.seed(0)
+    N = 100
+    true_beta = np.array([2, 0.5])
+    x = np.sort(np.random.rand(N))
+    X = np.stack([np.ones(N), x], 1)
+    y = X @ true_beta + norm.rvs(loc=0, scale=0.1, size=N)
+    mdl = Model(
+        [
+            Normal("y", mean=LinearCombination(form={"beta": "X"}), precision=ScaledMatrix("P_tau", "tau")),
+            Normal("beta", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+            Gamma("lambda", shape="a_lambda", rate="b_lambda"),
+        ]
+    )
+    samplers = [NormalNormal("beta", mdl), NormalGamma("tau", mdl), NormalGamma("lambda", mdl)]
+    state = {
+        "y": y,
+        "X": X,
+        "beta": [0, 0],
+        "P_tau": sparse.csc_matrix(np.eye(N)),
+        "tau": 1,
+        "P_lambda": sparse.csc_matrix(np.eye(2)),
+        "mu": [0, 0],
+        "lambda": 0.01,
+        "a_tau": 1e-3,
+        "b_tau": 1e-3,
+        "a_lambda": 1e-3,
+        "b_lambda": 1e-3,
+    }
+    m = MCMC(state, samplers, model=mdl, n_burn=1000, n_iter=1000)
+    m.run_mcmc()
+    return m.store["beta"], 2000
+
+
+def random_walk():
+    from openmcmc.distribution.location_scale import Normal
+    from openmcmc.mcmc import MCMC
+    from openmcmc.model import Model
+    from openmcmc.sampler.metropolis_hastings import RandomWalk
+
+    np.random.seed(0)
+    mdl = Model([Normal("y", mean="h", precision="tau"), Normal("h", mean="mu", precision="lambda")])
+    state = {
+        "y": np.array([150, 155, 190, 160, 173], ndmin=2, dtype=float),
+        "h": np.array(200.0, ndmin=2),
+        "tau": np.array(1 / 200, ndmin=2),
+        "mu": np.array(160.0, ndmin=2),
+        "lambda": np.array(1 / 100, ndmin=2),
+    }
+    m = MCMC(state, [RandomWalk("h", model=mdl, step=5.0)], model=mdl, n_burn=0, n_iter=1000)
+    m.run_mcmc()
+    return m.store["h"], 1000
+
+
+def mmala():
+    from openmcmc.distribution.location_scale import Normal
+    from openmcmc.mcmc import MCMC
+    from openmcmc.model import Model
+    from openmcmc.parameter import LinearCombination, ScaledMatrix
+    from openmcmc.sampler.metropolis_hastings import ManifoldMALA
+
+    np.random.seed(0)
+    N, d = 100, 5
+    X = np.random.normal(size=(N, d))
+    beta_true = np.random.normal(size=(d, 1))
+    y = X @ beta_true + 0.1 * np.random.normal(size=(N, 1))
+    mdl = Model(
+        [
+            Normal("y", mean=LinearCombination(form={"beta": "X"}), precision=ScaledMatrix("P", "tau")),
+            Normal("beta", mean="mu0", precision=ScaledMatrix("P0", "one")),
+        ]
+    )
+    state = {
+        "y": y,
+        "X": X,
+        "beta": np.zeros((d, 1)),
+        "P": sparse.csc_matrix(np.eye(N) * 100.0),
+        "tau": 1.0,
+        "P0": sparse.csc_matrix(np.eye(d) * 0.01),
+        "mu0": np.zeros((d, 1)),
+        "one": 1.0,
+    }
+    m = MCMC(state, [ManifoldMALA("beta", model=mdl, step=np.array(1.0))], model=mdl, n_burn=200, n_iter=1000)
+    m.run_mcmc()
+    return m.store["beta"], 1200
+
+
+def gmrf_smoother():
+    from openmcmc import gmrf
+    from openmcmc.distribution.distribution import Gamma
+    from openmcmc.distribution.location_scale import Normal
+    from openmcmc.mcmc import MCMC
+    from openmcmc.model import Model
+    from openmcmc.parameter import ScaledMatrix
+    from openmcmc.sampler.sampler import NormalGamma, NormalNormal
+
+    np.random.seed(0)
+    n_time = 100
+    TIME = pd.date_range("2022-04-01T01:00:00", "2022-04-01T01:01:00", periods=n_time)
+    P_lambda = gmrf.precision_temporal(time=TIME)
+    P_lambda = sparse.lil_matrix(P_lambda)
+    P_lambda[0, 0] += 0.001
+    P_lambda = P_lambda.tocsc()
+    t = (TIME - TIME[0]).total_seconds()
+    b = np.sin(t / 20) + 2 * np.cos(t / 12) + 2
+    y = b + norm.rvs(loc=0, scale=1.0, size=n_time)
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    state = {
+        "y": y,
+        "b": y,
+        "mu": np.zeros(n_time),
+        "lambda": 100,
+        "P_lambda": P_lambda,
+        "a_lam": 10,
+        "b_lam": 1,
+        "tau": 1,
+        "P_tau": sparse.csc_matrix(np.eye(n_time)),
+        "a_tau": 1,
+        "b_tau": 1,
+    }
+    samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+    m = MCMC(state, samplers, model=mdl, n_burn=200, n_iter=500)
+    m.run_mcmc()
+    return m.store["b"], 700
+
+
+def reversible_jump():
+    sys.path.insert(0, "/root/reference/tests")
+    import importlib
+
+    trj = importlib.import_module("test_reversible_jump")
+    from openmcmc.mcmc import MCMC
+
+    np.random.seed(0)
+    basis_limits = np.array([-10, 10])
+    scale_limits = np.array([0.5, 2])
+    # reuse the reference's own fixture logic
+    state = trj.fix_state.__wrapped__(basis_limits)
+    model = trj.fix_model.__wrapped__(basis_limits)
+    samplers = trj.fix_samplers.__wrapped__(model, basis_limits, scale_limits)
+    m = MCMC(state=state, samplers=samplers, model=model, n_burn=0, n_iter=5000)
+    m.run_mcmc()
+    return m.store["n_basis"], 5000
+
+
+if __name__ == "__main__":
+    measure("linreg_gibbs", linreg)
+    measure("random_walk_mh", random_walk)
+    measure("mmala", mmala)
+    measure("gmrf_smoother", gmrf_smoother)
+    measure("reversible_jump", reversible_jump)
+    with open("/root/repo/reference_measured.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+    print(json.dumps(RESULTS, indent=1))
