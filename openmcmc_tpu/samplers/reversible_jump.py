@@ -226,7 +226,10 @@ class ReversibleJump(MetropolisHastings):
         """
         mask = padding.active_mask(count, basis.shape[1], basis.dtype)
         gram = mm(basis.T, basis) + 1e-6 * jnp.diagflat(mask) + jnp.diagflat(1.0 - mask)
-        return jnp.linalg.solve(gram, rhs)
+        # SPD by construction: Cholesky solve (batched MXU kernel) instead of LU
+        chol = jnp.linalg.cholesky(gram)
+        w = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+        return jax.scipy.linalg.solve_triangular(chol, w, lower=True, trans=1)
 
     def matched_birth_transition(self, key, current_state, prop_state, logp_pr_g_cr, logp_cr_g_pr):
         """Match predictions across a birth move: beta* = G beta + noisy last coeff
