@@ -167,10 +167,16 @@ def _rj_death(key, cur, prop, j):
 
 
 def _rj_move(key, updates, state, i):
+    # incremental: a single-column theta/omega proposal only changes column i of B
     updates = dict(updates)
     th = updates.get("theta", state["theta"])
     om = updates.get("omega", state["omega"])
-    updates["B"] = _make_basis(state["X"], th, om, state["n_basis"])
+    th_i = jax.lax.dynamic_slice_in_dim(th, i, 1, axis=1)
+    om_i = jnp.where(jax.lax.dynamic_slice_in_dim(om, i, 1, axis=1) > 0, 
+                     jax.lax.dynamic_slice_in_dim(om, i, 1, axis=1), 1.0)
+    col = jax.scipy.stats.norm.pdf(state["X"], loc=th_i, scale=om_i)
+    active = (i < jnp.reshape(state["n_basis"], ())).astype(col.dtype)
+    updates["B"] = jax.lax.dynamic_update_slice_in_dim(state["B"], col * active, i, axis=1)
     return updates, jnp.asarray(0.0), jnp.asarray(0.0)
 
 

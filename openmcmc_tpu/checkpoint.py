@@ -13,9 +13,6 @@ plain .npz snapshot.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

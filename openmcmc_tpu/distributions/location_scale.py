@@ -10,7 +10,7 @@ to exact autodiff instead of finite differences.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple, Union
+from typing import List, Optional
 
 import jax.numpy as jnp
 

@@ -6,7 +6,7 @@ jnp expressions (VPU-friendly, no scipy), all sampling is stateless ``jax.random
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Union
 
 import jax

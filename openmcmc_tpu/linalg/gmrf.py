@@ -18,7 +18,7 @@ Every function is pure: ``(key, ...) -> sample`` and safe under jit/vmap/scan.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp

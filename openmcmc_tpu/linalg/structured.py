@@ -24,7 +24,6 @@ Band storage convention (lower bands, column-major within a band):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Union
 
 import jax

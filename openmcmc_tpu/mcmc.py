@@ -30,7 +30,7 @@ from jax import lax
 from openmcmc_tpu.linalg import structured as st
 from openmcmc_tpu.model import Model
 from openmcmc_tpu.samplers.base import Sampler
-from openmcmc_tpu.samplers.metropolis import MetropolisHastings, acceptance_rate
+from openmcmc_tpu.samplers.metropolis import acceptance_rate
 
 
 def _coerce_state(state: dict) -> dict:

@@ -30,13 +30,10 @@ difference-operator boundary) plus the distributed solve.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from openmcmc_tpu.linalg import structured as st
 

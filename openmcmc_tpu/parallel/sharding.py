@@ -14,7 +14,7 @@ XLA only inserts collectives for the pooled diagnostics.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

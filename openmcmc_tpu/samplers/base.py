@@ -19,8 +19,6 @@ from __future__ import annotations
 from abc import ABC, abstractmethod
 from typing import Dict, Tuple
 
-import jax.numpy as jnp
-
 from openmcmc_tpu.model import Model
 
 
