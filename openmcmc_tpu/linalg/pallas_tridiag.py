@@ -183,7 +183,11 @@ def _sample_canonical_tridiag_vmap(axis_size, in_batched, key, b, bands):
 
     b2 = b if b_batched else jnp.broadcast_to(b, (axis_size,) + b.shape)
     bands2 = bands if bands_batched else jnp.broadcast_to(bands, (axis_size,) + bands.shape)
+    # output shape must match the primal path: sample_normal returns a (p, 1) column
+    # for flat (p,) input (reference gmrf.py:29-61 convention)
     b_shape = b2.shape[1:]
+    if len(b_shape) == 1:
+        b_shape = b_shape + (1,)
     bv = b2.reshape(axis_size, -1)
     a = bands2[:, 0, :]
     c = bands2[:, 1, :]
