@@ -241,15 +241,32 @@ def gibbs_canonical_truncated_normal(
     x: Array,
     lower=None,
     upper=None,
+    _allow_pallas: bool = True,
 ) -> Array:
     """One coordinate-wise Gibbs sweep of a box-truncated canonical Gaussian.
 
     x ~ N_c(Q^{-1} b, Q^{-1}) s.t. lower < x < upper  (reference gmrf.py:201-266).
     The per-dimension conditional mean is v_i (b_i - Q_{i,:} x + Q_{ii} x_i); the sweep
     is inherently sequential in the dimension, so it is a ``lax.scan`` over coordinates
-    -- chain parallelism comes from ``vmap`` at the driver level.
+    -- chain parallelism comes from ``vmap`` at the driver level. Tridiagonal Q under
+    chain batching dispatches to the fused Pallas sweep (linalg.pallas_truncated).
     """
     Qs = st.as_structured(Q)
+    from openmcmc_tpu.linalg import pallas_truncated as _pt
+
+    if _allow_pallas and _pt.ENABLE_PALLAS_TRUNCATED and isinstance(Qs, st.Banded) and Qs.bw == 1:
+        from openmcmc_tpu.linalg.pallas_truncated import gibbs_truncated_tridiag
+
+        p = Qs.bands.shape[-1]
+        lo = jnp.broadcast_to(
+            -jnp.inf if lower is None else jnp.reshape(jnp.asarray(lower, jnp.result_type(float)), (-1,)), (p,)
+        )
+        hi = jnp.broadcast_to(
+            jnp.inf if upper is None else jnp.reshape(jnp.asarray(upper, jnp.result_type(float)), (-1,)), (p,)
+        )
+        shape_in = jnp.asarray(x).shape
+        out = gibbs_truncated_tridiag(key, jnp.asarray(b).reshape(p, 1), Qs.bands, jnp.asarray(x).reshape(p, 1), lo, hi)
+        return out.reshape(shape_in)
     b = jnp.asarray(b).reshape(-1)
     x = jnp.asarray(x)
     shape_in = x.shape
