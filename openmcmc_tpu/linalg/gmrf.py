@@ -361,6 +361,39 @@ def precision_irregular(s: Array, banded: bool = True) -> StructuredOrArray:
     return jnp.diagflat(d0) - jnp.diagflat(dr, -1) - jnp.diagflat(dr, 1)
 
 
+def precision_rw2(s: Array, banded: bool = True) -> StructuredOrArray:
+    """Second-order random-walk (RW2) precision for irregular locations.
+
+    Beyond the reference (which only builds RW1, gmrf.py:375-411): Q = D2' D2 with D2
+    the second divided-difference operator, giving cubic-smoothing-spline-like priors.
+    Pentadiagonal => Banded with bw=2, factored by the banded scan kernels.
+
+    Row i of D2 (interior points): the classic three-point second-derivative stencil
+        [2/(h0 (h0+h1)), -2/(h0 h1), 2/(h1 (h0+h1))]  with h0 = s_i - s_{i-1},
+        h1 = s_{i+1} - s_i, scaled by sqrt of the local integration weight (h0+h1)/2.
+    """
+    s = jnp.asarray(s, dtype=jnp.result_type(float)).reshape(-1)
+    n = s.shape[0]
+    if n < 3:
+        return precision_irregular(s, banded=banded)
+    h0 = s[1:-1] - s[:-2]
+    h1 = s[2:] - s[1:-1]
+    w = jnp.sqrt((h0 + h1) / 2.0)
+    r0 = w * 2.0 / (h0 * (h0 + h1))
+    r1 = w * -2.0 / (h0 * h1)
+    r2 = w * 2.0 / (h1 * (h0 + h1))
+    # accumulate Q = sum_i r_i r_i' into pentadiagonal bands
+    d0 = jnp.zeros(n).at[:-2].add(r0 * r0).at[1:-1].add(r1 * r1).at[2:].add(r2 * r2)
+    d1 = jnp.zeros(n).at[:-2].add(r0 * r1).at[1:-1].add(r1 * r2)  # band[1, i] = Q[i+1, i]
+    d2 = jnp.zeros(n).at[:-2].add(r0 * r2)  # band[2, i] = Q[i+2, i]
+    if banded:
+        return st.Banded(jnp.stack([d0, d1, d2]))
+    out = jnp.diagflat(d0)
+    out = out + jnp.diagflat(d1[: n - 1], -1) + jnp.diagflat(d1[: n - 1], 1)
+    out = out + jnp.diagflat(d2[: n - 2], -2) + jnp.diagflat(d2[: n - 2], 2)
+    return out
+
+
 def precision_temporal(time, unit_length: float = 1.0, banded: bool = True) -> StructuredOrArray:
     """Temporal RW1 precision from datetimes or seconds (reference gmrf.py:351-372).
 

@@ -64,11 +64,16 @@ def tridiag_solve_sharded(
     rhs: jnp.ndarray,
     mesh: Mesh,
     axis_name: str = "seq",
+    batch_axis: str = None,
 ) -> jnp.ndarray:
     """Solve T x = rhs with the sequence axis sharded over the mesh.
 
     a, c, rhs: (..., n) with n divisible by the mesh size; c[..., i] couples unknowns
     i and i+1 (c[..., n-1] must be 0). Returns x with the same sharding.
+
+    ``batch_axis``: optional second mesh axis sharding the leading (chain) dimension —
+    the combined DP x SP layout: interface collectives run within each chain group
+    over ``axis_name`` only.
     """
     from jax.experimental.shard_map import shard_map
 
@@ -125,7 +130,8 @@ def tridiag_solve_sharded(
         x = y - (c_left * l_prev)[..., None] * u - (c_right * f_next)[..., None] * v
         return x
 
-    spec = P(*([None] * (a.ndim - 1) + [axis_name]))
+    lead = [batch_axis] + [None] * (a.ndim - 2) if batch_axis else [None] * (a.ndim - 1)
+    spec = P(*(lead + [axis_name]))
     fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
     return fn(a, c, rhs)
 
@@ -139,6 +145,7 @@ def sample_rw1_canonical_sharded(
     mesh: Mesh,
     axis_name: str = "seq",
     ridge: float = 0.0,
+    batch_axis: str = None,
 ) -> jnp.ndarray:
     """Draw x ~ N(Q^{-1} b, Q^{-1}) for one huge RW1 smoother precision, sharded.
 
@@ -172,4 +179,4 @@ def sample_rw1_canonical_sharded(
 
     a_full = jnp.broadcast_to(d0, b.shape)
     c_full = jnp.broadcast_to(c, b.shape)
-    return tridiag_solve_sharded(a_full, c_full, b_tilde, mesh, axis_name)
+    return tridiag_solve_sharded(a_full, c_full, b_tilde, mesh, axis_name, batch_axis=batch_axis)

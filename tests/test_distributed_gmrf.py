@@ -80,3 +80,25 @@ def test_sharded_rw1_sampling_moments(rng, seq_mesh):
     assert z.max() < 5.5, z.max()
     var_ratio = np.asarray(x).var(0) / np.diag(cov)
     np.testing.assert_allclose(var_ratio.mean(), 1.0, atol=0.05)
+
+
+def test_2d_mesh_chains_by_sequence(rng):
+    """Combined DP x SP: chains sharded on one mesh axis, the sequence on the other."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devices, ("chains", "seq"))
+    n, n_chains = 64, 6
+    s_loc, a, c, Q = _system(rng, n)
+    rhs = jnp.asarray(rng.normal(size=(n_chains, n)))
+    sharding = NamedSharding(mesh, P("chains", "seq"))
+    a_b = jax.device_put(jnp.broadcast_to(a, (n_chains, n)), sharding)
+    c_b = jax.device_put(jnp.broadcast_to(c, (n_chains, n)), sharding)
+    rhs_s = jax.device_put(rhs, sharding)
+    x = jax.jit(
+        lambda aa, cc, rr: tridiag_solve_sharded(aa, cc, rr, mesh, "seq", batch_axis="chains")
+    )(a_b, c_b, rhs_s)
+    assert len(x.sharding.device_set) == 8
+    want = np.linalg.solve(np.asarray(st.to_dense(Q)), np.asarray(rhs).T).T
+    np.testing.assert_allclose(np.asarray(x), want, rtol=2e-3, atol=2e-4)

@@ -271,3 +271,35 @@ def test_bandwidth_zero_banded(key):
     P1 = gmrf.precision_irregular(jnp.asarray([5.0]))
     x1 = gmrf.sample_normal(key, jnp.zeros((1, 1)), Q=P1, n=4)
     assert x1.shape == (1, 4) and bool(jnp.all(jnp.isfinite(x1)))
+
+
+def test_precision_rw2(rng):
+    """RW2 pentadiagonal precision: Banded bw=2, equals D2' D2 built densely."""
+    s = jnp.asarray(np.sort(rng.uniform(0, 10, 12)))
+    Q = gmrf.precision_rw2(s)
+    assert isinstance(Q, st.Banded) and Q.bw == 2
+    sv = np.asarray(s, dtype=np.float64)
+    n = sv.shape[0]
+    D2 = np.zeros((n - 2, n))
+    for i in range(1, n - 1):
+        h0, h1 = sv[i] - sv[i - 1], sv[i + 1] - sv[i]
+        w = np.sqrt((h0 + h1) / 2.0)
+        D2[i - 1, i - 1] = w * 2.0 / (h0 * (h0 + h1))
+        D2[i - 1, i] = w * -2.0 / (h0 * h1)
+        D2[i - 1, i + 1] = w * 2.0 / (h1 * (h0 + h1))
+    want = D2.T @ D2
+    np.testing.assert_allclose(st.to_dense(Q), want, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(gmrf.precision_rw2(s, banded=False), want, rtol=1e-3, atol=1e-5)
+    # rank n-2 null space: constants and linears (tolerance scaled to the stencil
+    # magnitude -- tight location gaps make Q entries large)
+    null = np.stack([np.ones(n), sv], 1)
+    np.testing.assert_allclose(want @ null, np.zeros((n, 2)), atol=1e-8 * np.abs(want).max())
+    # factorizable once regularized (unit ridge keeps the f32 solve well-conditioned)
+    Qr = st.add(Q, st.Diagonal(jnp.full((n,), 1.0)))
+    chol = st.cholesky(Qr)
+    x = rng.normal(size=(n, 1))
+    np.testing.assert_allclose(
+        st.cho_solve(chol, jnp.asarray(x)),
+        np.linalg.solve(np.asarray(st.to_dense(Qr)), x),
+        rtol=1e-3, atol=1e-4,
+    )
