@@ -45,3 +45,16 @@ def test_per_param_shapes(rng):
     s = summary(draws)
     assert s["mean"].shape == (5, 2) and s["ess"].shape == (5, 2)
     assert np.all(np.asarray(s["q05"]) <= np.asarray(s["q95"]))
+
+
+def test_check_result_finds_nans(rng):
+    from openmcmc_tpu.mcmc import MCMCResult
+    from openmcmc_tpu.utils import check_result
+
+    store = {"x": jnp.asarray(rng.normal(size=(3, 10, 2, 1)))}
+    store["x"] = store["x"].at[1, 4, 0, 0].set(jnp.nan)
+    res = MCMCResult(store=store, log_post=jnp.zeros((3, 10)), stats={}, final_state={}, final_key=jnp.zeros((3, 2)))
+    rep = check_result(res)
+    assert rep == {"x": {"bad_chains": [1], "first_bad_iter": {1: 4}}}
+    clean = MCMCResult(store={"x": jnp.zeros((2, 5, 1, 1))}, log_post=jnp.zeros((2, 5)), stats={}, final_state={}, final_key=jnp.zeros((2, 2)))
+    assert check_result(clean) == {}
