@@ -173,12 +173,36 @@ class Normal(LocationScale):
     def log_p(self, state: dict, by_observation: bool = False):
         if self.n_active is not None:
             log_p = self._masked_log_p(state, by_observation)
+        elif isinstance(self.precision, ScaledMatrix):
+            log_p = self._scaled_log_p(state, by_observation)
         else:
             Q = self._precision_structured(state)
             mu = self.mean.predictor(state)
             log_p = gmrf.mvn_log_pdf(state[self.response], mu, Q=Q, by_observation=by_observation)
         if self.truncated:
             log_p = jnp.where(self.out_of_domain(state), -jnp.inf, log_p)
+        return log_p
+
+    def _scaled_log_p(self, state: dict, by_observation: bool):
+        """log N(x; mu, (c P)^{-1}) factoring only the UNSCALED penalty P.
+
+        P is typically constant data, so XLA constant-folds its Cholesky out of the
+        sampling loop entirely; the scale enters analytically:
+        log p = 1/2 (d log c + log|P| - d log 2 pi - c ||L_P^T (x - mu)||^2).
+        """
+        scalar = jnp.reshape(jnp.asarray(state[self.precision.scalar]), ())
+        P = st.as_structured(state[self.precision.matrix])
+        chol = st.cholesky(P)
+        x = state[self.response]
+        d = x.shape[0]
+        mu = self.mean.predictor(state)
+        r = x - (mu if jnp.ndim(mu) == x.ndim else jnp.reshape(mu, (d, -1)))
+        w = st.chol_matvec_t(chol, r)
+        quad = jnp.sum(w * w, axis=0)
+        log_2pi = jnp.log(2.0 * jnp.pi)
+        log_p = 0.5 * (d * jnp.log(scalar) + st.chol_log_det(chol) - d * log_2pi - scalar * quad)
+        if not by_observation:
+            log_p = jnp.sum(log_p)
         return log_p
 
     def grad_log_p(self, state: dict, param: str, hessian_required: bool = True):

@@ -289,3 +289,26 @@ def test_categorical_aggregated_parity(rng):
     d2 = Categorical("z", prob="prob")
     want_seq = sum(np.log(prob[i, x[i, j]]) for i in range(2) for j in range(6))
     np.testing.assert_allclose(float(d2.log_p(state)), want_seq, rtol=1e-4)
+
+
+def test_scaled_matrix_log_p_path(rng):
+    """The ScaledMatrix fast path (factoring only the unscaled penalty) equals the
+    generic mvn computation on the assembled precision."""
+    from openmcmc_tpu.linalg import gmrf as gm
+
+    n = 10
+    P = gm.precision_irregular(jnp.arange(n, dtype=jnp.float32))
+    P = st.Banded(P.bands.at[0, 0].add(0.01))
+    state = {
+        "y": jnp.asarray(rng.normal(size=(n, 3))),
+        "mu": jnp.asarray(rng.normal(size=(n, 1))),
+        "P": P,
+        "lam": jnp.asarray([[7.5]]),
+    }
+    dist = Normal("y", mean="mu", precision=ScaledMatrix("P", "lam"))
+    got = float(dist.log_p(state))
+    want = float(gm.mvn_log_pdf(state["y"], state["mu"], Q=st.scale(7.5, P)))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+    by_obs = dist.log_p(state, by_observation=True)
+    want_obs = gm.mvn_log_pdf(state["y"], state["mu"], Q=st.scale(7.5, P), by_observation=True)
+    np.testing.assert_allclose(by_obs, want_obs, rtol=2e-5)
