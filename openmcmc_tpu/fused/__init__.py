@@ -1,0 +1,5 @@
+"""Fused whole-model sampling engines (the "fused attention" pattern for samplers)."""
+
+from openmcmc_tpu.fused.gmrf_smoother import run_fused_smoother
+
+__all__ = ["run_fused_smoother"]

@@ -1,0 +1,291 @@
+"""Fully-fused GMRF smoother engine: the whole MCMC run in one Pallas launch.
+
+The flagship workload (reference examples/4_GMRF_smoother.ipynb) is a three-sampler
+Gibbs sweep:
+
+    b   | y, lam, tau  ~  N(Q^{-1} tau y, Q^{-1}),  Q = lam P0 + tau I   (NormalNormal)
+    lam | b            ~  Gamma(a_lam + p/2, b_lam + b' P0 b / 2)        (NormalGamma)
+    tau | b, y         ~  Gamma(a_tau + p/2, b_tau + ||y - b||^2 / 2)    (NormalGamma)
+
+Run through the generic driver, every iteration pays XLA op scheduling plus one Pallas
+launch (~200 us fixed). This engine fuses ALL burn+sample iterations of the whole
+sweep into a single kernel: Thomas factorization + solves, Box-Muller noise and
+Marsaglia-Tsang Gamma draws from the on-chip PRNG, the analytic log-posterior
+(log|P0| precomputed, the scale enters as p log lam), and double-buffered async DMA of
+each stored iteration to HBM.
+
+This is the "fused attention" pattern applied to a sampler: a model-family-specific
+engine behind the same result interface, validated against the generic driver.
+Chains ride the lane axis (BLOCK_B per grid program); hyperparameters are static.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from openmcmc_tpu.linalg import gmrf
+from openmcmc_tpu.linalg import structured as st
+
+BLOCK_B = 2048
+CHUNK = 8
+_TWO_PI = 6.283185307179586
+_LOG_2PI = 1.8378770664093453
+GAMMA_ROUNDS = 6
+
+
+def _uniform(shape):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    i24 = pltpu.bitcast(jnp.right_shift(bits, 8), jnp.int32)
+    return (i24.astype(jnp.float32) + 0.5) * (1.0 / 16777216.0)
+
+
+def _normal(shape):
+    u1 = _uniform(shape)
+    u2 = _uniform(shape)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+
+def _gamma_mt(a_star: float, rate):
+    """Marsaglia-Tsang Gamma(a_star)/rate on (1, BLOCK_B) rows; a_star static > 1."""
+    d = a_star - 1.0 / 3.0
+    c = 1.0 / float(np.sqrt(9.0 * d))
+    value = jnp.full(rate.shape, d, jnp.float32)
+    accepted = jnp.zeros(rate.shape, jnp.bool_)
+    for _ in range(GAMMA_ROUNDS):
+        x = _normal(rate.shape)
+        v = (1.0 + c * x) ** 3
+        u = _uniform(rate.shape)
+        ok = jnp.logical_and(v > 0.0, jnp.log(u) < 0.5 * x * x + d - d * v + d * jnp.log(jnp.where(v > 0.0, v, 1.0)))
+        take = jnp.logical_and(ok, jnp.logical_not(accepted))
+        value = jnp.where(take, d * v, value)
+        accepted = jnp.logical_or(accepted, ok)
+    return value / rate
+
+
+def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau0):
+    n_chunks = p_pad // CHUNK
+    half_p = 0.5 * p_real
+    a_lam_star = a_lam + half_p
+    a_tau_star = a_tau + half_p
+    # static log-Gamma normalizers for the log-posterior
+    from scipy.special import gammaln
+
+    lgam_lam = float(a_lam * np.log(b_lam) - gammaln(a_lam))
+    lgam_tau = float(a_tau * np.log(b_tau) - gammaln(a_tau))
+
+    def kernel(seed_ref, logdet_ref, p0d_ref, p0c_ref, p0cprev_ref, y_ref, mask_ref, out_b_ref, out_s_ref,
+               ld_ref, u_ref, x_ref, stage_ref, small_ref, sems, small_sems):
+        pid = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + pid)
+        ones_row = jnp.ones((1, BLOCK_B), jnp.float32)
+        zeros_row = jnp.zeros((1, BLOCK_B), jnp.float32)
+
+        p0d = p0d_ref[:, :]  # (p_pad, 1)
+        p0c = p0c_ref[:, :]
+        yv = y_ref[:, :]
+        mask = mask_ref[:, :]
+
+        def p0_matvec(b):
+            up = jnp.concatenate([b[1:, :], jnp.zeros((1, BLOCK_B), jnp.float32)], axis=0)
+            down = jnp.concatenate([jnp.zeros((1, BLOCK_B), jnp.float32), (p0c * b)[:-1, :]], axis=0)
+            return p0d * b + p0c * up + down
+
+        x_ref[:, :] = jnp.broadcast_to(yv * mask, (p_pad, BLOCK_B))  # init latent field at the data
+
+        def iteration(it, carry):
+            lam, tau = carry  # (1, BLOCK_B) each
+
+            # ---- NormalNormal: draw b | y, lam, tau -------------------------
+            # Q = lam P0 + tau I (identity rows on the padding); chunk rows are
+            # assembled from the constant input refs (Mosaic cannot dynamically
+            # slice computed values, only refs)
+            u_ref[:, :] = _normal((p_pad, BLOCK_B))
+
+            def fwd(ci, carry_f):
+                ld_prev, w_prev = carry_f
+                base = ci * CHUNK
+                p0d_ch = p0d_ref[pl.ds(base, CHUNK), :]
+                p0cp_ch = p0cprev_ref[pl.ds(base, CHUNK), :]
+                y_ch = y_ref[pl.ds(base, CHUNK), :]
+                m_ch = mask_ref[pl.ds(base, CHUNK), :]
+                a_ch = lam * p0d_ch + tau * m_ch + (1.0 - m_ch)
+                cp_ch = lam * p0cp_ch
+                b_ch = tau * (y_ch * m_ch)
+                z_ch = u_ref[pl.ds(base, CHUNK), :]
+                ld_rows, u_rows = [], []
+                for k in range(CHUNK):
+                    l_prev = cp_ch[k : k + 1, :] / ld_prev
+                    ld = jnp.sqrt(a_ch[k : k + 1, :] - l_prev * l_prev)
+                    w = (b_ch[k : k + 1, :] - l_prev * w_prev) / ld
+                    ld_rows.append(ld)
+                    u_rows.append(w + z_ch[k : k + 1, :])
+                    ld_prev, w_prev = ld, w
+                ld_ref[pl.ds(base, CHUNK), :] = jnp.concatenate(ld_rows, axis=0)
+                u_ref[pl.ds(base, CHUNK), :] = jnp.concatenate(u_rows, axis=0)
+                return ld_prev, w_prev
+
+            lax.fori_loop(0, n_chunks, fwd, (ones_row, zeros_row))
+
+            def bwd(cj, x_next):
+                base = (n_chunks - 1 - cj) * CHUNK
+                ld_ch = ld_ref[pl.ds(base, CHUNK), :]
+                c_ch = lam * p0c_ref[pl.ds(base, CHUNK), :]
+                u_ch = u_ref[pl.ds(base, CHUNK), :]
+                x_rows = [None] * CHUNK
+                for k in reversed(range(CHUNK)):
+                    ld = ld_ch[k : k + 1, :]
+                    x_next = (u_ch[k : k + 1, :] - (c_ch[k : k + 1, :] / ld) * x_next) / ld
+                    x_rows[k] = x_next
+                x_ref[pl.ds(base, CHUNK), :] = jnp.concatenate(x_rows, axis=0)
+                return x_next
+
+            lax.fori_loop(0, n_chunks, bwd, zeros_row)
+            b_draw = x_ref[:, :] * mask
+
+            # ---- NormalGamma: lam | b --------------------------------------
+            quad_lam = jnp.sum(b_draw * p0_matvec(b_draw), axis=0, keepdims=True)
+            lam_new = _gamma_mt(a_lam_star, b_lam + 0.5 * quad_lam)
+
+            # ---- NormalGamma: tau | b, y -----------------------------------
+            resid = (yv - b_draw) * mask
+            quad_tau = jnp.sum(resid * resid, axis=0, keepdims=True)
+            tau_new = _gamma_mt(a_tau_star, b_tau + 0.5 * quad_tau)
+
+            # ---- analytic log posterior ------------------------------------
+            log_like = 0.5 * (p_real * jnp.log(tau_new) - p_real * _LOG_2PI - tau_new * quad_tau)
+            log_prior_b = 0.5 * (p_real * jnp.log(lam_new) + logdet_ref[0] - p_real * _LOG_2PI - lam_new * quad_lam)
+            log_lam = lgam_lam + (a_lam - 1.0) * jnp.log(lam_new) - b_lam * lam_new
+            log_tau = lgam_tau + (a_tau - 1.0) * jnp.log(tau_new) - b_tau * tau_new
+            log_post = log_like + log_prior_b + log_lam + log_tau
+
+            # ---- store (double-buffered DMA to HBM) ------------------------
+            @pl.when(it >= n_burn)
+            def _():
+                idx = it - n_burn
+                slot = lax.rem(idx, 2)
+
+                @pl.when(idx >= 2)
+                def _():
+                    pltpu.make_async_copy(
+                        stage_ref.at[slot], out_b_ref.at[idx - 2, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
+                    ).wait()
+                    pltpu.make_async_copy(
+                        small_ref.at[slot], out_s_ref.at[idx - 2, :, pl.ds(pid * BLOCK_B, BLOCK_B)],
+                        small_sems.at[slot],
+                    ).wait()
+
+                stage_ref[pl.ds(slot, 1)] = b_draw[None, :, :]
+                small_ref[pl.ds(slot, 1)] = jnp.concatenate(
+                    [lam_new, tau_new, log_post, jnp.zeros((5, BLOCK_B), jnp.float32)], axis=0
+                )[None, :, :]
+                pltpu.make_async_copy(
+                    stage_ref.at[slot], out_b_ref.at[idx, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
+                ).start()
+                pltpu.make_async_copy(
+                    small_ref.at[slot], out_s_ref.at[idx, :, pl.ds(pid * BLOCK_B, BLOCK_B)], small_sems.at[slot]
+                ).start()
+
+            return lam_new, tau_new
+
+        lam0_row = jnp.full((1, BLOCK_B), lam0, jnp.float32)
+        tau0_row = jnp.full((1, BLOCK_B), tau0, jnp.float32)
+        lax.fori_loop(0, n_burn + n_keep, iteration, (lam0_row, tau0_row))
+
+        # drain the (up to two) in-flight copies; n_keep is static
+        for last in range(max(0, n_keep - 2), n_keep):
+            slot = last % 2
+            pltpu.make_async_copy(
+                stage_ref.at[slot], out_b_ref.at[last, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
+            ).wait()
+            pltpu.make_async_copy(
+                small_ref.at[slot], out_s_ref.at[last, :, pl.ds(pid * BLOCK_B, BLOCK_B)], small_sems.at[slot]
+            ).wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_burn", "n_iter", "n_chains", "a_lam", "b_lam", "a_tau", "b_tau", "lam0", "tau0"),
+)
+def run_fused_smoother(
+    seed: int,
+    y: jnp.ndarray,
+    s: jnp.ndarray,
+    n_burn: int,
+    n_iter: int,
+    n_chains: int,
+    a_lam: float = 10.0,
+    b_lam: float = 1.0,
+    a_tau: float = 1.0,
+    b_tau: float = 1.0,
+    lam0: float = 100.0,
+    tau0: float = 1.0,
+    ridge: float = 0.001,
+):
+    """Run the full GMRF smoother MCMC in one fused kernel.
+
+    y: (p,) observations at locations s: (p,). Returns dict with
+    b: (n_chains, n_iter, p), lam/tau/log_post: (n_chains, n_iter).
+    Matches the generic-driver model exactly (Q = lam * (P_rw1 + ridge e0 e0') + tau I).
+    """
+    y = jnp.asarray(y, jnp.float32).reshape(-1)
+    p_real = y.shape[0]
+    P0 = gmrf.precision_irregular(jnp.asarray(s, jnp.float32))
+    P0 = st.Banded(P0.bands.at[0, 0].add(ridge))
+    logdet_p0 = (2.0 * jnp.sum(jnp.log(st.diag(st.cholesky(P0))))).reshape(1).astype(jnp.float32)
+
+    p_pad = p_real + ((-p_real) % CHUNK)
+    pad = p_pad - p_real
+    p0d = jnp.concatenate([P0.bands[0], jnp.zeros((pad,), jnp.float32)]).reshape(p_pad, 1)
+    p0c = jnp.concatenate([P0.bands[1], jnp.zeros((pad,), jnp.float32)]).reshape(p_pad, 1)
+    p0cprev = jnp.concatenate([jnp.zeros((1, 1), jnp.float32), p0c[:-1]], axis=0)
+    yv = jnp.concatenate([y, jnp.zeros((pad,), jnp.float32)]).reshape(p_pad, 1)
+    mask = jnp.concatenate([jnp.ones((p_real,), jnp.float32), jnp.zeros((pad,), jnp.float32)]).reshape(p_pad, 1)
+
+    b_total = n_chains + ((-n_chains) % BLOCK_B)
+    kernel = _make_kernel(
+        p_pad, float(p_real), n_burn, n_iter, float(a_lam), float(b_lam), float(a_tau), float(b_tau),
+        float(lam0), float(tau0),
+    )
+    shared = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_b, out_s = pl.pallas_call(
+        kernel,
+        grid=(b_total // BLOCK_B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 5,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_iter, p_pad, b_total), jnp.float32),
+            jax.ShapeDtypeStruct((n_iter, 8, b_total), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((p_pad, BLOCK_B), jnp.float32),  # ld
+            pltpu.VMEM((p_pad, BLOCK_B), jnp.float32),  # u / z
+            pltpu.VMEM((p_pad, BLOCK_B), jnp.float32),  # x
+            pltpu.VMEM((2, p_pad, BLOCK_B), jnp.float32),  # stage (double buffer)
+            pltpu.VMEM((2, 8, BLOCK_B), jnp.float32),  # small stage
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.asarray([seed], jnp.int32), logdet_p0, p0d, p0c, p0cprev, yv, mask)
+
+    b_draws = jnp.transpose(out_b[:, :p_real, :n_chains], (2, 0, 1))  # (chains, iters, p)
+    small = jnp.transpose(out_s[:, :, :n_chains], (2, 0, 1))  # (chains, iters, 8)
+    return {
+        "b": b_draws,
+        "lam": small[:, :, 0],
+        "tau": small[:, :, 1],
+        "log_post": small[:, :, 2],
+    }
