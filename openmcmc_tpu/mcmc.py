@@ -75,6 +75,12 @@ class MCMCResult:
     def acceptance(self) -> Dict[str, jnp.ndarray]:
         return {name: acceptance_rate(s) for name, s in self.stats.items() if "proposal" in s}
 
+    def print_acceptance(self) -> None:
+        """Print per-sampler acceptance rates (reference mcmc.py:113-115 end-of-run
+        report), averaged over chains."""
+        for name, rate in self.acceptance.items():
+            print(f"{name}: Acceptance rate {float(jnp.mean(rate)):.0f}%")
+
 
 class MCMC:
     """Drive a set of per-parameter samplers over a model (reference mcmc.py:19-115).
