@@ -18,6 +18,7 @@ Every function is pure: ``(key, ...) -> sample`` and safe under jit/vmap/scan.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Union
 
 import jax
@@ -29,7 +30,7 @@ from openmcmc_tpu.linalg import structured as st
 Array = jnp.ndarray
 StructuredOrArray = Union[st.Dense, st.Diagonal, st.Banded, Array]
 
-_LOG_2PI = float(jnp.log(2.0 * jnp.pi))
+_LOG_2PI = math.log(2.0 * math.pi)  # host constant: importing the package must never initialize a backend
 
 
 def _as_chol(Q: Optional[StructuredOrArray], L: Optional[st.Structured]) -> st.Structured:
