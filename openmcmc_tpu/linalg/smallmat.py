@@ -1,0 +1,137 @@
+"""Unrolled small-matrix kernels: batched Cholesky / substitution / pivoted LU on the VPU.
+
+Why this module exists: XLA:TPU lowers ``jnp.linalg.cholesky`` / ``lu`` (and therefore
+``slogdet`` / ``solve``) to linalg custom-calls that are serialized over large batch
+dimensions. Profiling the reversible-jump sampler (vmap over 2048 chains of 20x20
+systems) showed 4-10 ms **per call** for these custom-calls -- roughly 200x slower than
+the surrounding arithmetic -- making them ~55% of the whole sampler's runtime.
+
+For matrices of static size p <= ~32, an unrolled factorization is a far better TPU
+program: p steps of pure elementwise/broadcast arithmetic on (..., p, p) arrays, fully
+vectorized over any batch/vmap dimensions, no custom calls, no scatters, no gathers.
+Row pivoting is done arithmetically (one-hot selects built from comparisons) because a
+batched gather with per-batch indices is itself a serialized TPU op.
+
+These kernels implement the same math as the reference's np.linalg.cholesky /
+np.linalg.solve / np.linalg.slogdet calls (reference src/openmcmc/gmrf.py:465-487,
+sampler/reversible_jump.py:240-259,293-300); accuracy is f32 with the usual unpivoted-
+Cholesky / partially-pivoted-LU guarantees.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def cholesky_small(A: jnp.ndarray) -> jnp.ndarray:
+    """Lower Cholesky of SPD ``A`` (..., p, p), unrolled over the static p columns.
+
+    Right-looking rank-1 updates: p steps of broadcast multiplies (VPU-only), no
+    custom call. Equivalent to ``jnp.linalg.cholesky`` for SPD input.
+    """
+    p = A.shape[-1]
+    R = A
+    cols = []
+    for j in range(p):
+        d = jnp.sqrt(R[..., j, j])
+        col = R[..., :, j] / d[..., None]
+        # zero strictly-above-diagonal entries (static mask)
+        col = col * (jnp.arange(p) >= j)
+        cols.append(col)
+        R = R - col[..., :, None] * col[..., None, :]
+    return jnp.stack(cols, axis=-1)
+
+
+def solve_lower_small(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L x = b with L (..., p, p) lower-triangular, b (..., p, k); unrolled
+    forward substitution via column-oriented residual updates (no dot_general)."""
+    p = L.shape[-1]
+    res = b
+    rows = []
+    for i in range(p):
+        x_i = res[..., i, :] / L[..., i, i, None]
+        rows.append(x_i)
+        res = res - L[..., :, i, None] * x_i[..., None, :]
+    return jnp.stack(rows, axis=-2)
+
+
+def solve_upper_small(U: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve U x = b with U (..., p, p) upper-triangular, b (..., p, k); unrolled
+    backward substitution."""
+    p = U.shape[-1]
+    res = b
+    rows = [None] * p
+    for i in range(p - 1, -1, -1):
+        x_i = res[..., i, :] / U[..., i, i, None]
+        rows[i] = x_i
+        res = res - U[..., :, i, None] * x_i[..., None, :]
+    return jnp.stack(rows, axis=-2)
+
+
+def cho_solve_small(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b given the lower Cholesky factor L of A (two substitutions)."""
+    return solve_upper_small(jnp.swapaxes(L, -1, -2), solve_lower_small(L, b))
+
+
+def spd_solve_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve SPD system A x = b via the unrolled Cholesky."""
+    return cho_solve_small(cholesky_small(A), b)
+
+
+def lu_solve_logdet_small(
+    A: jnp.ndarray, b: Optional[jnp.ndarray] = None
+) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
+    """Partially-pivoted Gaussian elimination on (..., p, p): returns
+    ``(x, log|det A|)`` with ``x`` solving ``A x = b`` (or None when b is None).
+
+    One unrolled elimination pass over the (optionally b-augmented) matrix. Row
+    pivoting uses arithmetic one-hot swaps -- ``argmax`` + comparisons + broadcast
+    adds -- instead of gathers, so the kernel stays fully batch-vectorized on TPU.
+    """
+    p = A.shape[-1]
+    if b is not None:
+        M = jnp.concatenate([A, b], axis=-1)
+    else:
+        M = A
+    idx_rows = jnp.arange(p)
+    logdet = jnp.zeros(A.shape[:-2], A.dtype)
+    for i in range(p):
+        # partial pivot: row with max |M[r, i]| among r >= i
+        col = jnp.abs(M[..., :, i])
+        col = jnp.where(idx_rows >= i, col, -jnp.inf)
+        piv = jnp.argmax(col, axis=-1)  # (...,)
+        onehot_piv = (idx_rows == piv[..., None]).astype(M.dtype)  # (..., p)
+        row_piv = jnp.sum(onehot_piv[..., :, None] * M, axis=-2)  # (..., p+k)
+        row_i = M[..., i, :]
+        e_i = (idx_rows == i).astype(M.dtype)
+        # swap rows i and piv via rank-1 broadcast arithmetic
+        M = (
+            M
+            + e_i[..., :, None] * (row_piv - row_i)[..., None, :]
+            + onehot_piv[..., :, None] * (row_i - row_piv)[..., None, :]
+        )
+        d = M[..., i, i]
+        logdet = logdet + jnp.log(jnp.abs(d))
+        # eliminate below the pivot
+        factors = M[..., :, i] / d[..., None]
+        factors = factors * (idx_rows > i)
+        M = M - factors[..., :, None] * M[..., i, None, :]
+    if b is None:
+        return None, logdet
+    U = M[..., :, :p]
+    rhs = M[..., :, p:]
+    return solve_upper_small(U, rhs), logdet
+
+
+def logdet_small(A: jnp.ndarray) -> jnp.ndarray:
+    """log|det A| for (..., p, p) via the unrolled pivoted elimination."""
+    return lu_solve_logdet_small(A, None)[1]
+
+
+def diag_embed(v: jnp.ndarray) -> jnp.ndarray:
+    """Batched diag(v) without scatters: eye * broadcast (``jnp.diagflat`` under vmap
+    lowers to a serialized per-batch scatter loop)."""
+    p = v.shape[-1]
+    return jnp.eye(p, dtype=v.dtype) * v[..., None, :]

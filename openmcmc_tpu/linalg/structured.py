@@ -34,6 +34,12 @@ from jax import lax
 # MXU (default TPU matmul precision is bfloat16-ish and loses ~3 decimal digits).
 _PREC = lax.Precision.HIGHEST
 
+# Dense matrices at or below this size use the unrolled smallmat kernels instead of the
+# XLA linalg custom-calls: profiled on TPU, the cholesky/triangular_solve custom-calls
+# serialize over large vmapped chain batches (~4 ms per call for 2048 x 20 x 20, ~200x
+# the cost of the equivalent unrolled VPU arithmetic). See linalg/smallmat.py.
+_SMALL_DENSE_MAX = 32
+
 
 def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Precision-pinned matrix multiply (a @ b) for use across the framework."""
@@ -271,6 +277,10 @@ def cholesky(a: Structured) -> Structured:
     (TPU-native replacement for reference gmrf.py:465-520.)
     """
     if isinstance(a, Dense):
+        if a.mat.shape[-1] <= _SMALL_DENSE_MAX:
+            from openmcmc_tpu.linalg import smallmat as _sm
+
+            return Dense(_sm.cholesky_small(a.mat))
         return Dense(jnp.linalg.cholesky(a.mat))
     if isinstance(a, Diagonal):
         return Diagonal(jnp.sqrt(a.diag_))
@@ -380,6 +390,12 @@ def _banded_cholesky(bands: jnp.ndarray) -> jnp.ndarray:
 def solve_lower(chol: Structured, b: jnp.ndarray) -> jnp.ndarray:
     """Solve L w = b for lower-triangular structured L; b is (p,) or (p, n)."""
     if isinstance(chol, Dense):
+        if chol.mat.shape[-1] <= _SMALL_DENSE_MAX:
+            from openmcmc_tpu.linalg import smallmat as _sm
+
+            vec = b.ndim == 1
+            out = _sm.solve_lower_small(chol.mat, b[:, None] if vec else b)
+            return out[:, 0] if vec else out
         return jax.scipy.linalg.solve_triangular(chol.mat, b, lower=True)
     if isinstance(chol, Diagonal):
         d = chol.diag_ if b.ndim == 1 else chol.diag_[:, None]
@@ -390,6 +406,12 @@ def solve_lower(chol: Structured, b: jnp.ndarray) -> jnp.ndarray:
 def solve_upper_t(chol: Structured, b: jnp.ndarray) -> jnp.ndarray:
     """Solve L^T x = b for lower-triangular structured L; b is (p,) or (p, n)."""
     if isinstance(chol, Dense):
+        if chol.mat.shape[-1] <= _SMALL_DENSE_MAX:
+            from openmcmc_tpu.linalg import smallmat as _sm
+
+            vec = b.ndim == 1
+            out = _sm.solve_upper_small(jnp.swapaxes(chol.mat, -1, -2), b[:, None] if vec else b)
+            return out[:, 0] if vec else out
         return jax.scipy.linalg.solve_triangular(chol.mat, b, lower=True, trans=1)
     if isinstance(chol, Diagonal):
         d = chol.diag_ if b.ndim == 1 else chol.diag_[:, None]

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from openmcmc_tpu import padding
 from openmcmc_tpu.linalg import gmrf
+from openmcmc_tpu.linalg import smallmat as sm
 from openmcmc_tpu.linalg.structured import mm
 from openmcmc_tpu.model import Model
 from openmcmc_tpu.samplers.metropolis import MetropolisHastings
@@ -191,7 +192,7 @@ class ReversibleJump(MetropolisHastings):
         log_prop_density = jnp.asarray(0.0)
         for name in self.associated_params:
             dist = self.model[name]
-            deleted = jax.lax.dynamic_slice_in_dim(state[name], deletion_index, 1, axis=1)
+            deleted = padding.take_column(state[name], deletion_index, axis=1)
             updates[name] = padding.delete(state[name], deletion_index, k, axis=1)
             log_prop_density = log_prop_density + self._element_log_p(dist, state, deleted)
 
@@ -225,11 +226,10 @@ class ReversibleJump(MetropolisHastings):
         rows of the solution are exactly zero because the corresponding rhs rows are.
         """
         mask = padding.active_mask(count, basis.shape[1], basis.dtype)
-        gram = mm(basis.T, basis) + 1e-6 * jnp.diagflat(mask) + jnp.diagflat(1.0 - mask)
-        # SPD by construction: Cholesky solve (batched MXU kernel) instead of LU
-        chol = jnp.linalg.cholesky(gram)
-        w = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
-        return jax.scipy.linalg.solve_triangular(chol, w, lower=True, trans=1)
+        gram = mm(basis.T, basis) + sm.diag_embed(1e-6 * mask + (1.0 - mask))
+        # SPD by construction: unrolled batched Cholesky solve (the jnp.linalg custom
+        # calls serialize over the vmapped chain batch on TPU; see linalg/smallmat.py)
+        return sm.spd_solve_small(gram, rhs)
 
     def matched_birth_transition(self, key, current_state, prop_state, logp_pr_g_cr, logp_cr_g_pr):
         """Match predictions across a birth move: beta* = G beta + noisy last coeff
@@ -245,7 +245,7 @@ class ReversibleJump(MetropolisHastings):
         G = self._masked_gram_solve(prop_basis, mm(prop_basis.T, current_basis), k + 1)
         mu_star = mm(G, current_state[vector])  # (n_max, 1)
 
-        mu_new = jax.lax.dynamic_slice_in_dim(mu_star, k, 1, axis=0)  # (1, 1)
+        mu_new = padding.take_column(mu_star, k, axis=0)  # (1, 1)
         if limits is not None:
             draw = gmrf.truncated_normal_rv(key, mu_new, scale, lower=limits[0], upper=limits[1])
             logp_pr_g_cr = logp_pr_g_cr + jnp.sum(
@@ -266,7 +266,7 @@ class ReversibleJump(MetropolisHastings):
         # F = [G_active | e_k] padded with identity on the inactive block: det equals
         # the dense sub-matrix determinant (reference :243,259)
         F = self._birth_F(G, k)
-        logp_cr_g_pr = logp_cr_g_pr + jnp.linalg.slogdet(F)[1]
+        logp_cr_g_pr = logp_cr_g_pr + sm.logdet_small(F)
         return prop_state, logp_pr_g_cr, logp_cr_g_pr
 
     def _birth_F(self, G: jnp.ndarray, k):
@@ -276,7 +276,7 @@ class ReversibleJump(MetropolisHastings):
         F = jnp.where(col_mask, G, 0.0)
         e_k = (idx == k).astype(G.dtype)
         F = F + jnp.outer(e_k, e_k)  # unit column at index k
-        F = F + jnp.diagflat((idx > k).astype(G.dtype))  # identity on inactive block
+        F = F + sm.diag_embed((idx > k).astype(G.dtype))  # identity on inactive block
         return F
 
     def matched_death_transition(self, key, current_state, prop_state, logp_pr_g_cr, logp_cr_g_pr, deletion_index):
@@ -292,12 +292,13 @@ class ReversibleJump(MetropolisHastings):
         prop_basis = prop_state[matrix]
         G = self._masked_gram_solve(current_basis, mm(current_basis.T, prop_basis), k)
         F = self._death_F(G, deletion_index, k)
-        mu_aug = jnp.linalg.solve(F, current_state[vector])  # (n_max, 1)
-        param_del = jax.lax.dynamic_slice_in_dim(mu_aug, deletion_index, 1, axis=0)
+        # one unrolled pivoted-elimination pass gives both the solve and log|det F|
+        mu_aug, logdet_F = sm.lu_solve_logdet_small(F, current_state[vector])  # (n_max, 1)
+        param_del = padding.take_column(mu_aug, deletion_index, axis=0)
         prop_state = dict(prop_state)
         prop_state[vector] = padding.delete(mu_aug, deletion_index, k, axis=0)
 
-        logp_pr_g_cr = logp_pr_g_cr + jnp.linalg.slogdet(F)[1]
+        logp_pr_g_cr = logp_pr_g_cr + logdet_F
         if limits is not None:
             logp_cr_g_pr = logp_cr_g_pr + jnp.sum(
                 gmrf.truncated_normal_log_pdf(param_del, 0.0, scale, lower=limits[0], upper=limits[1])
@@ -320,5 +321,5 @@ class ReversibleJump(MetropolisHastings):
         # identity on the inactive block
         col_mask = (idx < k)[None, :]
         F = jnp.where(col_mask, F, 0.0)
-        F = F + jnp.diagflat((idx >= k).astype(G.dtype))
+        F = F + sm.diag_embed((idx >= k).astype(G.dtype))
         return F
