@@ -1,5 +1,6 @@
 """Fused whole-model sampling engines (the "fused attention" pattern for samplers)."""
 
 from openmcmc_tpu.fused.gmrf_smoother import run_fused_smoother
+from openmcmc_tpu.fused.linreg import run_fused_linreg
 
-__all__ = ["run_fused_smoother"]
+__all__ = ["run_fused_smoother", "run_fused_linreg"]

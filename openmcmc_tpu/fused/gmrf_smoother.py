@@ -31,43 +31,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from openmcmc_tpu.fused.prng import LOG_2PI as _LOG_2PI
+from openmcmc_tpu.fused.prng import gamma_mt as _gamma_mt
+from openmcmc_tpu.fused.prng import normal as _normal
 from openmcmc_tpu.linalg import gmrf
 from openmcmc_tpu.linalg import structured as st
 
 BLOCK_B = 2048
 CHUNK = 8
-_TWO_PI = 6.283185307179586
-_LOG_2PI = 1.8378770664093453
-GAMMA_ROUNDS = 6
-
-
-def _uniform(shape):
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    i24 = pltpu.bitcast(jnp.right_shift(bits, 8), jnp.int32)
-    return (i24.astype(jnp.float32) + 0.5) * (1.0 / 16777216.0)
-
-
-def _normal(shape):
-    u1 = _uniform(shape)
-    u2 = _uniform(shape)
-    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
-
-
-def _gamma_mt(a_star: float, rate):
-    """Marsaglia-Tsang Gamma(a_star)/rate on (1, BLOCK_B) rows; a_star static > 1."""
-    d = a_star - 1.0 / 3.0
-    c = 1.0 / float(np.sqrt(9.0 * d))
-    value = jnp.full(rate.shape, d, jnp.float32)
-    accepted = jnp.zeros(rate.shape, jnp.bool_)
-    for _ in range(GAMMA_ROUNDS):
-        x = _normal(rate.shape)
-        v = (1.0 + c * x) ** 3
-        u = _uniform(rate.shape)
-        ok = jnp.logical_and(v > 0.0, jnp.log(u) < 0.5 * x * x + d - d * v + d * jnp.log(jnp.where(v > 0.0, v, 1.0)))
-        take = jnp.logical_and(ok, jnp.logical_not(accepted))
-        value = jnp.where(take, d * v, value)
-        accepted = jnp.logical_or(accepted, ok)
-    return value / rate
 
 
 def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau0):
@@ -262,8 +233,8 @@ def run_fused_smoother(
         grid=(b_total // BLOCK_B,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 5,
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_iter, p_pad, b_total), jnp.float32),

@@ -7,16 +7,23 @@ platform device count, per SURVEY.md section 4.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# OPENMCMC_TPU_TEST_BACKEND=tpu runs the suite on the real chip (used to exercise the
+# TPU-gated statistical tests, e.g. `OPENMCMC_TPU_TEST_BACKEND=tpu pytest
+# tests/test_fused_linreg.py`); default is the simulated 8-device CPU mesh.
+_REAL_TPU = os.environ.get("OPENMCMC_TPU_TEST_BACKEND") == "tpu"
+
+if not _REAL_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
 # The container's axon TPU plugin prepends "axon," to jax_platforms regardless of the
 # env var; force the CPU backend explicitly so tests run on the 8-device fake mesh.
-jax.config.update("jax_platforms", "cpu")
+if not _REAL_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
