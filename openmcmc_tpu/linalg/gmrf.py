@@ -143,18 +143,36 @@ def _standardize_bounds(mean, scale, lower, upper):
 def truncated_normal_rv(key: Array, mean, scale, lower=None, upper=None, shape=None) -> Array:
     """Truncated normal draws (reference gmrf.py:269-292), elementwise broadcast.
 
-    Uses jax.random.truncated_normal on the standardized bounds (inverse-CDF based,
-    robust in the tails).
+    Inverse-CDF sampling (the same algorithm as jax.random.truncated_normal) but with
+    the Giles single-precision inverse erf: ``jax.lax.erf_inv`` lowers to a ~1.6 ms
+    routine per (4096, 50) call on TPU and dominated every truncated sweep; the
+    polynomial is ~400x faster at f32-equivalent accuracy (see linalg/random.py).
     """
+    from openmcmc_tpu.linalg.random import fast_erfinv
+
     mean = jnp.asarray(mean, dtype=jnp.result_type(float))
     scale = jnp.asarray(scale, dtype=mean.dtype)
     a, b = _standardize_bounds(mean, scale, lower, upper)
     if shape is None:
         shape = jnp.broadcast_shapes(jnp.shape(mean), jnp.shape(scale), jnp.shape(a), jnp.shape(b))
-    a = jnp.broadcast_to(a, shape)
-    b = jnp.broadcast_to(b, shape)
-    z = jax.random.truncated_normal(key, a, b, shape, dtype=mean.dtype)
-    return mean + scale * z
+    a = jnp.broadcast_to(jnp.asarray(a, mean.dtype), shape)
+    b = jnp.broadcast_to(jnp.asarray(b, mean.dtype), shape)
+    sqrt2 = jnp.asarray(1.4142135623730951, mean.dtype)
+    ea = lax.erf(a / sqrt2)
+    eb = lax.erf(b / sqrt2)
+    u = jax.random.uniform(key, shape, mean.dtype)
+    t = ea + u * (eb - ea)
+    eps = jnp.asarray(1e-7, mean.dtype)
+    z = sqrt2 * fast_erfinv(jnp.clip(t, -1.0 + eps, 1.0 - eps))
+    z = jnp.clip(z, a, b)
+    out = mean + scale * z
+    # mean + scale * clip(z) can round 1 ulp outside the box in f32: clip in the
+    # original coordinates too (reference semantics: draws lie inside the bounds)
+    if lower is not None:
+        out = jnp.maximum(out, jnp.asarray(lower, out.dtype))
+    if upper is not None:
+        out = jnp.minimum(out, jnp.asarray(upper, out.dtype))
+    return out
 
 
 def truncated_normal_log_pdf(x, mean, scale, lower=None, upper=None) -> Array:
@@ -242,32 +260,31 @@ def gibbs_canonical_truncated_normal(
     x: Array,
     lower=None,
     upper=None,
-    _allow_pallas: bool = True,
+    schedule: str = "lex",
 ) -> Array:
     """One coordinate-wise Gibbs sweep of a box-truncated canonical Gaussian.
 
     x ~ N_c(Q^{-1} b, Q^{-1}) s.t. lower < x < upper  (reference gmrf.py:201-266).
-    The per-dimension conditional mean is v_i (b_i - Q_{i,:} x + Q_{ii} x_i); the sweep
-    is inherently sequential in the dimension, so it is a ``lax.scan`` over coordinates
-    -- chain parallelism comes from ``vmap`` at the driver level. Tridiagonal Q under
-    chain batching dispatches to the fused Pallas sweep (linalg.pallas_truncated).
+    The per-dimension conditional mean is v_i (b_i - Q_{i,:} x + Q_{ii} x_i).
+
+    schedule="lex" (reference parity): sequential lexicographic sweep as a
+    ``lax.scan`` over coordinates -- chain parallelism via ``vmap`` at the driver.
+    schedule="red_black" (TPU-native, banded/diagonal Q only): chromatic Gibbs.
+    Coordinates i, j with |i - j| > bw do not interact, so coloring by
+    i mod (bw + 1) makes each color class conditionally independent -- the whole
+    class updates in ONE vectorized truncated draw. A sweep is bw + 1 parallel
+    steps instead of p sequential ones (p/(bw+1) times less sequential depth; the
+    transcendental work vectorizes over coordinates x chains). Both schedules are
+    valid Gibbs kernels with the same stationary distribution; one-sweep
+    distributions differ (update order matters within a sweep).
+
+    The chromatic sweep + the polynomial inverse-CDF draw made the round-1 Pallas
+    lexicographic-sweep kernel obsolete (measured ~100x faster on-device than
+    either sequential path); it has been removed.
     """
     Qs = st.as_structured(Q)
-    from openmcmc_tpu.linalg import pallas_truncated as _pt
-
-    if _allow_pallas and _pt.ENABLE_PALLAS_TRUNCATED and isinstance(Qs, st.Banded) and Qs.bw == 1:
-        from openmcmc_tpu.linalg.pallas_truncated import gibbs_truncated_tridiag
-
-        p = Qs.bands.shape[-1]
-        lo = jnp.broadcast_to(
-            -jnp.inf if lower is None else jnp.reshape(jnp.asarray(lower, jnp.result_type(float)), (-1,)), (p,)
-        )
-        hi = jnp.broadcast_to(
-            jnp.inf if upper is None else jnp.reshape(jnp.asarray(upper, jnp.result_type(float)), (-1,)), (p,)
-        )
-        shape_in = jnp.asarray(x).shape
-        out = gibbs_truncated_tridiag(key, jnp.asarray(b).reshape(p, 1), Qs.bands, jnp.asarray(x).reshape(p, 1), lo, hi)
-        return out.reshape(shape_in)
+    if schedule == "red_black" and isinstance(Qs, (st.Banded, st.Diagonal)):
+        return _gibbs_truncated_red_black(key, b, Qs, x, lower, upper)
     b = jnp.asarray(b).reshape(-1)
     x = jnp.asarray(x)
     shape_in = x.shape
@@ -290,6 +307,32 @@ def gibbs_canonical_truncated_normal(
     return xf.reshape(shape_in)
 
 
+def _gibbs_truncated_red_black(key, b, Qs, x, lower, upper) -> Array:
+    """Chromatic (red-black) truncated Gibbs sweep for banded/diagonal Q.
+
+    Each of the bw + 1 color classes {i : i mod (bw+1) == c} is an independent set
+    of the precision graph, so its conditionals given the rest factorize and the
+    whole class is one vectorized truncated-normal draw (Q_ij = 0 for same-color
+    i != j). Sequential depth bw + 1 instead of p."""
+    b = jnp.asarray(b).reshape(-1)
+    x = jnp.asarray(x)
+    shape_in = x.shape
+    xf = x.reshape(-1)
+    p = xf.shape[0]
+    lo = jnp.broadcast_to(-jnp.inf if lower is None else jnp.reshape(jnp.asarray(lower, xf.dtype), (-1,)), (p,))
+    hi = jnp.broadcast_to(jnp.inf if upper is None else jnp.reshape(jnp.asarray(upper, xf.dtype), (-1,)), (p,))
+    q_diag = st.diag(Qs)
+    v = 1.0 / q_diag
+    s = jnp.sqrt(v)
+    n_colors = 1 if isinstance(Qs, st.Diagonal) else Qs.bw + 1
+    colors = jnp.arange(p) % n_colors
+    for c, k in enumerate(jax.random.split(key, n_colors)):
+        cond_mean = v * (b - st.matvec(Qs, xf) + q_diag * xf)
+        draw = truncated_normal_rv(k, cond_mean, s, lo, hi, shape=(p,))
+        xf = jnp.where(colors == c, draw, xf)
+    return xf.reshape(shape_in)
+
+
 def sample_truncated_normal(
     key: Array,
     mu: Array,
@@ -300,13 +343,23 @@ def sample_truncated_normal(
     n: int = 1,
     method: str = "Gibbs",
     n_sweeps: int = 10,
+    init_max_iter: int = 100,
+    schedule: str = "auto",
 ) -> Array:
     """Sample from a box-truncated MVN (reference gmrf.py:64-110).
 
-    method="Gibbs": initialize at mu clipped into the box, then run ``n_sweeps``
-    coordinate Gibbs sweeps per sample column (the reference thins a Gibbs chain by 10;
-    here each replicate column gets an independent thinned chain, which vectorizes).
+    method="Gibbs": REJECTION-INITIALIZE each sample column with an exact draw
+    (matching the reference's warm-up, reference gmrf.py:95-100), then run
+    ``n_sweeps`` coordinate Gibbs sweeps per column (the reference thins one Gibbs
+    chain by 10; here each replicate column gets an independent thinned chain, which
+    vectorizes and yields uncorrelated columns). Columns whose rejection phase does
+    not accept within ``init_max_iter`` rounds (strong truncation -- exactly the
+    regime Gibbs exists for) fall back to mu clipped into the box.
     method="Rejection": masked rejection sampling.
+
+    schedule="auto" uses the chromatic red-black sweep for banded/diagonal Q
+    (bw + 1 parallel steps per sweep instead of p sequential ones; same stationary
+    distribution) and the lexicographic scan otherwise; "lex"/"red_black" force one.
     """
     if method == "Rejection":
         return sample_truncated_normal_rejection(key, mu, Q=Q, L=L, lower=lower, upper=upper, n=n)
@@ -322,19 +375,34 @@ def sample_truncated_normal(
     b = st.matvec(Qs, mu_col)
     lo = -jnp.inf if lower is None else lower
     hi = jnp.inf if upper is None else upper
-    x0 = jnp.clip(mu_col, jnp.reshape(jnp.asarray(lo), (-1, 1)) if jnp.ndim(lo) else lo,
-                  jnp.reshape(jnp.asarray(hi), (-1, 1)) if jnp.ndim(hi) else hi)
+    lo_col = jnp.broadcast_to(jnp.reshape(jnp.asarray(lo), (-1, 1)) if jnp.ndim(lo) else lo, (p, 1))
+    hi_col = jnp.broadcast_to(jnp.reshape(jnp.asarray(hi), (-1, 1)) if jnp.ndim(hi) else hi, (p, 1))
+    x0_clip = jnp.clip(mu_col, lo_col, hi_col)
     # Guard against infinite bounds producing NaN in clip of +-inf mu entries
-    x0 = jnp.where(jnp.isfinite(x0), x0, 0.0)
+    x0_clip = jnp.where(jnp.isfinite(x0_clip), x0_clip, 0.0)
 
-    def one_column(k):
+    # exact rejection initialization (reference gmrf.py:95-100); bounded rounds, with
+    # clip-init fallback for columns the rejection phase never accepted
+    key, k_init = jax.random.split(key)
+    init = sample_truncated_normal_rejection(
+        k_init, mu_col, Q=Qs, L=L, lower=lower, upper=upper, n=n, max_iter=init_max_iter
+    )
+    in_box = jnp.all(jnp.logical_and(init >= lo_col, init <= hi_col), axis=0, keepdims=True)
+    x0_cols = jnp.where(in_box, init, x0_clip)  # (p, n)
+
+    if schedule == "auto":
+        schedule = "red_black" if isinstance(Qs, (st.Banded, st.Diagonal)) else "lex"
+
+    def one_column(k, x0):
         def sweep(x, kk):
-            return gibbs_canonical_truncated_normal(kk, b, Qs, x, lower=lower, upper=upper), None
+            return gibbs_canonical_truncated_normal(
+                kk, b, Qs, x, lower=lower, upper=upper, schedule=schedule
+            ), None
 
-        x_final, _ = lax.scan(sweep, x0, jax.random.split(k, n_sweeps))
+        x_final, _ = lax.scan(sweep, x0[:, None], jax.random.split(k, n_sweeps))
         return x_final[:, 0]
 
-    cols = jax.vmap(one_column)(jax.random.split(key, n))
+    cols = jax.vmap(one_column)(jax.random.split(key, n), x0_cols.T)
     return cols.T
 
 

@@ -1,4 +1,4 @@
-"""Fast special-purpose samplers.
+"""Fast special-purpose samplers and special functions.
 
 ``fast_gamma``: Marsaglia-Tsang (2000) squeeze-rejection Gamma sampling with a FIXED
 number of vectorized candidate rounds instead of jax.random.gamma's data-dependent
@@ -11,6 +11,12 @@ boost: G(a) = G(a + 1) * U^{1/a}.
 This is the conjugate NormalGamma hot path: fixed rounds trade a tiny tail
 approximation for a branch-free, fully-vectorized kernel (~10x faster than
 jax.random.gamma at MCMC batch sizes).
+
+``fast_erfinv``: Giles (2012) single-precision inverse error function -- two 9-term
+polynomial branches in w = -log(1 - x^2), evaluated branchlessly. Max error a few
+f32 ulps over |x| < 1 - 1e-6. Exists because ``jax.lax.erf_inv`` on TPU costs ~1.6 ms
+per (4096, 50) call (measured: it dominates every truncated-normal sweep at ~95% of
+runtime); this polynomial is ~400x faster at f32-equivalent accuracy.
 """
 
 from __future__ import annotations
@@ -19,6 +25,30 @@ import jax
 import jax.numpy as jnp
 
 N_ROUNDS = 8
+
+
+def fast_erfinv(x):
+    """Single-precision inverse erf (Giles 2012), branchless two-regime polynomial."""
+    x = jnp.asarray(x)
+    w = -jnp.log(jnp.maximum((1.0 - x) * (1.0 + x), 1e-37))
+    # central branch: w < 5
+    wc = w - 2.5
+    p1 = jnp.asarray(2.81022636e-08, x.dtype)
+    for coef in (3.43273939e-07, -3.5233877e-06, -4.39150654e-06, 0.00021858087,
+                 -0.00125372503, -0.00417768164, 0.246640727, 1.50140941):
+        p1 = coef + p1 * wc
+    # tail branch: w >= 5
+    wt = jnp.sqrt(jnp.maximum(w, 5.0)) - 3.0
+    p2 = jnp.asarray(-0.000200214257, x.dtype)
+    for coef in (0.000100950558, 0.00134934322, -0.00367342844, 0.00573950773,
+                 -0.0076224613, 0.00943887047, 1.00167406, 2.83297682):
+        p2 = coef + p2 * wt
+    return jnp.where(w < 5.0, p1, p2) * x
+
+
+def fast_ndtri(q):
+    """Inverse standard-normal CDF via ``fast_erfinv``."""
+    return 1.4142135623730951 * fast_erfinv(2.0 * jnp.asarray(q) - 1.0)
 
 
 def fast_gamma(key, a, rate=None):

@@ -80,8 +80,11 @@ class NormalNormal(Sampler):
             new_value = gmrf.sample_normal_canonical(key, b, Q=Q)
         else:
             lo, hi = prior._bounds()
+            # chromatic sweep for banded/diagonal Q: bw+1 parallel color updates
+            # instead of p sequential coordinate draws (same stationary law)
+            schedule = "red_black" if isinstance(Q, (st.Banded, st.Diagonal)) else "lex"
             new_value = gmrf.gibbs_canonical_truncated_normal(
-                key, b, Q, x=state[param], lower=lo, upper=hi
+                key, b, Q, x=state[param], lower=lo, upper=hi, schedule=schedule
             )
         new_state = dict(state)
         new_state[param] = new_value.reshape(state[param].shape)

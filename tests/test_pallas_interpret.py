@@ -67,49 +67,6 @@ def test_tridiag_kernel_interpret(interpret, rng):
     np.testing.assert_allclose(x, np.broadcast_to(want, (B, p)), rtol=2e-4, atol=2e-4)
 
 
-def test_truncated_kernel_interpret(interpret, rng):
-    """Coordinate-Gibbs sweep verified exactly against a numpy mirror of the kernel's
-    inverse-CDF math with the constant stubbed uniform."""
-    from openmcmc_tpu.linalg.pallas_truncated import _erf_poly, _pallas_gibbs_batched
-
-    p = 8
-    Q = _tridiag_q(p, scale=3.0)
-    b = np.asarray(rng.normal(size=p), np.float32)
-    x0 = np.full(p, 0.5, np.float32)
-    lo, hi = np.zeros(p, np.float32), np.full(p, 2.0, np.float32)
-    xs = np.asarray(
-        _pallas_gibbs_batched(
-            jnp.asarray([3], jnp.int32),
-            jnp.broadcast_to(Q.bands[0], (B, p)) + 0.0,
-            jnp.broadcast_to(Q.bands[1], (B, p)) + 0.0,
-            jnp.broadcast_to(jnp.asarray(b), (B, p)) + 0.0,
-            jnp.broadcast_to(jnp.asarray(x0), (B, p)) + 0.0,
-            jnp.broadcast_to(jnp.asarray(lo), (B, p)) + 0.0,
-            jnp.broadcast_to(jnp.asarray(hi), (B, p)) + 0.0,
-        )
-    )
-
-    def ndtr(z):
-        return 0.5 * (1.0 + np.asarray(_erf_poly(jnp.asarray(z / np.sqrt(2.0), jnp.float32))))
-
-    from scipy.special import erfinv
-
-    a_diag = np.asarray(Q.bands[0], np.float64)
-    c_off = np.asarray(Q.bands[1], np.float64)
-    x = x0.astype(np.float64).copy()
-    for i in range(p):
-        s = 1.0 / np.sqrt(a_diag[i])
-        m = (b[i] - (c_off[i - 1] * x[i - 1] if i > 0 else 0.0) - (c_off[i] * x[i + 1] if i < p - 1 else 0.0)) / a_diag[i]
-        alpha = np.clip((lo[i] - m) / s, -8, 8)
-        beta = np.clip((hi[i] - m) / s, -8, 8)
-        fa, fb = ndtr(alpha), ndtr(beta)
-        q = np.clip(fa + U_HALF * (fb - fa), 1e-7, 1 - 1e-7)
-        z = np.sqrt(2.0) * erfinv(2.0 * q - 1.0)
-        x[i] = np.clip(m + s * z, lo[i], hi[i])
-    np.testing.assert_allclose(xs, np.broadcast_to(x, (B, p)), rtol=2e-3, atol=2e-3)
-    assert xs.min() >= 0.0 and xs.max() <= 2.0
-
-
 def test_gamma_kernel_interpret(interpret):
     """Marsaglia-Tsang squeeze verified exactly: with constant candidate draws the
     accepted value has a closed form."""
