@@ -224,6 +224,56 @@ def reversible_jump(n_chains=2048):
     return m, "n_basis"
 
 
+def fused_workloads(ref):
+    """The two fused whole-run engines, measured on the same configs as their generic
+    counterparts and compared to the same reference numbers."""
+    from openmcmc_tpu.diagnostics import ess_per_param
+    from openmcmc_tpu.fused import run_fused_linreg, run_fused_smoother
+
+    rng = np.random.default_rng(0)
+    N = 100
+    x = np.sort(rng.random(N))
+    X = np.stack([np.ones(N), x], 1)
+    y = X @ np.array([2.0, 0.5]) + rng.normal(0, 0.1, N)
+
+    def go_linreg():
+        out = run_fused_linreg(3, X, y, n_burn=1000, n_iter=1000, n_chains=4096)
+        jax.block_until_ready(out["beta"])
+        return out
+
+    rng2 = np.random.default_rng(0)
+    n_time = 100
+    s = np.linspace(0.0, 60.0, n_time)
+    ys = np.sin(s / 20.0) + 2.0 * np.cos(s / 12.0) + 2.0 + rng2.normal(0.0, 1.0, n_time)
+
+    def go_smoother():
+        out = run_fused_smoother(7, ys, s, n_burn=200, n_iter=500, n_chains=8192,
+                                 a_lam=10.0, b_lam=1.0, a_tau=1.0, b_tau=1.0)
+        jax.block_until_ready(out["b"])
+        return out
+
+    for name, go, draw_key, iters, n_chains, ref_name in [
+        ("linreg_gibbs_fused", go_linreg, "beta", 2000, 4096, "linreg_gibbs"),
+        ("gmrf_smoother_fused", go_smoother, "b", 700, 8192, "gmrf_smoother"),
+    ]:
+        go()  # compile + warm
+        t0 = time.perf_counter()
+        out = go()
+        wall = time.perf_counter() - t0
+        draws = out[draw_key]
+        draws = draws.reshape(draws.shape[0], draws.shape[1], -1)
+        ess = float(jnp.mean(ess_per_param(draws, chunk_size=16)))
+        entry = {
+            "wall_s": round(wall, 4), "n_chains": n_chains, "iters": iters,
+            "iters_per_s": round(iters / wall, 1), "ess": round(ess, 1),
+            "ess_per_s": round(ess / wall, 1),
+            "vs_baseline": round(ess / wall / ref[ref_name]["ess_per_s"], 1),
+            "baseline_ess_per_s": ref[ref_name]["ess_per_s"],
+        }
+        RESULTS[name] = entry
+        print(json.dumps({"workload": name, **entry}), flush=True)
+
+
 def main():
     with open("reference_measured.json") as f:
         ref = json.load(f)
@@ -233,7 +283,7 @@ def main():
         ("random_walk_mh", random_walk_mh, 1),
         ("mmala", mmala, 1),
         ("gmrf_smoother", gmrf_smoother, 1),
-        ("reversible_jump", reversible_jump, 20),
+        ("reversible_jump", reversible_jump, 4),
     ]
     for name, build, chunks in workloads:
         mcmc, param = build()
@@ -242,10 +292,12 @@ def main():
         entry["baseline_ess_per_s"] = ref[name]["ess_per_s"]
         print(json.dumps({"workload": name, **entry}), flush=True)
 
+    fused_workloads(ref)
+
     with open("BENCH_ALL.json", "w") as f:
         json.dump(RESULTS, f, indent=1)
-    speedups = [RESULTS[n]["vs_baseline"] for n, _, _ in workloads]
-    print(json.dumps({"summary": "speedups_vs_reference", "workloads": dict(zip([n for n, _, _ in workloads], speedups))}))
+    speedups = {n: RESULTS[n]["vs_baseline"] for n in RESULTS}
+    print(json.dumps({"summary": "speedups_vs_reference", "workloads": speedups}))
 
 
 if __name__ == "__main__":

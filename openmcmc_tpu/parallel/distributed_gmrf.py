@@ -75,7 +75,7 @@ def tridiag_solve_sharded(
     the combined DP x SP layout: interface collectives run within each chain group
     over ``axis_name`` only.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.shape[axis_name]
 

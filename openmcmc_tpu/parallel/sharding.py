@@ -42,7 +42,7 @@ def pooled_mean_var(draws: jnp.ndarray, mesh: Mesh, axis_name: str = "chains"):
     draws: (n_chains, ...) sharded on axis 0 over the mesh. Demonstrates the pooled
     diagnostics pattern (sampling stays communication-free; only reductions ride ICI).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_total = draws.shape[0]
 
