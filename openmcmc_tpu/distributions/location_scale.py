@@ -219,7 +219,9 @@ class Normal(LocationScale):
             grad = -(Q.diag_[:, None] * r) * mask[:, None]
             if hessian_required:
                 hess_diag = Q.diag_ * mask + (1.0 - mask)
-                return grad, jnp.diagflat(hess_diag)
+                # eye-mask instead of diagflat: diagflat of a traced vector is a
+                # serialized per-chain scatter under vmap on TPU
+                return grad, jnp.eye(hess_diag.shape[-1], dtype=hess_diag.dtype) * hess_diag[None, :]
             return grad
 
         if param == self.response:
@@ -313,7 +315,7 @@ class LogNormal(LocationScale):
             out = out.at[idx, :, idx, :].set(blocks)
             out = out.transpose((1, 0, 3, 2)).reshape(n * d, n * d)
             diag_term = (recip**2 * (1.0 + st.matvec(Q, r))).reshape(-1)
-            return out - jnp.diagflat(diag_term)
+            return out - jnp.eye(diag_term.shape[-1], dtype=diag_term.dtype) * diag_term[None, :]
 
         if param in self.mean.get_grad_param_list() and param not in self.precision.get_grad_param_list():
             Q = self._precision_structured(state)

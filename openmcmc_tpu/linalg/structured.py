@@ -143,17 +143,30 @@ def dim(a: Structured) -> int:
     return a.bands.shape[-1]
 
 
+def _diag_embed_offset(band: jnp.ndarray, p: int, k: int) -> jnp.ndarray:
+    """Scatter-free diagflat(band, k): eye-mask times broadcast band.
+
+    ``jnp.diagflat`` of a traced vector lowers to an XLA scatter, which under vmap
+    becomes a serialized per-batch-element loop on TPU; the eye-mask product is one
+    vectorized multiply. band is (p,) with the out-of-range tail ignored by the mask.
+    """
+    eye_k = jnp.eye(p, k=k, dtype=band.dtype)
+    if k <= 0:
+        return eye_k * band[None, :]  # M[b - k, b] = band[b]
+    return eye_k * band[:, None]  # M[a, a + k] = band[a]
+
+
 def to_dense(a: Structured) -> jnp.ndarray:
-    """Materialize as a (p, p) dense array (test/debug utility)."""
+    """Materialize as a (p, p) dense array (scatter-free, vmap-safe)."""
     if isinstance(a, Dense):
         return a.mat
     if isinstance(a, Diagonal):
-        return jnp.diagflat(a.diag_)
+        p = a.diag_.shape[-1]
+        return _diag_embed_offset(a.diag_, p, 0)
     p = dim(a)
-    out = jnp.diagflat(a.bands[0])
+    out = _diag_embed_offset(a.bands[0], p, 0)
     for j in range(1, a.bw + 1):
-        band = a.bands[j, : p - j]
-        out = out + jnp.diagflat(band, -j) + jnp.diagflat(band, j)
+        out = out + _diag_embed_offset(a.bands[j], p, -j) + _diag_embed_offset(a.bands[j], p, j)
     return out
 
 
@@ -162,11 +175,11 @@ def to_dense_lower(chol: Structured) -> jnp.ndarray:
     if isinstance(chol, Dense):
         return chol.mat
     if isinstance(chol, Diagonal):
-        return jnp.diagflat(chol.diag_)
+        return _diag_embed_offset(chol.diag_, chol.diag_.shape[-1], 0)
     p = dim(chol)
-    out = jnp.diagflat(chol.bands[0])
+    out = _diag_embed_offset(chol.bands[0], p, 0)
     for j in range(1, chol.bw + 1):
-        out = out + jnp.diagflat(chol.bands[j, : p - j], -j)
+        out = out + _diag_embed_offset(chol.bands[j], p, -j)
     return out
 
 
