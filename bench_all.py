@@ -49,12 +49,23 @@ def run_workload(name, mcmc, param, ess_chunk=16, chunks=1):
             return mcmc.run_chunked(chunks, progress=False)
         return mcmc.run()
 
+    def sync(res):
+        # a scalar host fetch is the only reliable barrier over the axon tunnel
+        # (block_until_ready can report fused outputs ready before completion)
+        jax.block_until_ready(res.store)
+        return float(jnp.max(res.log_post[:, -1]))
+
     res = go()
-    jax.block_until_ready(res.store)  # compile + warm
+    sync(res)  # compile + warm
     t0 = time.perf_counter()
     res = go()
-    jax.block_until_ready(res.store)
-    wall = time.perf_counter() - t0
+    sync(res)
+    t1 = time.perf_counter()
+    # the barrier itself costs one dispatch + host fetch over the tunnel (tens of
+    # ms); measure it on the already-complete result and subtract
+    sync(res)
+    sync_overhead = time.perf_counter() - t1
+    wall = max(t1 - t0 - sync_overhead, 1e-9)
     draws = res.store[param]
     draws = draws.reshape(draws.shape[0], draws.shape[1], -1)
     ess = float(jnp.mean(ess_per_param(draws, chunk_size=ess_chunk)))
@@ -238,7 +249,7 @@ def fused_workloads(ref):
 
     def go_linreg():
         out = run_fused_linreg(3, X, y, n_burn=1000, n_iter=1000, n_chains=4096)
-        jax.block_until_ready(out["beta"])
+        float(jnp.max(out["tau"]))  # true barrier (see run_workload.sync)
         return out
 
     rng2 = np.random.default_rng(0)
@@ -249,7 +260,7 @@ def fused_workloads(ref):
     def go_smoother():
         out = run_fused_smoother(7, ys, s, n_burn=200, n_iter=500, n_chains=8192,
                                  a_lam=10.0, b_lam=1.0, a_tau=1.0, b_tau=1.0)
-        jax.block_until_ready(out["b"])
+        float(jnp.max(out["tau"]))  # true barrier (see run_workload.sync)
         return out
 
     for name, go, draw_key, iters, n_chains, ref_name in [
@@ -259,7 +270,9 @@ def fused_workloads(ref):
         go()  # compile + warm
         t0 = time.perf_counter()
         out = go()
-        wall = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        float(jnp.max(out["tau"]))  # barrier overhead on the complete result
+        wall = max(t1 - t0 - (time.perf_counter() - t1), 1e-9)
         draws = out[draw_key]
         draws = draws.reshape(draws.shape[0], draws.shape[1], -1)
         ess = float(jnp.mean(ess_per_param(draws, chunk_size=16)))
