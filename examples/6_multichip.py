@@ -8,7 +8,15 @@ ICI. Run with real multi-chip hardware, or simulate on CPU:
         python examples/6_multichip.py
 """
 
+import os
+
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the container's TPU plugin ignores the env var; force the CPU backend so the
+    # documented simulation command works (same workaround as tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

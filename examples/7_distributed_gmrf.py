@@ -10,9 +10,16 @@ Run on real multi-chip hardware, or simulate:
         python examples/7_distributed_gmrf.py
 """
 
+import os
 import time
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the container's TPU plugin ignores the env var; force the CPU backend so the
+    # documented simulation command works (same workaround as tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -151,6 +151,31 @@ class MCMC:
         self.store_names = list(store_names)
         self._stats_names = [s.param for s in self.samplers]
         self._fn_cache = {}
+        self._enable_carried_logp()
+
+    def _enable_carried_logp(self) -> None:
+        """Turn on carried current-state log-densities for Metropolis samplers whose
+        conditional-model inputs no other sampler in the sweep modifies (always true
+        for single-sampler chains). Halves the density work per MH step; the carried
+        value stays exact because each sampler writes back its own post-accept
+        log-density (see MetropolisHastings.carry_logp)."""
+        from openmcmc_tpu.samplers.metropolis import ManifoldMALA, RandomWalk, RandomWalkLoop
+        from openmcmc_tpu.samplers.reversible_jump import ReversibleJump
+
+        for s in self.samplers:
+            base_mh = isinstance(s, (RandomWalk, ManifoldMALA, ReversibleJump)) and not isinstance(
+                s, RandomWalkLoop
+            )
+            if not base_mh:
+                continue
+            deps = set()
+            for dist in s.model.values():
+                deps.update(dist.param_list)
+            others = set()
+            for o in self.samplers:
+                if o is not s:
+                    others.update(getattr(o, "updated_names", [o.param]))
+            s.carry_logp = not (deps & others)
 
     # -- construction of the pure step functions ----------------------------
 
@@ -169,8 +194,14 @@ class MCMC:
                 chain_state[sampler.param] = value
         return chain_state
 
-    def _init_stats(self) -> dict:
-        return {s.param: s.init_stats() for s in self.samplers}
+    def _init_stats(self, chain_state: Optional[dict] = None) -> dict:
+        stats = {s.param: s.init_stats() for s in self.samplers}
+        if chain_state is not None:
+            full = self._full_state(chain_state)
+            for s in self.samplers:
+                if getattr(s, "carry_logp", False):
+                    stats[s.param]["logp"] = s.initial_carried_logp(full)
+        return stats
 
     def _sweep(self, key, chain_state: dict, stats: dict, adapt: bool = False):
         """One stored iteration: n_thin full passes over all samplers (reference mcmc.py:98-100).
@@ -212,7 +243,7 @@ class MCMC:
     def _single_chain_run(self, key):
         key, init_key = jax.random.split(key)
         chain_state = self._init_single_chain(init_key)
-        stats = self._init_stats()
+        stats = self._init_stats(chain_state)
         return self._run_from(key, chain_state, stats)
 
     def _run_from(self, key, chain_state, stats):

@@ -43,6 +43,13 @@ class MetropolisHastings(Sampler):
     #: default acceptance-rate target for step adaptation (overridden per subclass)
     default_target_accept = 0.234
 
+    #: carry the current state's conditional log-density in the stats pytree, so each
+    #: step evaluates only the proposal (halves density work). Enabled by the MCMC
+    #: driver when no OTHER sampler in the sweep modifies this sampler's model inputs
+    #: (single-sampler chains, or independent blocks); the post-accept value is exact:
+    #: log_p(selected state) == where(accept, logp_proposal, logp_current).
+    carry_logp = False
+
     def __init__(
         self,
         param: str,
@@ -97,11 +104,15 @@ class MetropolisHastings(Sampler):
             total = total + dist.log_p(state)
         return total
 
-    def _accept_reject(self, key, state, updates, logp_pr_g_cr, logp_cr_g_pr, stats, force_reject=None):
-        """Branchless accept/reject (reference metropolis_hastings.py:127-173)."""
+    def _accept_reject(self, key, state, updates, logp_pr_g_cr, logp_cr_g_pr, stats, force_reject=None, logp_cs=None):
+        """Branchless accept/reject (reference metropolis_hastings.py:127-173).
+
+        ``logp_cs``: optionally the precomputed current-state conditional log-density
+        (the carried value when ``carry_logp`` is on)."""
         prop_state = dict(state)
         prop_state.update(updates)
-        logp_cs = self._conditional_log_p(state)
+        if logp_cs is None:
+            logp_cs = self._conditional_log_p(state)
         logp_pr = self._conditional_log_p(prop_state)
         log_accept = logp_pr + logp_cr_g_pr - (logp_cs + logp_pr_g_cr)
         accept = jnp.log(jax.random.uniform(key)) < log_accept
@@ -113,13 +124,22 @@ class MetropolisHastings(Sampler):
         new_stats = dict(stats)
         new_stats["accept"] = stats["accept"] + accept.astype(jnp.int32)
         new_stats["proposal"] = stats["proposal"] + 1
+        if self.carry_logp and "logp" in stats:
+            new_stats["logp"] = jnp.where(accept, logp_pr, logp_cs)
         return new_state, new_stats, log_accept
+
+    def initial_carried_logp(self, state: dict) -> jnp.ndarray:
+        """Value of the carried log-density entry for the initial state."""
+        return jnp.asarray(self._conditional_log_p(state))
 
     def step(self, key, state: dict, stats: dict, adapt: bool = False) -> Tuple[dict, dict]:
         k_prop, k_acc = jax.random.split(key)
         updates, logp_pr_g_cr, logp_cr_g_pr = self.proposal(k_prop, state, step=self._step_value(stats))
         new_state, new_stats, log_accept = self._accept_reject(
-            k_acc, state, updates, logp_pr_g_cr, logp_cr_g_pr, stats
+            k_acc, state, updates, logp_pr_g_cr, logp_cr_g_pr, stats,
+            # fall back to recomputing when the driver didn't seed the carried value
+            # (e.g. a bare step() call outside MCMC)
+            logp_cs=stats.get("logp") if self.carry_logp else None,
         )
         return new_state, self._adapt(new_stats, log_accept, adapt)
 
