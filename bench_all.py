@@ -239,7 +239,7 @@ def fused_workloads(ref):
     """The two fused whole-run engines, measured on the same configs as their generic
     counterparts and compared to the same reference numbers."""
     from openmcmc_tpu.diagnostics import ess_per_param
-    from openmcmc_tpu.fused import run_fused_linreg, run_fused_smoother
+    from openmcmc_tpu.fused import run_fused_linreg, run_fused_rw, run_fused_smoother
 
     rng = np.random.default_rng(0)
     N = 100
@@ -263,15 +263,24 @@ def fused_workloads(ref):
         float(jnp.max(out["tau"]))  # true barrier (see run_workload.sync)
         return out
 
+    y_rw = np.array([150.0, 155.0, 190.0, 160.0, 173.0])
+
+    def go_rw():
+        out = run_fused_rw(3, y_rw, n_burn=0, n_iter=1000, n_chains=8192,
+                           mu=160.0, tau=1.0 / 200.0, lam=1.0 / 100.0, step=5.0, h0=200.0)
+        float(jnp.max(out["h"]))  # true barrier (see run_workload.sync)
+        return out
+
     for name, go, draw_key, iters, n_chains, ref_name in [
         ("linreg_gibbs_fused", go_linreg, "beta", 2000, 4096, "linreg_gibbs"),
         ("gmrf_smoother_fused", go_smoother, "b", 700, 8192, "gmrf_smoother"),
+        ("random_walk_mh_fused", go_rw, "h", 1000, 8192, "random_walk_mh"),
     ]:
         go()  # compile + warm
         t0 = time.perf_counter()
         out = go()
         t1 = time.perf_counter()
-        float(jnp.max(out["tau"]))  # barrier overhead on the complete result
+        float(jnp.max(out[draw_key]))  # barrier overhead on the complete result
         wall = max(t1 - t0 - (time.perf_counter() - t1), 1e-9)
         draws = out[draw_key]
         draws = draws.reshape(draws.shape[0], draws.shape[1], -1)

@@ -114,3 +114,36 @@ def test_fused_linreg_interpret(interpret, rng):
     for name in ("beta", "lam", "tau", "log_post"):
         assert bool(np.isfinite(np.asarray(out[name])).all()), name
     assert float(out["tau"].min()) > 0 and float(out["lam"].min()) > 0
+
+
+def test_fused_rw_interpret(interpret):
+    """Whole-run random-walk engine: with the stubbed PRNG the proposal noise and
+    accept threshold are constants, so the chain is a deterministic recursion we can
+    mirror exactly in numpy."""
+    from openmcmc_tpu.fused import run_fused_rw
+
+    y = np.array([150.0, 155.0, 190.0, 160.0, 173.0])
+    mu, tau, lam, step, h0 = 160.0, 1.0 / 200.0, 1.0 / 100.0, 5.0, 200.0
+    n_burn, n_iter = 3, 6
+    out = run_fused_rw(9, y, n_burn=n_burn, n_iter=n_iter, n_chains=64,
+                       mu=mu, tau=tau, lam=lam, step=step, h0=h0)
+    assert out["h"].shape == (64, n_iter)
+
+    n, s1, s2 = len(y), y.sum(), (y**2).sum()
+    const = 0.5 * (n * np.log(tau) - n * np.log(2 * np.pi)) + 0.5 * (np.log(lam) - np.log(2 * np.pi))
+
+    def lp(h):
+        return const - 0.5 * tau * (s2 - 2 * h * s1 + n * h * h) - 0.5 * lam * (h - mu) ** 2
+
+    z0 = _box_muller(U_HALF, U_HALF)
+    log_u = np.log(U_HALF)
+    h, cur = h0, lp(h0)
+    draws = []
+    for it in range(n_burn + n_iter):
+        hp = h + step * z0
+        lpp = lp(hp)
+        if log_u < lpp - cur:
+            h, cur = hp, lpp
+        if it >= n_burn:
+            draws.append(h)
+    np.testing.assert_allclose(np.asarray(out["h"][0]), np.asarray(draws), rtol=1e-4)
