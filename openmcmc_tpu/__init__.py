@@ -20,19 +20,32 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
-from openmcmc_tpu import diagnostics, distributions, linalg, parallel, parameters, samplers
+from openmcmc_tpu import (
+    checkpoint,
+    diagnostics,
+    distributions,
+    fused,
+    linalg,
+    padding,
+    parallel,
+    parameters,
+    samplers,
+)
 from openmcmc_tpu.mcmc import MCMC, MCMCResult
 from openmcmc_tpu.model import Model
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "MCMC",
     "MCMCResult",
     "Model",
+    "checkpoint",
     "diagnostics",
     "distributions",
+    "fused",
     "linalg",
+    "padding",
     "parallel",
     "parameters",
     "samplers",
