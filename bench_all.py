@@ -41,9 +41,12 @@ from openmcmc_tpu.samplers import (
 RESULTS = {}
 
 
-def run_workload(name, mcmc, param, ess_chunk=16, chunks=1):
+def run_workload(name, mcmc, param, ess_chunk=16, chunks=1, reps=1):
     # chunks > 1 splits the run into several device programs (MCMC.run_chunked):
-    # needed for very long single executions (the RJ stack at 512 x 5000)
+    # needed for very long single executions (the RJ stack at 512 x 5000).
+    # reps > 1 measures several back-to-back runs (pipelined dispatch) ended by ONE
+    # true barrier, amortizing the barrier's tunnel round-trip over the repetitions
+    # -- needed because sub-second walls are otherwise swamped by tunnel jitter.
     def go():
         if chunks > 1:
             return mcmc.run_chunked(chunks, progress=False)
@@ -58,14 +61,13 @@ def run_workload(name, mcmc, param, ess_chunk=16, chunks=1):
     res = go()
     sync(res)  # compile + warm
     t0 = time.perf_counter()
-    res = go()
+    for _ in range(reps):
+        res = go()
     sync(res)
     t1 = time.perf_counter()
-    # the barrier itself costs one dispatch + host fetch over the tunnel (tens of
-    # ms); measure it on the already-complete result and subtract
-    sync(res)
+    sync(res)  # barrier cost alone, on the already-complete result
     sync_overhead = time.perf_counter() - t1
-    wall = max(t1 - t0 - sync_overhead, 1e-9)
+    wall = max((t1 - t0 - sync_overhead) / reps, 1e-9)
     draws = res.store[param]
     draws = draws.reshape(draws.shape[0], draws.shape[1], -1)
     ess = float(jnp.mean(ess_per_param(draws, chunk_size=ess_chunk)))
@@ -248,9 +250,7 @@ def fused_workloads(ref):
     y = X @ np.array([2.0, 0.5]) + rng.normal(0, 0.1, N)
 
     def go_linreg():
-        out = run_fused_linreg(3, X, y, n_burn=1000, n_iter=1000, n_chains=4096)
-        float(jnp.max(out["tau"]))  # true barrier (see run_workload.sync)
-        return out
+        return run_fused_linreg(3, X, y, n_burn=1000, n_iter=1000, n_chains=4096)
 
     rng2 = np.random.default_rng(0)
     n_time = 100
@@ -258,30 +258,30 @@ def fused_workloads(ref):
     ys = np.sin(s / 20.0) + 2.0 * np.cos(s / 12.0) + 2.0 + rng2.normal(0.0, 1.0, n_time)
 
     def go_smoother():
-        out = run_fused_smoother(7, ys, s, n_burn=200, n_iter=500, n_chains=8192,
-                                 a_lam=10.0, b_lam=1.0, a_tau=1.0, b_tau=1.0)
-        float(jnp.max(out["tau"]))  # true barrier (see run_workload.sync)
-        return out
+        return run_fused_smoother(7, ys, s, n_burn=200, n_iter=500, n_chains=8192,
+                                  a_lam=10.0, b_lam=1.0, a_tau=1.0, b_tau=1.0)
 
     y_rw = np.array([150.0, 155.0, 190.0, 160.0, 173.0])
 
     def go_rw():
-        out = run_fused_rw(3, y_rw, n_burn=0, n_iter=1000, n_chains=8192,
-                           mu=160.0, tau=1.0 / 200.0, lam=1.0 / 100.0, step=5.0, h0=200.0)
-        float(jnp.max(out["h"]))  # true barrier (see run_workload.sync)
-        return out
+        return run_fused_rw(3, y_rw, n_burn=0, n_iter=1000, n_chains=8192,
+                            mu=160.0, tau=1.0 / 200.0, lam=1.0 / 100.0, step=5.0, h0=200.0)
 
+    REPS = 10
     for name, go, draw_key, iters, n_chains, ref_name in [
         ("linreg_gibbs_fused", go_linreg, "beta", 2000, 4096, "linreg_gibbs"),
         ("gmrf_smoother_fused", go_smoother, "b", 700, 8192, "gmrf_smoother"),
         ("random_walk_mh_fused", go_rw, "h", 1000, 8192, "random_walk_mh"),
     ]:
-        go()  # compile + warm
+        out = go()  # compile + warm
+        float(jnp.max(out[draw_key]))  # true barrier
         t0 = time.perf_counter()
-        out = go()
+        for r in range(REPS):
+            out = go()  # dispatches pipeline; device executes serially
+        float(jnp.max(out[draw_key]))  # ONE true barrier for all reps
         t1 = time.perf_counter()
-        float(jnp.max(out[draw_key]))  # barrier overhead on the complete result
-        wall = max(t1 - t0 - (time.perf_counter() - t1), 1e-9)
+        float(jnp.max(out[draw_key]))  # barrier cost alone
+        wall = max((t1 - t0 - (time.perf_counter() - t1)) / REPS, 1e-9)
         draws = out[draw_key]
         draws = draws.reshape(draws.shape[0], draws.shape[1], -1)
         ess = float(jnp.mean(ess_per_param(draws, chunk_size=16)))
@@ -301,15 +301,15 @@ def main():
         ref = json.load(f)
 
     workloads = [
-        ("linreg_gibbs", linreg, 1),
-        ("random_walk_mh", random_walk_mh, 1),
-        ("mmala", mmala, 1),
-        ("gmrf_smoother", gmrf_smoother, 1),
-        ("reversible_jump", reversible_jump, 4),
+        ("linreg_gibbs", linreg, 1, 5),
+        ("random_walk_mh", random_walk_mh, 1, 5),
+        ("mmala", mmala, 1, 5),
+        ("gmrf_smoother", gmrf_smoother, 1, 5),
+        ("reversible_jump", reversible_jump, 4, 1),
     ]
-    for name, build, chunks in workloads:
+    for name, build, chunks, reps in workloads:
         mcmc, param = build()
-        _, entry = run_workload(name, mcmc, param, chunks=chunks)
+        _, entry = run_workload(name, mcmc, param, chunks=chunks, reps=reps)
         entry["vs_baseline"] = round(entry["ess_per_s"] / ref[name]["ess_per_s"], 1)
         entry["baseline_ess_per_s"] = ref[name]["ess_per_s"]
         print(json.dumps({"workload": name, **entry}), flush=True)
