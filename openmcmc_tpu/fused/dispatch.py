@@ -1,0 +1,286 @@
+"""Automatic fused-engine dispatch: match an MCMC configuration to a fused kernel.
+
+``MCMC.run(engine="auto")`` calls :func:`match_fused_engine` with the driver object;
+if the model + sampler structure matches one of the fused families (and the run
+configuration is representable: n_thin == 1, scalar constant hyperparameters), the
+whole run executes as a single Pallas launch and is repackaged as an
+:class:`~openmcmc_tpu.mcmc.MCMCResult` with the generic driver's array conventions.
+
+Matching is STRUCTURAL (distribution types, parameter forms, sampler order --
+the same static metadata the conditional-model analysis uses) plus numeric checks on
+the constants the kernels assume (e.g. identity noise penalty, zero prior mean).
+A failed match returns None and the driver falls back to the generic path, so
+``engine="auto"`` is always safe.
+
+Engine results reproduce store/log_post/acceptance; they do NOT support exact
+``run(resume=...)`` continuation (the kernels use the on-chip PRNG, whose state
+cannot be re-imported into the threefry stream).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from openmcmc_tpu.distributions.location_scale import Normal
+from openmcmc_tpu.distributions.univariate import Gamma
+from openmcmc_tpu.linalg import structured as st
+from openmcmc_tpu.parameters import Identity, LinearCombination, ScaledMatrix
+from openmcmc_tpu.samplers.conjugate import NormalGamma, NormalNormal
+from openmcmc_tpu.samplers.metropolis import ManifoldMALA, RandomWalk, RandomWalkLoop
+
+
+def _scalar(mcmc, name) -> Optional[float]:
+    value = mcmc.data.get(name)
+    if value is None or isinstance(value, (st.Dense, st.Diagonal, st.Banded)):
+        return None
+    arr = np.asarray(value)
+    if arr.size != 1:
+        return None
+    return float(arr.reshape(()))
+
+
+def _initial_scalar(mcmc, name) -> Optional[float]:
+    value = mcmc.initial_chain_state.get(name)
+    if value is None:
+        return None
+    arr = np.asarray(value)
+    if arr.size != 1:
+        return None
+    return float(arr.reshape(()))
+
+
+def _identity_mean_name(dist) -> Optional[str]:
+    if isinstance(dist.mean, Identity):
+        return dist.mean.form
+    return None
+
+
+def _scaled_precision(dist):
+    """(matrix_name, scale_name) for a ScaledMatrix precision, else None."""
+    if isinstance(dist.precision, ScaledMatrix):
+        return dist.precision.matrix, dist.precision.scalar
+    return None
+
+
+def match_fused_engine(mcmc) -> Optional[Callable]:
+    """Return a zero-arg callable running the MCMC as a fused kernel, or None."""
+    if mcmc.n_thin != 1 or mcmc.mesh is not None:
+        return None
+    for matcher in (_match_smoother, _match_linreg, _match_rw):
+        runner = matcher(mcmc)
+        if runner is not None:
+            return runner
+    return None
+
+
+def _conjugate_triplet(mcmc):
+    """Common shape of the smoother/linreg families: NormalNormal(x) + two
+    NormalGammas on the two ScaledMatrix scales. Returns (latent_name, gamma_params)
+    or None."""
+    if len(mcmc.samplers) != 3:
+        return None
+    nn, g1, g2 = mcmc.samplers[0], mcmc.samplers[1], mcmc.samplers[2]
+    if not isinstance(nn, NormalNormal) or not isinstance(g1, NormalGamma) or not isinstance(g2, NormalGamma):
+        return None
+    return nn.param, (g1.param, g2.param)
+
+
+def _gamma_hypers(mcmc, name):
+    dist = mcmc.model.get(name)
+    if not isinstance(dist, Gamma) or not isinstance(dist.shape, Identity) or not isinstance(dist.rate, Identity):
+        return None
+    a = _scalar(mcmc, dist.shape.form)
+    b = _scalar(mcmc, dist.rate.form)
+    if a is None or b is None:
+        return None
+    return a, b
+
+
+def _match_smoother(mcmc) -> Optional[Callable]:
+    """y ~ N(b, (tau I)^-1); b ~ N(0, (lam P0)^-1) with tridiagonal P0; Gamma scales."""
+    trip = _conjugate_triplet(mcmc)
+    if trip is None:
+        return None
+    latent, _ = trip
+    y_dist = None
+    for key, dist in mcmc.model.items():
+        if key != latent and isinstance(dist, Normal) and _identity_mean_name(dist) == latent:
+            y_dist = dist
+    b_dist = mcmc.model.get(latent)
+    if y_dist is None or not isinstance(b_dist, Normal) or y_dist.truncated or b_dist.truncated:
+        return None
+    sp_y = _scaled_precision(y_dist)
+    sp_b = _scaled_precision(b_dist)
+    if sp_y is None or sp_b is None:
+        return None
+    ptau = mcmc.data.get(sp_y[0])
+    plam = mcmc.data.get(sp_b[0])
+    if not isinstance(ptau, st.Diagonal) or not bool(jnp.all(ptau.diag_ == 1.0)):
+        return None
+    if not isinstance(plam, st.Banded) or plam.bw != 1:
+        return None
+    mu = mcmc.data.get(_identity_mean_name(b_dist))
+    if mu is None or not bool(jnp.all(jnp.asarray(mu) == 0.0)):
+        return None
+    y = mcmc.data.get(y_dist.response)
+    if y is None:
+        return None
+    tau_name, lam_name = sp_y[1], sp_b[1]
+    hyp_tau = _gamma_hypers(mcmc, tau_name)
+    hyp_lam = _gamma_hypers(mcmc, lam_name)
+    tau0 = _initial_scalar(mcmc, tau_name)
+    lam0 = _initial_scalar(mcmc, lam_name)
+    if None in (hyp_tau, hyp_lam, tau0, lam0):
+        return None
+
+    from openmcmc_tpu.fused.gmrf_smoother import run_fused_smoother
+
+    def run(seed):
+        out = run_fused_smoother(
+            seed, jnp.asarray(y).reshape(-1), None,
+            n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+            a_lam=hyp_lam[0], b_lam=hyp_lam[1], a_tau=hyp_tau[0], b_tau=hyp_tau[1],
+            lam0=lam0, tau0=tau0, P0_bands=plam.bands,
+        )
+        store = {
+            latent: out["b"][..., None],
+            lam_name: out["lam"][..., None, None],
+            tau_name: out["tau"][..., None, None],
+        }
+        return store, out["log_post"], {}
+
+    run.engine_name = "fused_gmrf_smoother"
+    return run
+
+
+def _match_linreg(mcmc) -> Optional[Callable]:
+    """y ~ N(X beta, (tau diag)^-1); beta ~ N(mu, (lam diag)^-1); Gamma scales."""
+    trip = _conjugate_triplet(mcmc)
+    if trip is None:
+        return None
+    latent, _ = trip
+    b_dist = mcmc.model.get(latent)
+    y_dist = None
+    for key, dist in mcmc.model.items():
+        if (
+            key != latent
+            and isinstance(dist, Normal)
+            and isinstance(dist.mean, LinearCombination)
+            and type(dist.mean) is LinearCombination
+            and list(dist.mean.form_dict.keys()) == [latent]
+        ):
+            y_dist = dist
+    if y_dist is None or not isinstance(b_dist, Normal) or y_dist.truncated or b_dist.truncated:
+        return None
+    if _identity_mean_name(b_dist) is None:
+        return None
+    sp_y = _scaled_precision(y_dist)
+    sp_b = _scaled_precision(b_dist)
+    if sp_y is None or sp_b is None:
+        return None
+    ptau = mcmc.data.get(sp_y[0])
+    plam = mcmc.data.get(sp_b[0])
+    if not isinstance(ptau, st.Diagonal) or not isinstance(plam, st.Diagonal):
+        return None
+    X = mcmc.data.get(y_dist.mean.form_dict[latent])
+    y = mcmc.data.get(y_dist.response)
+    mu = mcmc.data.get(_identity_mean_name(b_dist))
+    if X is None or y is None or mu is None:
+        return None
+    from openmcmc_tpu.fused.linreg import MAX_P
+
+    if np.asarray(X).shape[1] > MAX_P:
+        return None
+    tau_name, lam_name = sp_y[1], sp_b[1]
+    hyp_tau = _gamma_hypers(mcmc, tau_name)
+    hyp_lam = _gamma_hypers(mcmc, lam_name)
+    tau0 = _initial_scalar(mcmc, tau_name)
+    lam0 = _initial_scalar(mcmc, lam_name)
+    if None in (hyp_tau, hyp_lam, tau0, lam0):
+        return None
+
+    from openmcmc_tpu.fused.linreg import run_fused_linreg
+
+    def run(seed):
+        out = run_fused_linreg(
+            seed, jnp.asarray(X), jnp.asarray(y).reshape(-1),
+            n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+            a_tau=hyp_tau[0], b_tau=hyp_tau[1], a_lam=hyp_lam[0], b_lam=hyp_lam[1],
+            lam0=lam0, tau0=tau0,
+            mu=jnp.asarray(mu).reshape(-1), plam_diag=plam.diag_, ptau_diag=ptau.diag_,
+        )
+        store = {
+            latent: out["beta"][..., None],
+            lam_name: out["lam"][..., None, None],
+            tau_name: out["tau"][..., None, None],
+        }
+        return store, out["log_post"], {}
+
+    run.engine_name = "fused_linreg"
+    return run
+
+
+def _match_rw(mcmc) -> Optional[Callable]:
+    """Single RandomWalk on scalar h: y ~ N(h, tau^-1), h ~ N(mu, lam^-1), constants."""
+    if len(mcmc.samplers) != 1:
+        return None
+    rw = mcmc.samplers[0]
+    if not isinstance(rw, RandomWalk) or isinstance(rw, (RandomWalkLoop, ManifoldMALA)):
+        return None
+    if rw.domain_limits is not None or rw.state_update_function is not None or rw.adapt_step:
+        return None
+    if np.asarray(rw.step_size).size != 1:
+        return None
+    h = rw.param
+    h_dist = mcmc.model.get(h)
+    y_dist = None
+    for key, dist in mcmc.model.items():
+        if key != h and isinstance(dist, Normal) and _identity_mean_name(dist) == h:
+            y_dist = dist
+    if y_dist is None or not isinstance(h_dist, Normal) or y_dist.truncated or h_dist.truncated:
+        return None
+    y = mcmc.data.get(y_dist.response)
+    if y is None or np.asarray(y).shape[0] != 1:
+        return None
+
+    def precision_scalar(dist):
+        if not isinstance(dist.precision, Identity):
+            return None
+        value = mcmc.data.get(dist.precision.form)
+        if value is None:
+            return None
+        arr = np.asarray(st.to_dense(st.as_structured(jnp.asarray(value))))
+        if arr.shape != (1, 1):
+            return None
+        return float(arr[0, 0])
+
+    tau = precision_scalar(y_dist)
+    lam = precision_scalar(h_dist)
+    mu = _scalar(mcmc, _identity_mean_name(h_dist)) if _identity_mean_name(h_dist) else None
+    h0 = _initial_scalar(mcmc, h)
+    if None in (tau, lam, mu, h0):
+        return None
+
+    from openmcmc_tpu.fused.random_walk import run_fused_rw
+
+    def run(seed):
+        out = run_fused_rw(
+            seed, jnp.asarray(y).reshape(-1),
+            n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+            mu=mu, tau=tau, lam=lam, step=float(np.asarray(rw.step_size).reshape(())), h0=h0,
+        )
+        store = {h: out["h"][..., None, None]}
+        accepts = out["accept"]
+        stats = {
+            h: {
+                "accept": jnp.sum(accepts, axis=1).astype(jnp.int32),
+                "proposal": jnp.full((accepts.shape[0],), accepts.shape[1], jnp.int32),
+            }
+        }
+        return store, out["log_post"], stats
+
+    run.engine_name = "fused_random_walk"
+    return run

@@ -201,17 +201,23 @@ def run_fused_smoother(
     lam0: float = 100.0,
     tau0: float = 1.0,
     ridge: float = 0.001,
+    P0_bands: Optional[jnp.ndarray] = None,
 ):
     """Run the full GMRF smoother MCMC in one fused kernel.
 
     y: (p,) observations at locations s: (p,). Returns dict with
     b: (n_chains, n_iter, p), lam/tau/log_post: (n_chains, n_iter).
     Matches the generic-driver model exactly (Q = lam * (P_rw1 + ridge e0 e0') + tau I).
+    Pass ``P0_bands`` (2, p) to supply the tridiagonal prior precision directly
+    instead of rebuilding it from locations (used by fused.dispatch).
     """
     y = jnp.asarray(y, jnp.float32).reshape(-1)
     p_real = y.shape[0]
-    P0 = gmrf.precision_irregular(jnp.asarray(s, jnp.float32))
-    P0 = st.Banded(P0.bands.at[0, 0].add(ridge))
+    if P0_bands is not None:
+        P0 = st.Banded(jnp.asarray(P0_bands, jnp.float32))
+    else:
+        P0 = gmrf.precision_irregular(jnp.asarray(s, jnp.float32))
+        P0 = st.Banded(P0.bands.at[0, 0].add(ridge))
     logdet_p0 = (2.0 * jnp.sum(jnp.log(st.diag(st.cholesky(P0))))).reshape(1).astype(jnp.float32)
 
     p_pad = p_real + ((-p_real) % CHUNK)

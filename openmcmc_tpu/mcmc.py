@@ -270,13 +270,33 @@ class MCMC:
 
     # -- public API ----------------------------------------------------------
 
-    def run(self, resume: Optional["MCMCResult"] = None) -> MCMCResult:
+    def run(self, resume: Optional["MCMCResult"] = None, engine: str = "generic") -> MCMCResult:
         """Run burn + sampling for all chains; jitted, vmapped, optionally sharded
         (reference mcmc.py:87-115).
 
         Pass ``resume`` (a previous MCMCResult, e.g. restored from a checkpoint) to
         continue the chains from their final carry: prior-init and burn-in are skipped
-        and n_iter further stored iterations are drawn."""
+        and n_iter further stored iterations are drawn.
+
+        ``engine``: "generic" (default) runs the scan/vmap driver. "auto" structurally
+        matches the model + samplers against the fused whole-run Pallas engines
+        (:mod:`openmcmc_tpu.fused`) and uses one when it applies -- the entire run in a
+        single kernel launch, typically several times faster -- falling back to the
+        generic path otherwise. "fused" requires a match (raises if none). Fused
+        results reproduce store/log_post/acceptance but do not support exact
+        ``resume`` continuation (different PRNG stream)."""
+        if engine not in ("generic", "auto", "fused"):
+            raise ValueError("engine must be 'generic', 'auto' or 'fused'")
+        if engine in ("auto", "fused") and resume is None:
+            from openmcmc_tpu.fused.dispatch import match_fused_engine
+
+            runner = match_fused_engine(self)
+            if runner is not None:
+                return self._run_fused(runner)
+            if engine == "fused":
+                raise ValueError(
+                    "engine='fused': no fused engine matches this model/sampler configuration"
+                )
         if resume is not None:
             chain_keys = resume.final_key
         else:
@@ -319,6 +339,20 @@ class MCMC:
             stats=stats,
             final_state=final_state,
             final_key=final_keys,
+        )
+
+    def _run_fused(self, runner) -> MCMCResult:
+        """Execute a matched fused engine and repackage as an MCMCResult."""
+        seed = int(np.asarray(jax.random.key_data(self.key)).reshape(-1)[-1] & 0x7FFFFFFF)
+        store, log_post, stats = runner(seed)
+        self.last_engine = runner.engine_name
+        final_state = {name: draws[:, -1] for name, draws in store.items()}
+        return MCMCResult(
+            store=store,
+            log_post=log_post,
+            stats=stats,
+            final_state=final_state,
+            final_key=jax.random.split(self.key, self.n_chains),
         )
 
     def run_mcmc(self) -> MCMCResult:

@@ -1,0 +1,106 @@
+"""Automatic fused-engine dispatch (MCMC.run(engine="auto"))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from openmcmc_tpu.distributions import Gamma, Normal
+from openmcmc_tpu.fused.dispatch import match_fused_engine
+from openmcmc_tpu.linalg import gmrf
+from openmcmc_tpu.linalg import structured as st
+from openmcmc_tpu.mcmc import MCMC
+from openmcmc_tpu.model import Model
+from openmcmc_tpu.parameters import LinearCombination, ScaledMatrix
+from openmcmc_tpu.samplers import NormalGamma, NormalNormal, RandomWalk
+
+
+def _smoother_mcmc(rng, n_time=16, n_chains=8, **kw):
+    s = np.linspace(0.0, 10.0, n_time)
+    P = gmrf.precision_irregular(jnp.asarray(s))
+    P = st.Banded(P.bands.at[0, 0].add(0.001))
+    y = np.sin(s) + rng.normal(0.0, 0.5, n_time)
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+    state = {
+        "y": y, "b": y.copy(), "mu": np.zeros(n_time), "lambda": 10.0, "P_lambda": P,
+        "a_lam": 10.0, "b_lam": 1.0, "tau": 1.0, "P_tau": st.Diagonal(jnp.ones(n_time)),
+        "a_tau": 1.0, "b_tau": 1.0,
+    }
+    return MCMC(state, samplers, mdl, n_burn=4, n_iter=6, n_chains=n_chains, seed=0, **kw)
+
+
+def _linreg_mcmc(rng, n_chains=8):
+    N = 30
+    X = np.stack([np.ones(N), np.sort(rng.random(N))], 1)
+    y = X @ np.array([2.0, 0.5]) + rng.normal(0, 0.1, N)
+    mdl = Model(
+        [
+            Normal("y", mean=LinearCombination(form={"beta": "X"}), precision=ScaledMatrix("P_tau", "tau")),
+            Normal("beta", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+            Gamma("lambda", shape="a_lambda", rate="b_lambda"),
+        ]
+    )
+    samplers = [NormalNormal("beta", mdl), NormalGamma("tau", mdl), NormalGamma("lambda", mdl)]
+    state = {
+        "y": y, "X": X, "beta": [0.0, 0.0], "P_tau": st.Diagonal(jnp.ones(N)), "tau": 1.0,
+        "P_lambda": st.Diagonal(jnp.ones(2)), "mu": [0.0, 0.0], "lambda": 0.01,
+        "a_tau": 1e-3, "b_tau": 1e-3, "a_lambda": 1e-3, "b_lambda": 1e-3,
+    }
+    return MCMC(state, samplers, mdl, n_burn=4, n_iter=6, n_chains=n_chains, seed=0)
+
+
+def _rw_mcmc():
+    mdl = Model([Normal("y", mean="h", precision="tau"), Normal("h", mean="mu", precision="lambda")])
+    state = {
+        "y": np.array([[150.0, 155.0, 190.0, 160.0, 173.0]]),
+        "h": 200.0, "tau": jnp.eye(1) / 200.0, "mu": 160.0, "lambda": jnp.eye(1) / 100.0,
+    }
+    return MCMC(state, [RandomWalk("h", mdl, step=5.0)], mdl, n_burn=4, n_iter=6, n_chains=8, seed=0)
+
+
+def test_matchers_identify_engines(rng):
+    assert match_fused_engine(_smoother_mcmc(rng)).engine_name == "fused_gmrf_smoother"
+    assert match_fused_engine(_linreg_mcmc(rng)).engine_name == "fused_linreg"
+    assert match_fused_engine(_rw_mcmc()).engine_name == "fused_random_walk"
+
+
+def test_non_matching_configs(rng):
+    # thinning is not representable in the engines
+    m = _smoother_mcmc(rng, n_thin=2)
+    assert match_fused_engine(m) is None
+    # non-zero prior mean breaks the smoother match
+    m2 = _smoother_mcmc(rng)
+    m2.data["mu"] = jnp.ones_like(m2.data["mu"])
+    assert match_fused_engine(m2) is None
+    with pytest.raises(ValueError, match="no fused engine"):
+        m.run(engine="fused")
+
+
+def test_auto_runs_fused_and_repackages(rng):
+    """engine='auto' executes the matched kernel (interpret mode on CPU) and returns
+    an MCMCResult with the generic driver's array conventions."""
+    m = _smoother_mcmc(rng, n_chains=8)
+    with pltpu.force_tpu_interpret_mode():
+        res = m.run(engine="auto")
+    assert m.last_engine == "fused_gmrf_smoother"
+    assert res.store["b"].shape == (8, 6, 16, 1)
+    assert res.store["lambda"].shape == (8, 6, 1, 1)
+    assert res.log_post.shape == (8, 6)
+    assert bool(np.isfinite(np.asarray(res.store["b"])).all())
+
+    rw = _rw_mcmc()
+    with pltpu.force_tpu_interpret_mode():
+        res_rw = rw.run(engine="auto")
+    assert rw.last_engine == "fused_random_walk"
+    assert res_rw.store["h"].shape == (8, 6, 1, 1)
+    assert "h" in res_rw.acceptance
