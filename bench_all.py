@@ -241,7 +241,7 @@ def fused_workloads(ref):
     """The two fused whole-run engines, measured on the same configs as their generic
     counterparts and compared to the same reference numbers."""
     from openmcmc_tpu.diagnostics import ess_per_param
-    from openmcmc_tpu.fused import run_fused_linreg, run_fused_rw, run_fused_smoother
+    from openmcmc_tpu.fused import run_fused_linreg, run_fused_mmala, run_fused_rw, run_fused_smoother
 
     rng = np.random.default_rng(0)
     N = 100
@@ -261,6 +261,15 @@ def fused_workloads(ref):
         return run_fused_smoother(7, ys, s, n_burn=200, n_iter=500, n_chains=8192,
                                   a_lam=10.0, b_lam=1.0, a_tau=1.0, b_tau=1.0)
 
+    rng3 = np.random.default_rng(0)
+    Xm = rng3.normal(size=(100, 5))
+    ym = (Xm @ rng3.normal(size=(5, 1)) + 0.1 * rng3.normal(size=(100, 1))).reshape(-1)
+
+    def go_mmala():
+        return run_fused_mmala(3, Xm, ym, n_burn=200, n_iter=1000, n_chains=4096,
+                               tau=1.0, lam=1.0, step=1.0,
+                               ptau_diag=np.full(100, 100.0), plam_diag=np.full(5, 0.01))
+
     y_rw = np.array([150.0, 155.0, 190.0, 160.0, 173.0])
 
     def go_rw():
@@ -272,6 +281,7 @@ def fused_workloads(ref):
         ("linreg_gibbs_fused", go_linreg, "beta", 2000, 4096, "linreg_gibbs"),
         ("gmrf_smoother_fused", go_smoother, "b", 700, 8192, "gmrf_smoother"),
         ("random_walk_mh_fused", go_rw, "h", 1000, 8192, "random_walk_mh"),
+        ("mmala_fused", go_mmala, "beta", 1200, 4096, "mmala"),
     ]:
         out = go()  # compile + warm
         float(jnp.max(out[draw_key]))  # true barrier

@@ -69,7 +69,7 @@ def match_fused_engine(mcmc) -> Optional[Callable]:
     """Return a zero-arg callable running the MCMC as a fused kernel, or None."""
     if mcmc.n_thin != 1 or mcmc.mesh is not None:
         return None
-    for matcher in (_match_smoother, _match_linreg, _match_rw):
+    for matcher in (_match_smoother, _match_linreg, _match_rw, _match_mmala):
         runner = matcher(mcmc)
         if runner is not None:
             return runner
@@ -283,4 +283,77 @@ def _match_rw(mcmc) -> Optional[Callable]:
         return store, out["log_post"], stats
 
     run.engine_name = "fused_random_walk"
+    return run
+
+
+def _match_mmala(mcmc) -> Optional[Callable]:
+    """Single ManifoldMALA on beta: y ~ N(X beta, (tau diag)^-1), beta ~ N(mu0,
+    (lam diag)^-1), with CONSTANT tau/lam (the Fisher metric is then constant and the
+    whole per-step mMALA math precomputes)."""
+    if len(mcmc.samplers) != 1:
+        return None
+    mm = mcmc.samplers[0]
+    if not isinstance(mm, ManifoldMALA) or mm.active_count is not None or mm.adapt_step:
+        return None
+    if np.asarray(mm.step_size).size != 1:
+        return None
+    latent = mm.param
+    b_dist = mcmc.model.get(latent)
+    y_dist = None
+    for key, dist in mcmc.model.items():
+        if (
+            key != latent
+            and isinstance(dist, Normal)
+            and isinstance(dist.mean, LinearCombination)
+            and type(dist.mean) is LinearCombination
+            and list(dist.mean.form_dict.keys()) == [latent]
+        ):
+            y_dist = dist
+    if y_dist is None or not isinstance(b_dist, Normal) or y_dist.truncated or b_dist.truncated:
+        return None
+    if _identity_mean_name(b_dist) is None:
+        return None
+    sp_y = _scaled_precision(y_dist)
+    sp_b = _scaled_precision(b_dist)
+    if sp_y is None or sp_b is None:
+        return None
+    ptau = mcmc.data.get(sp_y[0])
+    plam = mcmc.data.get(sp_b[0])
+    if not isinstance(ptau, st.Diagonal) or not isinstance(plam, st.Diagonal):
+        return None
+    tau = _scalar(mcmc, sp_y[1])
+    lam = _scalar(mcmc, sp_b[1])  # constants: must live in data, not chain state
+    X = mcmc.data.get(y_dist.mean.form_dict[latent])
+    y = mcmc.data.get(y_dist.response)
+    mu0 = mcmc.data.get(_identity_mean_name(b_dist))
+    if None in (tau, lam) or X is None or y is None or mu0 is None:
+        return None
+    from openmcmc_tpu.fused.mmala import MAX_P
+
+    if np.asarray(X).shape[1] > MAX_P:
+        return None
+    beta0 = mcmc.initial_chain_state.get(latent)
+
+    from openmcmc_tpu.fused.mmala import run_fused_mmala
+
+    def run(seed):
+        out = run_fused_mmala(
+            seed, jnp.asarray(X), jnp.asarray(y).reshape(-1),
+            n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+            tau=tau, lam=lam, step=float(np.asarray(mm.step_size).reshape(())),
+            ptau_diag=ptau.diag_, plam_diag=plam.diag_,
+            mu0=jnp.asarray(mu0).reshape(-1),
+            beta0=None if beta0 is None else jnp.asarray(beta0).reshape(-1),
+        )
+        store = {latent: out["beta"][..., None]}
+        accepts = out["accept"]
+        stats = {
+            latent: {
+                "accept": jnp.sum(accepts, axis=1).astype(jnp.int32),
+                "proposal": jnp.full((accepts.shape[0],), accepts.shape[1], jnp.int32),
+            }
+        }
+        return store, out["log_post"], stats
+
+    run.engine_name = "fused_mmala"
     return run

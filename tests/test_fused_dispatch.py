@@ -104,3 +104,23 @@ def test_auto_runs_fused_and_repackages(rng):
     assert rw.last_engine == "fused_random_walk"
     assert res_rw.store["h"].shape == (8, 6, 1, 1)
     assert "h" in res_rw.acceptance
+
+
+def test_dispatch_matches_mmala(rng):
+    from openmcmc_tpu.samplers import ManifoldMALA
+
+    N, d = 20, 3
+    X = rng.normal(size=(N, d))
+    y = X @ rng.normal(size=d)
+    mdl = Model(
+        [
+            Normal("y", mean=LinearCombination(form={"beta": "X"}), precision=ScaledMatrix("P", "tau")),
+            Normal("beta", mean="mu0", precision=ScaledMatrix("P0", "one")),
+        ]
+    )
+    state = {
+        "y": y.reshape(-1, 1), "X": X, "beta": np.zeros((d, 1)), "P": st.Diagonal(jnp.ones(N)),
+        "tau": 1.0, "P0": st.Diagonal(jnp.ones(d)), "mu0": np.zeros((d, 1)), "one": 1.0,
+    }
+    m = MCMC(state, [ManifoldMALA("beta", mdl, step=1.0)], mdl, n_burn=2, n_iter=3, n_chains=4, seed=0)
+    assert match_fused_engine(m).engine_name == "fused_mmala"

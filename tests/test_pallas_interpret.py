@@ -147,3 +147,17 @@ def test_fused_rw_interpret(interpret):
         if it >= n_burn:
             draws.append(h)
     np.testing.assert_allclose(np.asarray(out["h"][0]), np.asarray(draws), rtol=1e-4)
+
+
+def test_fused_mmala_interpret(interpret, rng):
+    """Whole-run mMALA engine executes end-to-end; deterministic draws finite."""
+    from openmcmc_tpu.fused import run_fused_mmala
+
+    N, d = 20, 3
+    X = rng.normal(size=(N, d))
+    y = X @ rng.normal(size=d) + 0.1 * rng.normal(size=N)
+    out = run_fused_mmala(5, X, y, n_burn=3, n_iter=5, n_chains=32,
+                          tau=1.0, lam=1.0, step=1.0)
+    assert out["beta"].shape == (32, 5, 3)
+    for name in ("beta", "log_post", "accept"):
+        assert bool(np.isfinite(np.asarray(out[name])).all()), name
