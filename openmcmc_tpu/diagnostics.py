@@ -29,11 +29,17 @@ def _autocovariance(x: jnp.ndarray) -> jnp.ndarray:
     return acov / n
 
 
-def effective_sample_size(draws: jnp.ndarray) -> jnp.ndarray:
+def effective_sample_size(draws: jnp.ndarray, allow_super_efficiency: bool = False) -> jnp.ndarray:
     """Multi-chain bulk ESS for a scalar quantity; draws: (n_chains, n_iter).
 
     ESS = m * n / tau_hat with tau from combined-chain autocorrelations, truncated by
     Geyer's initial positive sequence and enforced monotone decrease.
+
+    The estimate is capped at the actual draw count m * n: antithetic chains can have
+    genuine ESS above it, but an ESTIMATE exceeding the number of draws is far more
+    often autocovariance noise, and benchmark metrics must not inflate. Pass
+    ``allow_super_efficiency=True`` to raise the cap to the Stan-style
+    m * n * log10(m * n) bound instead.
     """
     draws = jnp.asarray(draws, dtype=jnp.result_type(float))
     m, n = draws.shape
@@ -57,7 +63,9 @@ def effective_sample_size(draws: jnp.ndarray) -> jnp.ndarray:
     tau = -rho[0] + 2.0 * jnp.sum(monotone * positive)
     tau = jnp.maximum(tau, 1.0 / jnp.asarray(n, rho.dtype))  # guard
     ess = m * n / tau
-    return jnp.minimum(ess, m * n * jnp.log10(jnp.asarray(m * n, rho.dtype)))
+    if allow_super_efficiency:
+        return jnp.minimum(ess, m * n * jnp.log10(jnp.asarray(m * n, rho.dtype)))
+    return jnp.minimum(ess, jnp.asarray(m * n, rho.dtype))
 
 
 def ess_per_param(draws: jnp.ndarray, chunk_size: int = 0) -> jnp.ndarray:

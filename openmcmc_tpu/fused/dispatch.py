@@ -67,7 +67,17 @@ def _scaled_precision(dist):
 
 def match_fused_engine(mcmc) -> Optional[Callable]:
     """Return a zero-arg callable running the MCMC as a fused kernel, or None."""
+    import jax
+
     if mcmc.n_thin != 1 or mcmc.mesh is not None:
+        return None
+    if jax.config.jax_enable_x64:
+        # fused kernels are f32-only; silently dropping precision under
+        # jax.enable_x64 would betray the generic driver's contract
+        return None
+    if mcmc.model.response is not None:
+        # fitted-value storage (reference mcmc.py:109-111) is a generic-driver
+        # feature the kernels do not reproduce
         return None
     for matcher in (_match_smoother, _match_linreg, _match_rw, _match_mmala):
         runner = matcher(mcmc)
@@ -129,6 +139,11 @@ def _match_smoother(mcmc) -> Optional[Callable]:
     if y is None:
         return None
     tau_name, lam_name = sp_y[1], sp_b[1]
+    # the model must contain ONLY the matched distributions: any extra term
+    # (e.g. a second likelihood on the latent) would be silently ignored by the
+    # kernel, sampling the wrong posterior
+    if set(mcmc.model.keys()) != {y_dist.response, latent, tau_name, lam_name}:
+        return None
     hyp_tau = _gamma_hypers(mcmc, tau_name)
     hyp_lam = _gamma_hypers(mcmc, lam_name)
     tau0 = _initial_scalar(mcmc, tau_name)
@@ -150,7 +165,9 @@ def _match_smoother(mcmc) -> Optional[Callable]:
             lam_name: out["lam"][..., None, None],
             tau_name: out["tau"][..., None, None],
         }
-        return store, out["log_post"], {}
+        # conjugate samplers carry no scanned statistics: one empty pytree per
+        # sampler param, exactly like the generic driver's init_stats()
+        return store, out["log_post"], {latent: {}, lam_name: {}, tau_name: {}}
 
     run.engine_name = "fused_gmrf_smoother"
     return run
@@ -195,6 +212,9 @@ def _match_linreg(mcmc) -> Optional[Callable]:
     if np.asarray(X).shape[1] > MAX_P:
         return None
     tau_name, lam_name = sp_y[1], sp_b[1]
+    # exact model inventory: no extra distribution may be dropped (see _match_smoother)
+    if set(mcmc.model.keys()) != {y_dist.response, latent, tau_name, lam_name}:
+        return None
     hyp_tau = _gamma_hypers(mcmc, tau_name)
     hyp_lam = _gamma_hypers(mcmc, lam_name)
     tau0 = _initial_scalar(mcmc, tau_name)
@@ -217,7 +237,7 @@ def _match_linreg(mcmc) -> Optional[Callable]:
             lam_name: out["lam"][..., None, None],
             tau_name: out["tau"][..., None, None],
         }
-        return store, out["log_post"], {}
+        return store, out["log_post"], {latent: {}, lam_name: {}, tau_name: {}}
 
     run.engine_name = "fused_linreg"
     return run
@@ -244,6 +264,9 @@ def _match_rw(mcmc) -> Optional[Callable]:
         return None
     y = mcmc.data.get(y_dist.response)
     if y is None or np.asarray(y).shape[0] != 1:
+        return None
+    # exact model inventory: no extra distribution may be dropped (see _match_smoother)
+    if set(mcmc.model.keys()) != {y_dist.response, h}:
         return None
 
     def precision_scalar(dist):
@@ -273,11 +296,11 @@ def _match_rw(mcmc) -> Optional[Callable]:
             mu=mu, tau=tau, lam=lam, step=float(np.asarray(rw.step_size).reshape(())), h0=h0,
         )
         store = {h: out["h"][..., None, None]}
-        accepts = out["accept"]
+        n_prop = mcmc.n_burn + mcmc.n_iter  # generic counting window: burn + sampling
         stats = {
             h: {
-                "accept": jnp.sum(accepts, axis=1).astype(jnp.int32),
-                "proposal": jnp.full((accepts.shape[0],), accepts.shape[1], jnp.int32),
+                "accept": out["accept_total"].astype(jnp.int32),
+                "proposal": jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
             }
         }
         return store, out["log_post"], stats
@@ -328,6 +351,9 @@ def _match_mmala(mcmc) -> Optional[Callable]:
     mu0 = mcmc.data.get(_identity_mean_name(b_dist))
     if None in (tau, lam) or X is None or y is None or mu0 is None:
         return None
+    # exact model inventory: no extra distribution may be dropped (see _match_smoother)
+    if set(mcmc.model.keys()) != {y_dist.response, latent}:
+        return None
     from openmcmc_tpu.fused.mmala import MAX_P
 
     if np.asarray(X).shape[1] > MAX_P:
@@ -346,11 +372,11 @@ def _match_mmala(mcmc) -> Optional[Callable]:
             beta0=None if beta0 is None else jnp.asarray(beta0).reshape(-1),
         )
         store = {latent: out["beta"][..., None]}
-        accepts = out["accept"]
+        n_prop = mcmc.n_burn + mcmc.n_iter  # generic counting window: burn + sampling
         stats = {
             latent: {
-                "accept": jnp.sum(accepts, axis=1).astype(jnp.int32),
-                "proposal": jnp.full((accepts.shape[0],), accepts.shape[1], jnp.int32),
+                "accept": out["accept_total"].astype(jnp.int32),
+                "proposal": jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
             }
         }
         return store, out["log_post"], stats

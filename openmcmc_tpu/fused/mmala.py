@@ -95,6 +95,7 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows):
         def iteration(it, carry):
             b = carry[:p]
             lp = carry[p]
+            acc = carry[p + 1]
             z = normal((p, BLOCK_B))
             mu_cur = [(1.0 - 0.5 * s2) * b[i] + 0.5 * s2 * c(i) for i in range(p)]
             # draw: b' = mu + step * L^{-T} z (backward substitution, unrolled)
@@ -111,6 +112,8 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows):
             accept = jnp.log(uniform((1, BLOCK_B))) < log_accept
             b_new = [jnp.where(accept, b_prop[i], b[i]) for i in range(p)]
             lp_new = jnp.where(accept, lp_prop, lp)
+            # running accept count over burn + sampling (generic counting window)
+            acc_new = acc + accept.astype(jnp.float32)
 
             @pl.when(it >= n_burn)
             def _():
@@ -123,17 +126,17 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows):
                         stage_ref.at[slot], out_ref.at[idx - 2, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
                     ).wait()
 
-                rows = b_new + [lp_new, accept.astype(jnp.float32)]
+                rows = b_new + [lp_new, accept.astype(jnp.float32), acc_new]
                 rows += [jnp.zeros((1, BLOCK_B), jnp.float32)] * (out_rows - len(rows))
                 stage_ref[pl.ds(slot, 1)] = jnp.concatenate(rows, axis=0)[None, :, :]
                 pltpu.make_async_copy(
                     stage_ref.at[slot], out_ref.at[idx, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
                 ).start()
 
-            return tuple(b_new) + (lp_new,)
+            return tuple(b_new) + (lp_new, acc_new)
 
         b_init = tuple(jnp.full((1, BLOCK_B), 0.0, jnp.float32) + b0(i) for i in range(p))
-        carry0 = b_init + (log_target(list(b_init)),)
+        carry0 = b_init + (log_target(list(b_init)), jnp.zeros((1, BLOCK_B), jnp.float32))
         lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
@@ -165,7 +168,8 @@ def run_fused_mmala(
 
     X: (N, p) design (p <= 16), y: (N,). Model: y ~ N(X beta, (tau diag(ptau))^{-1}),
     beta ~ N(mu0, (lam diag(plam))^{-1}). Returns dict with beta: (chains, iters, p),
-    log_post/accept: (chains, iters)."""
+    log_post/accept: (chains, iters), accept_total: (chains,) counted over burn +
+    sampling (generic-driver counting window)."""
     X = jnp.asarray(X, jnp.float32)
     y = jnp.asarray(y, jnp.float32).reshape(-1)
     n_obs, p = X.shape
@@ -192,7 +196,7 @@ def run_fused_mmala(
         [A.reshape(-1), L.reshape(-1), v, c, beta0, yPy, logdet_tauP, logdet_lamPlam, logdetL]
     ).astype(jnp.float32)
 
-    out_rows = p + 2 + ((-(p + 2)) % 8)
+    out_rows = p + 3 + ((-(p + 3)) % 8)
     b_total = n_chains + ((-n_chains) % BLOCK_B)
     kernel = _make_kernel(p, float(n_obs), float(tau), float(lam), float(step), n_burn, n_iter, out_rows)
     (out,) = pl.pallas_call(
@@ -209,4 +213,9 @@ def run_fused_mmala(
     )(jnp.asarray([seed], jnp.int32), scal)
 
     draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
-    return {"beta": draws[:, :, :p], "log_post": draws[:, :, p], "accept": draws[:, :, p + 1]}
+    return {
+        "beta": draws[:, :, :p],
+        "log_post": draws[:, :, p],
+        "accept": draws[:, :, p + 1],
+        "accept_total": draws[:, -1, p + 2],
+    }

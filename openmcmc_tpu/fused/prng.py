@@ -37,7 +37,16 @@ def normal(shape):
 
 
 def gamma_mt(a_star: float, rate):
-    """Marsaglia-Tsang Gamma(a_star)/rate, elementwise on ``rate``; a_star static > 1."""
+    """Marsaglia-Tsang Gamma(a_star)/rate, elementwise on ``rate``; a_star static.
+
+    Marsaglia-Tsang is valid for shape >= 1; shapes below 1 use the standard boost
+    G(a) = G(a + 1) * U^(1/a) (Marsaglia & Tsang 2000, section 6), so weak priors
+    like a = 1e-3 with a small data increment (a* = a + p/2 < 1) draw from the
+    correct distribution."""
+    if a_star < 1.0:
+        g1 = gamma_mt(a_star + 1.0, jnp.ones(rate.shape, jnp.float32))
+        u = uniform(rate.shape)
+        return g1 * jnp.exp(jnp.log(u) / a_star) / rate
     d = a_star - 1.0 / 3.0
     c = 1.0 / float(np.sqrt(9.0 * d))
     value = jnp.full(rate.shape, d, jnp.float32)

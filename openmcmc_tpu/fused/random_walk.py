@@ -49,13 +49,16 @@ def _make_kernel(n_obs, mu, tau, lam, step, h0, n_burn, n_keep):
             return const - 0.5 * tau * quad_lik - 0.5 * lam * (h - mu) ** 2
 
         def iteration(it, carry):
-            h, lp = carry  # (1, BLOCK_B) rows
+            h, lp, acc = carry  # (1, BLOCK_B) rows
             z = normal((1, BLOCK_B))
             h_prop = h + step * z
             lp_prop = log_post(h_prop)
             accept = jnp.log(uniform((1, BLOCK_B))) < (lp_prop - lp)
             h_new = jnp.where(accept, h_prop, h)
             lp_new = jnp.where(accept, lp_prop, lp)
+            # running accept count over burn + sampling, so the reported acceptance
+            # rate uses the generic driver's counting window (accumulated from -n_burn)
+            acc_new = acc + accept.astype(jnp.float32)
 
             @pl.when(it >= n_burn)
             def _():
@@ -68,17 +71,18 @@ def _make_kernel(n_obs, mu, tau, lam, step, h0, n_burn, n_keep):
                         stage_ref.at[slot], out_ref.at[idx - 2, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
                     ).wait()
 
-                rows = [h_new, lp_new, accept.astype(jnp.float32)]
+                rows = [h_new, lp_new, accept.astype(jnp.float32), acc_new]
                 rows += [jnp.zeros((1, BLOCK_B), jnp.float32)] * (OUT_ROWS - len(rows))
                 stage_ref[pl.ds(slot, 1)] = jnp.concatenate(rows, axis=0)[None, :, :]
                 pltpu.make_async_copy(
                     stage_ref.at[slot], out_ref.at[idx, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
                 ).start()
 
-            return h_new, lp_new
+            return h_new, lp_new, acc_new
 
         h0_row = jnp.full((1, BLOCK_B), h0, jnp.float32)
-        lax.fori_loop(0, n_burn + n_keep, iteration, (h0_row, log_post(h0_row)))
+        zero_row = jnp.zeros((1, BLOCK_B), jnp.float32)
+        lax.fori_loop(0, n_burn + n_keep, iteration, (h0_row, log_post(h0_row), zero_row))
 
         for last in range(max(0, n_keep - 2), n_keep):
             slot = last % 2
@@ -107,8 +111,10 @@ def run_fused_rw(
 ):
     """Run the full random-walk MH chain for h | y in one fused kernel.
 
-    y: (N,) observations. Returns dict with h/log_post: (n_chains, n_iter) and
-    accept: (n_chains, n_iter) 0/1 flags (mean = acceptance rate)."""
+    y: (N,) observations. Returns dict with h/log_post: (n_chains, n_iter),
+    accept: (n_chains, n_iter) 0/1 flags, and accept_total: (n_chains,) accept
+    counts accumulated over burn-in AND sampling (the generic driver's counting
+    window; divide by n_burn + n_iter for the acceptance rate)."""
     y = jnp.asarray(y, jnp.float32).reshape(-1)
     n_obs = y.shape[0]
     scal = jnp.stack([jnp.sum(y), jnp.sum(y * y)]).astype(jnp.float32)
@@ -131,4 +137,9 @@ def run_fused_rw(
     )(jnp.asarray([seed], jnp.int32), scal)
 
     draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
-    return {"h": draws[:, :, 0], "log_post": draws[:, :, 1], "accept": draws[:, :, 2]}
+    return {
+        "h": draws[:, :, 0],
+        "log_post": draws[:, :, 1],
+        "accept": draws[:, :, 2],
+        "accept_total": draws[:, -1, 3],
+    }

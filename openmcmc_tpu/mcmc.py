@@ -47,7 +47,6 @@ def _coerce_state(state: dict) -> dict:
         if np.issubdtype(arr.dtype, np.integer):
             arr = arr.astype(np.int32)
         else:
-            arr = arr.astype(np.result_type(float, arr.dtype) if arr.dtype != np.float64 else arr.dtype)
             arr = arr.astype(jnp.result_type(float))
         if arr.ndim == 0:
             arr = arr.reshape(1, 1)
@@ -70,6 +69,8 @@ class MCMCResult:
     stats: Dict[str, dict]
     final_state: Dict[str, jnp.ndarray]
     final_key: jnp.ndarray
+    #: which execution path produced this result: "generic" or a fused engine name
+    engine: str = "generic"
 
     @property
     def acceptance(self) -> Dict[str, jnp.ndarray]:
@@ -283,10 +284,18 @@ class MCMC:
         (:mod:`openmcmc_tpu.fused`) and uses one when it applies -- the entire run in a
         single kernel launch, typically several times faster -- falling back to the
         generic path otherwise. "fused" requires a match (raises if none). Fused
-        results reproduce store/log_post/acceptance but do not support exact
-        ``resume`` continuation (different PRNG stream)."""
+        results reproduce the generic driver's store keys, log_post and acceptance
+        stats (accept/proposal counted over burn + sampling), but do not support
+        ``resume`` continuation (the kernels use the on-chip PRNG, whose state cannot
+        be re-imported into the threefry stream) -- combining engine="fused" with
+        resume raises; engine="auto" with resume runs generic."""
         if engine not in ("generic", "auto", "fused"):
             raise ValueError("engine must be 'generic', 'auto' or 'fused'")
+        if engine == "fused" and resume is not None:
+            raise ValueError(
+                "engine='fused' cannot continue from resume (fused engines use the "
+                "on-chip PRNG stream); use engine='generic' or 'auto' to resume"
+            )
         if engine in ("auto", "fused") and resume is None:
             from openmcmc_tpu.fused.dispatch import match_fused_engine
 
@@ -347,12 +356,15 @@ class MCMC:
         store, log_post, stats = runner(seed)
         self.last_engine = runner.engine_name
         final_state = {name: draws[:, -1] for name, draws in store.items()}
+        # honor store_names exactly like the generic driver's _record
+        store = {name: draws for name, draws in store.items() if name in self.store_names}
         return MCMCResult(
             store=store,
             log_post=log_post,
             stats=stats,
             final_state=final_state,
             final_key=jax.random.split(self.key, self.n_chains),
+            engine=runner.engine_name,
         )
 
     def run_mcmc(self) -> MCMCResult:

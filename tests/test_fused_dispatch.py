@@ -124,3 +124,63 @@ def test_dispatch_matches_mmala(rng):
     }
     m = MCMC(state, [ManifoldMALA("beta", mdl, step=1.0)], mdl, n_burn=2, n_iter=3, n_chains=4, seed=0)
     assert match_fused_engine(m).engine_name == "fused_mmala"
+
+
+def test_extra_likelihood_blocks_match(rng):
+    """A model containing any distribution beyond the matched inventory must NOT
+    match: the kernel would silently ignore the extra term and sample the wrong
+    posterior (advisor finding, round 2)."""
+    n_time = 16
+    m = _smoother_mcmc(rng, n_time=n_time)
+    # add a second fixed-precision likelihood on the latent, ordered BEFORE y
+    extra = Normal("y2", mean="b", precision=ScaledMatrix("P_fix", "one"))
+    dists = [extra] + [m.model[k] for k in m.model]
+    mdl2 = Model(dists)
+    state = dict(m.data)
+    state.update(m.initial_chain_state)
+    state.update({"y2": np.zeros(n_time), "P_fix": st.Diagonal(jnp.ones(n_time)), "one": 1.0})
+    from openmcmc_tpu.samplers import NormalGamma as NG, NormalNormal as NN
+
+    samplers = [NN("b", mdl2), NG("lambda", mdl2), NG("tau", mdl2)]
+    m2 = MCMC(state, samplers, mdl2, n_burn=4, n_iter=6, n_chains=8, seed=0)
+    assert match_fused_engine(m2) is None
+
+
+def test_fused_resume_raises(rng):
+    m = _smoother_mcmc(rng)
+    res = m.run()
+    with pytest.raises(ValueError, match="resume"):
+        m.run(engine="fused", resume=res)
+
+
+def test_x64_blocks_match(rng):
+    with jax.enable_x64():
+        assert match_fused_engine(_smoother_mcmc(rng)) is None
+
+
+def test_fused_contract_matches_generic(rng):
+    """engine='auto' must reproduce the generic driver's store keys, store shapes,
+    stats pytree structure and the MCMCResult.engine marker."""
+    m_gen = _smoother_mcmc(rng, store_names=["b", "tau"])
+    res_gen = m_gen.run(engine="generic")
+    m_fused = _smoother_mcmc(rng, store_names=["b", "tau"])
+    with pltpu.force_tpu_interpret_mode():
+        res_fused = m_fused.run(engine="auto")
+    assert m_fused.last_engine == "fused_gmrf_smoother"
+    assert res_fused.engine == "fused_gmrf_smoother"
+    assert res_gen.engine == "generic"
+    assert set(res_fused.store.keys()) == set(res_gen.store.keys()) == {"b", "tau"}
+    for name in res_gen.store:
+        assert res_fused.store[name].shape == res_gen.store[name].shape
+    assert jax.tree_util.tree_structure(res_fused.stats) == jax.tree_util.tree_structure(res_gen.stats)
+
+    # MH family: acceptance proposal counts use the burn + sampling window
+    rw_gen = _rw_mcmc()
+    res_rw_gen = rw_gen.run(engine="generic")
+    rw_fused = _rw_mcmc()
+    with pltpu.force_tpu_interpret_mode():
+        res_rw_fused = rw_fused.run(engine="auto")
+    assert set(res_rw_fused.stats.keys()) == set(res_rw_gen.stats.keys())
+    np.testing.assert_array_equal(
+        np.asarray(res_rw_fused.stats["h"]["proposal"]), np.asarray(res_rw_gen.stats["h"]["proposal"])
+    )
