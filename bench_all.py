@@ -185,12 +185,21 @@ def _rj_move(key, updates, state, i):
     th = updates.get("theta", state["theta"])
     om = updates.get("omega", state["omega"])
     th_i = jax.lax.dynamic_slice_in_dim(th, i, 1, axis=1)
-    om_i = jnp.where(jax.lax.dynamic_slice_in_dim(om, i, 1, axis=1) > 0, 
+    om_i = jnp.where(jax.lax.dynamic_slice_in_dim(om, i, 1, axis=1) > 0,
                      jax.lax.dynamic_slice_in_dim(om, i, 1, axis=1), 1.0)
     col = jax.scipy.stats.norm.pdf(state["X"], loc=th_i, scale=om_i)
     active = (i < jnp.reshape(state["n_basis"], ())).astype(col.dtype)
     updates["B"] = jax.lax.dynamic_update_slice_in_dim(state["B"], col * active, i, axis=1)
     return updates, jnp.asarray(0.0), jnp.asarray(0.0)
+
+
+def _rj_move_vec(key, updates, state):
+    # vectorized-path hook: one full basis rebuild after the per-column accepts
+    updates = dict(updates)
+    th = updates.get("theta", state["theta"])
+    om = updates.get("omega", state["omega"])
+    updates["B"] = _make_basis(state["X"], th, om, state["n_basis"])
+    return updates
 
 
 def reversible_jump(n_chains=2048):
@@ -225,9 +234,11 @@ def reversible_jump(n_chains=2048):
     samplers = [
         ManifoldMALA("beta", mdl, step=0.5, active_count="n_basis"),
         RandomWalkLoop("theta", mdl, step=0.1, domain_limits=np.asarray([[-10.0, 10.0]]),
-                       state_update_function=_rj_move, active_count="n_basis", updated_names=["theta", "B"]),
+                       state_update_function=_rj_move, vector_state_update_function=_rj_move_vec,
+                       active_count="n_basis", updated_names=["theta", "B"]),
         RandomWalkLoop("omega", mdl, step=0.1, domain_limits=np.asarray([[0.5, 2.0]]),
-                       state_update_function=_rj_move, active_count="n_basis", updated_names=["omega", "B"]),
+                       state_update_function=_rj_move, vector_state_update_function=_rj_move_vec,
+                       active_count="n_basis", updated_names=["omega", "B"]),
         ReversibleJump("n_basis", mdl, associated_params=["theta", "omega"], n_max=N_MAX,
                        state_birth_function=_rj_birth, state_death_function=_rj_death,
                        matching_params={"variable": "beta", "matrix": "B", "scale": 1.0, "limits": [-10.0, 10.0]}),

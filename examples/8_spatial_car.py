@@ -1,0 +1,115 @@
+"""Example 8: spatial models with arbitrary sparse precisions (lattice + CAR).
+
+The reference supports any scipy.sparse precision pattern through SuperLU
+(reference gmrf.py:489-520); here the same patterns are converted ONCE at model
+construction to an RCM-permuted Banded matrix (openmcmc_tpu.linalg.ordering) and
+every conditional draw runs the O(p * bw^2) band kernels in permuted coordinates,
+vectorized over thousands of chains.
+
+Two workloads:
+1. 2-D lattice smoother: a 32 x 32 grid field with a 5-point-stencil intrinsic
+   GMRF prior, observed with iid noise -- the canonical image-smoothing model.
+2. CAR model on an irregular spatial graph (k-nearest-neighbor sites).
+
+Run: python examples/8_spatial_car.py
+"""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from openmcmc_tpu.diagnostics import ess_per_param
+from openmcmc_tpu.distributions import Gamma, Normal
+from openmcmc_tpu.linalg import gmrf
+from openmcmc_tpu.linalg import structured as st
+from openmcmc_tpu.mcmc import MCMC
+from openmcmc_tpu.model import Model
+from openmcmc_tpu.parameters import ScaledMatrix
+from openmcmc_tpu.samplers import NormalGamma, NormalNormal
+
+
+def lattice_smoother(n_chains: int = 512, nx: int = 32, ny: int = 32):
+    rng = np.random.default_rng(0)
+    n = nx * ny
+    # the smoothing prior: proper intrinsic GMRF on the grid; precision_lattice
+    # returns an RCM-permuted Banded matrix (bandwidth ~ grid width)
+    Q = gmrf.precision_lattice(nx, ny, ridge=1e-3)
+    print(f"lattice precision: {type(Q).__name__}, bandwidth {Q.inner.bw} (dense would be {n})")
+
+    # smooth ground truth + noise
+    xx, yy = np.meshgrid(np.linspace(0, 3, nx), np.linspace(0, 3, ny), indexing="ij")
+    field = np.sin(xx) * np.cos(yy)
+    y = (field + rng.normal(0, 0.5, (nx, ny))).ravel()
+
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("Q_lat", "lam")),
+            Gamma("lam", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    samplers = [NormalNormal("b", mdl), NormalGamma("lam", mdl), NormalGamma("tau", mdl)]
+    state = {
+        "y": y, "b": y.copy(), "mu": np.zeros(n), "lam": 1.0, "tau": 1.0,
+        "P_tau": st.Diagonal(jnp.ones(n)), "Q_lat": Q,
+        "a_lam": 1.0, "b_lam": 1.0, "a_tau": 1.0, "b_tau": 1.0,
+    }
+    m = MCMC(state, samplers, mdl, n_burn=100, n_iter=300, n_chains=n_chains, seed=0,
+             store_names=["b", "tau", "lam"])
+    t0 = time.time()
+    res = m.run()
+    float(jnp.max(res.store["b"]))
+    print(f"lattice: {n_chains} chains x 400 sweeps in {time.time() - t0:.1f}s (incl. compile)")
+    b_mean = np.asarray(res.store["b"]).mean((0, 1)).reshape(nx, ny)
+    rmse_raw = float(np.sqrt(np.mean((y.reshape(nx, ny) - field) ** 2)))
+    rmse_post = float(np.sqrt(np.mean((b_mean - field) ** 2)))
+    ess = float(jnp.mean(ess_per_param(res.store["tau"].reshape(n_chains, -1, 1), chunk_size=16)))
+    print(f"lattice: rmse raw {rmse_raw:.3f} -> posterior-mean {rmse_post:.3f}; tau ESS {ess:.0f}")
+
+
+def car_model(n_chains: int = 512, n_sites: int = 400, k: int = 6):
+    rng = np.random.default_rng(1)
+    pts = rng.random((n_sites, 2))
+    d2 = np.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    np.fill_diagonal(d2, np.inf)
+    rows = np.repeat(np.arange(n_sites), k)
+    cols = np.argsort(d2, axis=1)[:, :k].ravel()
+    W = sp.coo_matrix((np.ones(rows.size), (rows, cols)), shape=(n_sites, n_sites))
+    W = ((W + W.T) > 0).astype(np.float64)
+    Q = gmrf.precision_car(W, rho=0.95, ridge=1e-2)
+    print(f"CAR precision: {type(Q).__name__}, bandwidth {Q.inner.bw} (n_sites {n_sites})")
+
+    # simulate from the prior, observe with noise
+    b_true = np.linalg.cholesky(np.linalg.inv(np.asarray(st.to_dense(Q)))) @ rng.normal(size=n_sites)
+    y = b_true + rng.normal(0, 0.5, n_sites)
+
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("Q_car", "lam")),
+            Gamma("lam", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    samplers = [NormalNormal("b", mdl), NormalGamma("lam", mdl), NormalGamma("tau", mdl)]
+    state = {
+        "y": y, "b": y.copy(), "mu": np.zeros(n_sites), "lam": 1.0, "tau": 1.0,
+        "P_tau": st.Diagonal(jnp.ones(n_sites)), "Q_car": Q,
+        "a_lam": 2.0, "b_lam": 2.0, "a_tau": 2.0, "b_tau": 0.5,
+    }
+    m = MCMC(state, samplers, mdl, n_burn=100, n_iter=300, n_chains=n_chains, seed=1,
+             store_names=["b", "tau", "lam"])
+    t0 = time.time()
+    res = m.run()
+    float(jnp.max(res.store["b"]))
+    print(f"CAR: {n_chains} chains x 400 sweeps in {time.time() - t0:.1f}s (incl. compile)")
+    tau_mean = float(np.asarray(res.store["tau"]).mean())
+    print(f"CAR: posterior tau mean {tau_mean:.2f} (true 4.0)")
+
+
+if __name__ == "__main__":
+    lattice_smoother()
+    car_model()

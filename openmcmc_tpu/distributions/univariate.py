@@ -43,6 +43,10 @@ class Gamma(Distribution):
     rate: Parameter
     n_active: Union[str, None]
 
+    #: log_p decomposes as a sum of per-replicate-column terms, each depending only
+    #: on that column of the response (enables the vectorized RandomWalkLoop path)
+    column_factorized = True
+
     def __init__(self, response: str, shape, rate, n_active=None):
         object.__setattr__(self, "response", response)
         object.__setattr__(self, "shape", _as_parameter(shape, _SCALARISH, "shape"))
@@ -89,6 +93,9 @@ class Poisson(Distribution):
 
     rate: Parameter
 
+    #: per-column log_p terms depend only on their own column (see Gamma)
+    column_factorized = True
+
     def __init__(self, response: str, rate):
         object.__setattr__(self, "response", response)
         object.__setattr__(self, "rate", _as_parameter(rate, _SCALARISH, "rate"))
@@ -123,6 +130,9 @@ class Uniform(Distribution):
     domain_response_lower: tuple
     domain_response_upper: tuple
     n_active: Union[str, None]
+
+    #: per-column log_p terms depend only on their own column (see Gamma)
+    column_factorized = True
 
     def __init__(self, response: str, domain_response_lower=0.0, domain_response_upper=1.0, n_active=None):
         import numpy as np

@@ -28,7 +28,7 @@ from jax import lax
 from openmcmc_tpu.linalg import structured as st
 
 Array = jnp.ndarray
-StructuredOrArray = Union[st.Dense, st.Diagonal, st.Banded, Array]
+StructuredOrArray = Union[st.Dense, st.Diagonal, st.Banded, st.Permuted, Array]
 
 _LOG_2PI = math.log(2.0 * math.pi)  # host constant: importing the package must never initialize a backend
 
@@ -94,6 +94,21 @@ def sample_normal_canonical(
         from openmcmc_tpu.linalg.pallas_tridiag import sample_canonical_tridiag
 
         return sample_canonical_tridiag(key, b, Q.bands)
+    if (
+        _allow_pallas
+        and L is None
+        and isinstance(Q, st.Permuted)
+        and isinstance(Q.inner, st.Banded)
+        and Q.inner.bw == 1
+        and b.reshape(-1).shape[0] == st.dim(Q)
+    ):
+        # permuted tridiagonal (e.g. an RCM-ordered path graph): run the fused
+        # Pallas kernel in permuted coordinates -- the draw transforms exactly
+        from openmcmc_tpu.linalg.pallas_tridiag import sample_canonical_tridiag
+
+        shape_in = b.shape
+        x = sample_canonical_tridiag(key, Q.permute(b.reshape(-1)), Q.inner.bands)
+        return Q.unpermute(x.reshape(-1)).reshape(shape_in)
     chol = _as_chol(Q, L)
     mu = st.cho_solve(chol, b).reshape(b.shape)
     return sample_normal(key, mu, L=chol)
@@ -283,6 +298,28 @@ def gibbs_canonical_truncated_normal(
     either sequential path); it has been removed.
     """
     Qs = st.as_structured(Q)
+    if isinstance(Qs, st.Permuted):
+        # run the sweep in permuted coordinates, where Q is banded and the
+        # chromatic schedule applies; a Gibbs sweep in any fixed coordinate order
+        # is a valid kernel, so permuting the sweep order preserves correctness
+        x = jnp.asarray(x)
+        shape_in = x.shape
+
+        def permute_bound(bound):
+            if bound is None or jnp.ndim(bound) == 0 or jnp.size(bound) == 1:
+                return bound
+            return Qs.permute(jnp.reshape(jnp.asarray(bound), (-1,)))
+
+        out = gibbs_canonical_truncated_normal(
+            key,
+            Qs.permute(jnp.asarray(b).reshape(-1)),
+            Qs.inner,
+            Qs.permute(x.reshape(-1)),
+            lower=permute_bound(lower),
+            upper=permute_bound(upper),
+            schedule=schedule,
+        )
+        return Qs.unpermute(out.reshape(-1)).reshape(shape_in)
     if schedule == "red_black" and isinstance(Qs, (st.Banded, st.Diagonal)):
         return _gibbs_truncated_red_black(key, b, Qs, x, lower, upper)
     b = jnp.asarray(b).reshape(-1)
@@ -391,7 +428,10 @@ def sample_truncated_normal(
     x0_cols = jnp.where(in_box, init, x0_clip)  # (p, n)
 
     if schedule == "auto":
-        schedule = "red_black" if isinstance(Qs, (st.Banded, st.Diagonal)) else "lex"
+        banded_like = isinstance(Qs, (st.Banded, st.Diagonal)) or (
+            isinstance(Qs, st.Permuted) and isinstance(Qs.inner, (st.Banded, st.Diagonal))
+        )
+        schedule = "red_black" if banded_like else "lex"
 
     def one_column(k, x0):
         def sweep(x, kk):
@@ -461,6 +501,52 @@ def precision_rw2(s: Array, banded: bool = True) -> StructuredOrArray:
     out = out + jnp.diagflat(d1[: n - 1], -1) + jnp.diagflat(d1[: n - 1], 1)
     out = out + jnp.diagflat(d2[: n - 2], -2) + jnp.diagflat(d2[: n - 2], 2)
     return out
+
+
+def precision_lattice(nx: int, ny: int, ridge: float = 1e-3) -> st.Permuted:
+    """First-order intrinsic GMRF precision on an nx x ny lattice (5-point stencil).
+
+    The canonical 2-D smoothing prior: Q = D'D over horizontal + vertical
+    neighbor differences, plus ``ridge`` * I to make the intrinsic prior proper
+    (the reference achieves the same via sparse.diags sums fed to SuperLU,
+    reference gmrf.py:375-411 is the 1-D analog; 2-D has no reference builder but
+    its sparse path accepts the pattern). Returns an RCM-permuted Banded matrix
+    (bandwidth ~ min(nx, ny) after ordering) factored by the O(p * bw^2) band
+    kernels.
+    """
+    import numpy as np  # host-side construction only
+    import scipy.sparse as sp
+
+    n = nx * ny
+    idx = np.arange(n).reshape(nx, ny)
+    rows = np.concatenate([idx[:-1, :].ravel(), idx[:, :-1].ravel()])
+    cols = np.concatenate([idx[1:, :].ravel(), idx[:, 1:].ravel()])
+    data = np.ones(rows.shape[0])
+    W = sp.coo_matrix((data, (rows, cols)), shape=(n, n))
+    W = W + W.T
+    Q = sp.diags(np.asarray(W.sum(axis=1)).ravel() + ridge) - W
+    out = st.from_sparse(Q.tocsr())
+    if not isinstance(out, st.Permuted):  # degenerate sizes (1 x k lattices)
+        out = st.permuted(out if isinstance(out, st.Banded) else st.Banded(jnp.atleast_2d(st.diag(out))), np.arange(n))
+    return out
+
+
+def precision_car(adjacency, rho: float = 0.95, ridge: float = 0.0) -> StructuredOrArray:
+    """Conditional-autoregressive (CAR) precision Q = D - rho * W from an adjacency.
+
+    ``adjacency``: scipy.sparse or dense 0/1 symmetric matrix W of an irregular
+    spatial graph. Q = diag(degree) - rho * W (+ ridge * I), SPD for |rho| < 1.
+    Returns the best structured representation via :func:`structured.from_sparse`
+    (typically an RCM-permuted Banded matrix) -- the use case the reference serves
+    with SuperLU on arbitrary sparsity (reference gmrf.py:489-520).
+    """
+    import numpy as np  # host-side construction only
+    import scipy.sparse as sp
+
+    W = sp.csr_matrix(adjacency).astype(np.float64)
+    deg = np.asarray(W.sum(axis=1)).ravel()
+    Q = sp.diags(deg + ridge) - rho * W
+    return st.from_sparse(Q.tocsr())
 
 
 def precision_temporal(time, unit_length: float = 1.0, banded: bool = True) -> StructuredOrArray:

@@ -28,6 +28,7 @@ from typing import Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 # MCMC kernels are numerically sensitive: pin matmuls to full float32 precision on the
@@ -109,23 +110,100 @@ class Banded:
         return (p, p)
 
 
-Structured = Union[Dense, Diagonal, Banded]
+class _StaticPerm:
+    """Hashable permutation wrapper for pytree aux_data.
+
+    Keeping the permutation STATIC (not a traced leaf) lets ``add`` check
+    same-permutation structure at trace time and lets XLA constant-fold the
+    gathers into cheap layout permutes."""
+
+    __slots__ = ("array", "inverse", "_hash")
+
+    def __init__(self, array):
+        self.array = np.asarray(array, np.int32)
+        self.inverse = np.argsort(self.array).astype(np.int32)
+        self._hash = hash(self.array.tobytes())
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        return isinstance(other, _StaticPerm) and np.array_equal(self.array, other.array)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Permuted:
+    """An SPD matrix with arbitrary sparsity held as a symmetric permutation of a
+    banded (or diagonal) matrix: ``inner[i, j] == A[perm[i], perm[j]]``.
+
+    This is the TPU-native replacement for the reference's general sparse support
+    (SuperLU ``splu`` on any scipy.sparse pattern, reference gmrf.py:489-520): a
+    bandwidth-reducing ordering (reverse Cuthill-McKee, see
+    :func:`openmcmc_tpu.linalg.ordering.rcm_permutation`) computed once on the host
+    at model-construction time maps the pattern to a small-bandwidth ``Banded``
+    matrix, and every operation runs the O(p * bw^2) band kernels in permuted
+    coordinates with constant-index gathers on entry/exit. Covers the canonical
+    non-tridiagonal GMRFs (2-D lattice smoothers => bw ~ grid width after RCM,
+    CAR models on irregular spatial graphs).
+
+    A ``Permuted`` whose ``inner`` is a lower Cholesky factor represents the
+    square root ``M = P^T L`` with ``M M^T = A`` (not itself triangular, but all
+    sampling/solve identities hold: see solve_lower/solve_upper_t below).
+    """
+
+    inner: Union[Diagonal, Banded]
+    perm: _StaticPerm
+
+    def tree_flatten(self):
+        return (self.inner,), self.perm
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+    @property
+    def shape(self):
+        return self.inner.shape
+
+    def permute(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Rows of x reordered into permuted (inner) coordinates."""
+        return x[self.perm.array]
+
+    def unpermute(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Rows of x reordered back into original coordinates."""
+        return x[self.perm.inverse]
+
+
+def permuted(inner, perm) -> Permuted:
+    """Build a Permuted matrix from inner (Banded/Diagonal) and a permutation array."""
+    return Permuted(inner, perm if isinstance(perm, _StaticPerm) else _StaticPerm(perm))
+
+
+Structured = Union[Dense, Diagonal, Banded, Permuted]
+
+#: every structured matrix type, for isinstance checks across the framework
+STRUCTURED_TYPES = (Dense, Diagonal, Banded, Permuted)
 
 # Cholesky factors carry the same structure as the matrix they factor:
 #   Dense   -> Dense lower-triangular
 #   Diagonal-> Diagonal of sqrt entries
 #   Banded  -> Banded lower factor in the same band storage
+#   Permuted-> Permuted of the inner factor (a P^T L square root, see Permuted)
 
 
 def as_structured(value) -> Structured:
     """Coerce a raw array (or structured matrix) to a Structured type.
 
     A 2-D square array becomes Dense; a 1-D array becomes Diagonal; structured
-    values pass through.  Mirrors the reference's duck-typing of np.ndarray vs
-    scipy.sparse matrices in state entries (reference gmrf.py:431-434).
+    values pass through; scipy.sparse matrices go through :func:`from_sparse`
+    (RCM-permuted banded representation). Mirrors the reference's duck-typing of
+    np.ndarray vs scipy.sparse state entries (reference gmrf.py:431-434).
     """
-    if isinstance(value, (Dense, Diagonal, Banded)):
+    if isinstance(value, STRUCTURED_TYPES):
         return value
+    if _is_scipy_sparse(value):
+        return from_sparse(value)
     arr = jnp.asarray(value)
     if arr.ndim == 2 and arr.shape[0] == arr.shape[1]:
         return Dense(arr)
@@ -134,12 +212,42 @@ def as_structured(value) -> Structured:
     raise TypeError(f"Cannot interpret array of shape {arr.shape} as a structured matrix")
 
 
+def _is_scipy_sparse(value) -> bool:
+    import sys
+
+    sparse_mod = sys.modules.get("scipy.sparse")
+    if sparse_mod is None:
+        return False
+    return sparse_mod.issparse(value)
+
+
+def from_sparse(A, bw_limit_fraction: float = 0.5) -> Structured:
+    """Convert a scipy.sparse SPD matrix to the best structured representation.
+
+    The TPU-native replacement for the reference's SuperLU sparse path (reference
+    gmrf.py:489-520): instead of a general sparse factorization, a host-side
+    reverse Cuthill-McKee ordering reduces the pattern to a banded matrix factored
+    by the O(p * bw^2) band kernels.  Selection:
+
+    - diagonal pattern                  -> Diagonal
+    - banded as given (small bw)        -> Banded
+    - RCM-permuted bandwidth smaller    -> Permuted(Banded, perm)
+    - bandwidth > bw_limit_fraction * p -> Dense (band kernels would not win; above
+      p/2 the O(p * bw^2) scan loses to the O(p^3) batched dense kernel)
+    """
+    from openmcmc_tpu.linalg import ordering
+
+    return ordering.structured_from_sparse(A, bw_limit_fraction=bw_limit_fraction)
+
+
 def dim(a: Structured) -> int:
     """Matrix dimension p."""
     if isinstance(a, Dense):
         return a.mat.shape[-1]
     if isinstance(a, Diagonal):
         return a.diag_.shape[-1]
+    if isinstance(a, Permuted):
+        return dim(a.inner)
     return a.bands.shape[-1]
 
 
@@ -160,6 +268,9 @@ def to_dense(a: Structured) -> jnp.ndarray:
     """Materialize as a (p, p) dense array (scatter-free, vmap-safe)."""
     if isinstance(a, Dense):
         return a.mat
+    if isinstance(a, Permuted):
+        inv = a.perm.inverse
+        return to_dense(a.inner)[inv][:, inv]
     if isinstance(a, Diagonal):
         p = a.diag_.shape[-1]
         return _diag_embed_offset(a.diag_, p, 0)
@@ -171,9 +282,14 @@ def to_dense(a: Structured) -> jnp.ndarray:
 
 
 def to_dense_lower(chol: Structured) -> jnp.ndarray:
-    """Materialize a lower-triangular structured Cholesky factor as a dense array."""
+    """Materialize a (possibly permuted) structured Cholesky factor as a dense array.
+
+    For ``Permuted`` the result is the square root M = P^T L (rows unpermuted),
+    which is not triangular but satisfies M M^T = A."""
     if isinstance(chol, Dense):
         return chol.mat
+    if isinstance(chol, Permuted):
+        return to_dense_lower(chol.inner)[chol.perm.inverse]
     if isinstance(chol, Diagonal):
         return _diag_embed_offset(chol.diag_, chol.diag_.shape[-1], 0)
     p = dim(chol)
@@ -189,6 +305,8 @@ def diag(a: Structured) -> jnp.ndarray:
         return jnp.diagonal(a.mat, axis1=-2, axis2=-1)
     if isinstance(a, Diagonal):
         return a.diag_
+    if isinstance(a, Permuted):
+        return a.unpermute(diag(a.inner))
     return a.bands[0]
 
 
@@ -199,6 +317,8 @@ def scale(c, a: Structured) -> Structured:
         return Dense(c * a.mat)
     if isinstance(a, Diagonal):
         return Diagonal(c * a.diag_)
+    if isinstance(a, Permuted):
+        return Permuted(scale(c, a.inner), a.perm)
     return Banded(c * a.bands)
 
 
@@ -212,6 +332,17 @@ def add(a: Structured, b: Structured) -> Structured:
     """A + B, promoting to the least-dense structure able to represent the sum."""
     # Dense wins
     if isinstance(a, Dense) or isinstance(b, Dense):
+        return Dense(to_dense(a) + to_dense(b))
+    # Permuted stays permuted when the other operand is diagonal (permutation-
+    # invariant up to reordering its entries) or shares the same permutation;
+    # mixed permutations / plain banded operands densify.
+    if isinstance(a, Permuted) or isinstance(b, Permuted):
+        if isinstance(b, Permuted) and not isinstance(a, Permuted):
+            a, b = b, a
+        if isinstance(b, Diagonal):
+            return Permuted(add(a.inner, Diagonal(a.permute(b.diag_))), a.perm)
+        if isinstance(b, Permuted) and a.perm == b.perm:
+            return Permuted(add(a.inner, b.inner), a.perm)
         return Dense(to_dense(a) + to_dense(b))
     if isinstance(a, Diagonal) and isinstance(b, Diagonal):
         return Diagonal(a.diag_ + b.diag_)
@@ -230,6 +361,8 @@ def matvec(a: Structured, x: jnp.ndarray) -> jnp.ndarray:
     """A @ x for x of shape (p,) or (p, n)."""
     if isinstance(a, Dense):
         return mm(a.mat, x)
+    if isinstance(a, Permuted):
+        return a.unpermute(matvec(a.inner, a.permute(x)))
     if isinstance(a, Diagonal):
         d = a.diag_ if x.ndim == 1 else a.diag_[:, None]
         return d * x
@@ -260,6 +393,9 @@ def row_dot(a: Structured, i, x: jnp.ndarray) -> jnp.ndarray:
     if isinstance(a, Dense):
         row = lax.dynamic_slice_in_dim(a.mat, i, 1, axis=0)[0]
         return jnp.dot(row, xf, precision=_PREC)
+    if isinstance(a, Permuted):
+        # row i of A is row invperm[i] of inner, against permuted x
+        return row_dot(a.inner, jnp.asarray(a.perm.inverse)[i], a.permute(xf))
     if isinstance(a, Diagonal):
         return a.diag_[i] * xf[i]
     # banded: entries at columns i-j (bands[j, i-j]) and i+j (bands[j, i]), plus diag.
@@ -297,6 +433,9 @@ def cholesky(a: Structured) -> Structured:
         return Dense(jnp.linalg.cholesky(a.mat))
     if isinstance(a, Diagonal):
         return Diagonal(jnp.sqrt(a.diag_))
+    if isinstance(a, Permuted):
+        # factor in permuted coordinates: A = P^T (L L^T) P, square root M = P^T L
+        return Permuted(cholesky(a.inner), a.perm)
     if a.bw == 1:
         return Banded(_tridiag_cholesky(a.bands))
     return Banded(_banded_cholesky(a.bands))
@@ -401,7 +540,15 @@ def _banded_cholesky(bands: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve_lower(chol: Structured, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve L w = b for lower-triangular structured L; b is (p,) or (p, n)."""
+    """Solve L w = b for lower-triangular structured L; b is (p,) or (p, n).
+
+    For a ``Permuted`` factor M = P^T L this solves M w = b, i.e.
+    w = L^{-1} (P b); the result lives in permuted coordinates, and only the
+    rotation-invariant uses (quadratic forms ||w||^2, or a following
+    ``solve_upper_t`` which un-permutes) are meaningful -- exactly how cho_solve
+    and the density kernels consume it."""
+    if isinstance(chol, Permuted):
+        return solve_lower(chol.inner, chol.permute(b))
     if isinstance(chol, Dense):
         if chol.mat.shape[-1] <= _SMALL_DENSE_MAX:
             from openmcmc_tpu.linalg import smallmat as _sm
@@ -417,7 +564,15 @@ def solve_lower(chol: Structured, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve_upper_t(chol: Structured, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve L^T x = b for lower-triangular structured L; b is (p,) or (p, n)."""
+    """Solve L^T x = b for lower-triangular structured L; b is (p,) or (p, n).
+
+    For a ``Permuted`` factor M = P^T L this solves M^T x = b (b in permuted
+    coordinates, as produced by ``solve_lower``), returning x in ORIGINAL
+    coordinates: x = P^T L^{-T} b. Composition cho_solve = solve_upper_t o
+    solve_lower therefore maps original -> original, and x = solve_upper_t(M, z)
+    for iid z has covariance A^{-1} exactly as in the unpermuted case."""
+    if isinstance(chol, Permuted):
+        return chol.unpermute(solve_upper_t(chol.inner, b))
     if isinstance(chol, Dense):
         if chol.mat.shape[-1] <= _SMALL_DENSE_MAX:
             from openmcmc_tpu.linalg import smallmat as _sm
@@ -515,7 +670,13 @@ def chol_log_det(chol: Structured) -> jnp.ndarray:
 
 
 def chol_matvec_t(chol: Structured, x: jnp.ndarray) -> jnp.ndarray:
-    """L^T @ x for lower-triangular structured L; x is (p,) or (p, n)."""
+    """L^T @ x for lower-triangular structured L; x is (p,) or (p, n).
+
+    For a ``Permuted`` factor M = P^T L this is M^T x = L^T (P x), in permuted
+    coordinates -- consumed only through the rotation-invariant quadratic form
+    ||M^T r||^2 = r^T A r (mvn_log_pdf, proposal densities)."""
+    if isinstance(chol, Permuted):
+        return chol_matvec_t(chol.inner, chol.permute(x))
     if isinstance(chol, Dense):
         return mm(jnp.swapaxes(chol.mat, -1, -2), x)
     if isinstance(chol, Diagonal):

@@ -36,12 +36,18 @@ from openmcmc_tpu.samplers.metropolis import acceptance_rate
 def _coerce_state(state: dict) -> dict:
     """Coerce raw entries to >=2-D column arrays (reference mcmc.py:63-76).
 
-    Structured matrices pass through (the analog of the reference's sparse
-    passthrough); integer arrays keep an integer dtype (allocation indices)."""
+    Structured matrices pass through; scipy.sparse matrices are converted to the
+    best structured representation (RCM-permuted banded where the pattern allows,
+    replacing the reference's sparse passthrough + SuperLU, reference mcmc.py:66-67
+    and gmrf.py:489-520); integer arrays keep an integer dtype (allocation
+    indices)."""
     out = {}
     for name, value in state.items():
-        if isinstance(value, (st.Dense, st.Diagonal, st.Banded)):
+        if isinstance(value, st.STRUCTURED_TYPES):
             out[name] = value
+            continue
+        if st._is_scipy_sparse(value):
+            out[name] = st.from_sparse(value)
             continue
         arr = np.asarray(value)
         if np.issubdtype(arr.dtype, np.integer):

@@ -81,8 +81,12 @@ class NormalNormal(Sampler):
         else:
             lo, hi = prior._bounds()
             # chromatic sweep for banded/diagonal Q: bw+1 parallel color updates
-            # instead of p sequential coordinate draws (same stationary law)
-            schedule = "red_black" if isinstance(Q, (st.Banded, st.Diagonal)) else "lex"
+            # instead of p sequential coordinate draws (same stationary law);
+            # Permuted runs the chromatic sweep in its banded coordinates
+            banded_like = isinstance(Q, (st.Banded, st.Diagonal)) or (
+                isinstance(Q, st.Permuted) and isinstance(Q.inner, (st.Banded, st.Diagonal))
+            )
+            schedule = "red_black" if banded_like else "lex"
             new_value = gmrf.gibbs_canonical_truncated_normal(
                 key, b, Q, x=state[param], lower=lo, upper=hi, schedule=schedule
             )

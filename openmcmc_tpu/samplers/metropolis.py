@@ -234,9 +234,24 @@ class RandomWalkLoop(RandomWalk):
       carried through it (on accept it becomes the proposal's value), so each
       column evaluates only the proposal. Together: 2 full-model evaluations
       per column become 1 restricted evaluation.
+
+    VECTORIZED PATH: when the restricted model factorizes per column -- every
+    loop distribution either contributes zero (NullDistribution) or is a
+    column-factorized prior on the looped parameter itself -- the n sequential
+    single-column MH kernels commute, so updating all columns in ONE step with
+    independent per-column accept decisions is exactly the same composite kernel.
+    This removes the n-step sequential scan entirely (the dominant cost of the
+    reversible-jump sweep). Enabled automatically; dependent entries (e.g. basis
+    matrices) are refreshed once post-accept via ``vector_state_update_function
+    (key, updates, state) -> updates`` (pass it alongside the per-column
+    ``state_update_function``, which the sequential fallback still uses).
     """
 
     default_target_accept = 0.44  # 1-D optimal acceptance
+
+    def __init__(self, *args, vector_state_update_function: Optional[Callable] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.vector_state_update_function = vector_state_update_function
 
     def _loop_distributions(self):
         dists = getattr(self, "_loop_dists", None)
@@ -246,13 +261,90 @@ class RandomWalkLoop(RandomWalk):
             self._loop_dists = dists
         return dists
 
+    def _vectorized_ok(self) -> bool:
+        """True when the one-at-a-time sweep provably equals one vectorized step."""
+        cached = getattr(self, "_vec_ok", None)
+        if cached is not None:
+            return cached
+        from openmcmc_tpu.distributions.location_scale import NullDistribution
+
+        ok = True
+        if self.state_update_function is not None and self.vector_state_update_function is None:
+            ok = False  # hook only has a per-column form; must run sequentially
+        for d in self._loop_distributions():
+            if isinstance(d, NullDistribution):
+                continue  # identically zero: cannot couple columns
+            if (
+                d.response == self.param
+                and getattr(d, "column_factorized", False)
+                and self.param not in d._dist_params
+            ):
+                continue  # own-column prior term
+            ok = False
+        self._vec_ok = ok
+        return ok
+
     def _loop_log_p(self, state: dict) -> jnp.ndarray:
         total = jnp.asarray(0.0)
         for dist in self._loop_distributions():
             total = total + dist.log_p(state)
         return total
 
+    def _loop_log_p_columns(self, state: dict) -> jnp.ndarray:
+        """Per-column restricted log-density (n,), valid when _vectorized_ok."""
+        from openmcmc_tpu.distributions.location_scale import NullDistribution
+
+        n = state[self.param].shape[1]
+        total = jnp.zeros((n,))
+        for dist in self._loop_distributions():
+            if isinstance(dist, NullDistribution):
+                continue
+            total = total + dist.log_p(state, by_observation=True).reshape(n)
+        return total
+
+    def _step_vectorized(self, key, state: dict, stats: dict, adapt: bool) -> Tuple[dict, dict]:
+        value = state[self.param]  # (p, n)
+        n = value.shape[1]
+        k_prop, k_hook, k_acc = jax.random.split(key, 3)
+        step = self._step_value(stats)
+        if self.domain_limits is None:
+            z = value + step * jax.random.normal(k_prop, value.shape, value.dtype)
+            lf = jnp.zeros((n,))
+            lr = jnp.zeros((n,))
+        else:
+            lb = jnp.asarray(self.domain_limits[:, 0]).reshape(-1, 1)
+            ub = jnp.asarray(self.domain_limits[:, 1]).reshape(-1, 1)
+            z = gmrf.truncated_normal_rv(k_prop, value, step, lower=lb, upper=ub, shape=value.shape)
+            lf = jnp.sum(gmrf.truncated_normal_log_pdf(z, value, step, lower=lb, upper=ub), axis=0)
+            lr = jnp.sum(gmrf.truncated_normal_log_pdf(value, z, step, lower=lb, upper=ub), axis=0)
+
+        prop_state = dict(state)
+        prop_state[self.param] = z
+        log_accept = self._loop_log_p_columns(prop_state) + lr - (self._loop_log_p_columns(state) + lf)
+        active = jnp.ones((n,), jnp.bool_)
+        if self.active_count is not None:
+            active = jnp.arange(n) < jnp.reshape(state[self.active_count], ())
+        accept = jnp.logical_and(jnp.log(jax.random.uniform(k_acc, (n,))) < log_accept, active)
+        updates = {self.param: jnp.where(accept[None, :], z, value)}
+        if self.vector_state_update_function is not None:
+            updates = self.vector_state_update_function(k_hook, updates, state)
+        new_state = dict(state)
+        new_state.update(updates)
+        new_stats = dict(stats)
+        new_stats["accept"] = stats["accept"] + jnp.sum(accept).astype(jnp.int32)
+        new_stats["proposal"] = stats["proposal"] + jnp.sum(active).astype(jnp.int32)
+        if self.adapt_step and adapt:
+            # Robbins-Monro: the sequential path applies one nudge per active
+            # column; summing the per-column signals reproduces the same total
+            # per-sweep adjustment (and the same fixed point)
+            alpha = jnp.exp(jnp.minimum(log_accept, 0.0))
+            total = jnp.sum(jnp.where(active, alpha - self.target_accept, 0.0))
+            new_stats["log_step"] = stats["log_step"] + self.adapt_rate * total
+        return new_state, new_stats
+
     def step(self, key, state: dict, stats: dict, adapt: bool = False) -> Tuple[dict, dict]:
+        if self._vectorized_ok():
+            return self._step_vectorized(key, state, stats, adapt)
         n = state[self.param].shape[1]
         carried = list(dict.fromkeys(self.updated_names))  # param + hook-updated entries
         logp0 = self._loop_log_p(state)

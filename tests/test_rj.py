@@ -298,3 +298,51 @@ def test_prior_recovery(rj_state, rj_model):
     exp_t = expected[big] * obs_t.sum() / expected[big].sum()
     _, p_val = sps.chisquare(obs_t, exp_t)
     assert p_val >= 0.001, (p_val, observed, expected.round(1))
+
+
+def test_prior_recovery_vectorized_loops(rj_state, rj_model):
+    """Same prior-recovery stack with the VECTORIZED RandomWalkLoop fast path (the
+    hot configuration used by bench_all): the Poisson prior on n_knots must still
+    be recovered."""
+
+    def move_vec(key, updates, state):
+        updates = dict(updates)
+        theta = updates.get("theta", state["theta"])
+        omega = updates.get("omega", state["omega"])
+        updates["B"] = make_basis(state["X"], theta, omega, state["n_basis"])
+        return updates
+
+    loops = []
+    for name, step, limits in [("theta", 0.5, LIMITS), ("omega", 0.1, (0.5, 2.0))]:
+        s = RandomWalkLoop(
+            name,
+            rj_model,
+            step=step,
+            domain_limits=np.asarray([limits]),
+            state_update_function=move_fn,
+            vector_state_update_function=move_vec,
+            active_count="n_basis",
+            updated_names=[name, "B"],
+        )
+        assert s._vectorized_ok()
+        loops.append(s)
+    samplers = [
+        ManifoldMALA("beta", rj_model, step=0.5, active_count="n_basis"),
+        *loops,
+        make_rj(rj_model, scale=1.0),
+    ]
+    mcmc = MCMC(rj_state, samplers, rj_model, n_burn=100, n_iter=1200, n_chains=8, seed=11)
+    mcmc.store_names = ["n_basis"]
+    res = mcmc.run()
+    draws = np.asarray(res.store["n_basis"]).reshape(8, -1)[:, ::25]
+    samples = draws.flatten()
+    assert samples.min() >= 1 and samples.max() <= N_MAX
+
+    num = np.arange(1, N_MAX + 1)
+    expected = samples.size * sps.poisson.pmf(num, 3.0)
+    observed, _ = np.histogram(samples, bins=np.linspace(0.5, N_MAX + 0.5, N_MAX + 1))
+    big = expected >= 5
+    obs_t = observed[big]
+    exp_t = expected[big] * obs_t.sum() / expected[big].sum()
+    _, p_val = sps.chisquare(obs_t, exp_t)
+    assert p_val >= 0.001, (p_val, observed, expected.round(1))
