@@ -248,6 +248,49 @@ def reversible_jump(n_chains=2048):
     return m, "n_basis"
 
 
+def mixture(n_chains=4096):
+    """Gaussian mixture (reference sampler.py:291-355 machinery end-to-end):
+    MixtureAllocation + RandomWalkLoop over component means + NormalGamma."""
+    from openmcmc_tpu.distributions import Categorical
+    from openmcmc_tpu.parameters import MixtureParameterMatrix as MPM
+    from openmcmc_tpu.parameters import MixtureParameterVector as MPV
+    from openmcmc_tpu.samplers import MixtureAllocation
+
+    rng = np.random.default_rng(0)
+    n, m_comp = 200, 2
+    true_means = np.array([-2.0, 3.0])
+    true_lam = np.array([4.0, 1.0])
+    alloc = rng.integers(0, m_comp, n)
+    y = rng.normal(true_means[alloc], 1.0 / np.sqrt(true_lam[alloc])).reshape(n, 1)
+    mdl = Model(
+        [
+            Normal("y", mean=MPV(param="means", allocation="Z"), precision=MPM(param="lams", allocation="Z")),
+            Categorical("Z", prob="prior"),
+            Normal("means", mean="mu0", precision="P0"),
+            Gamma("lams", shape="a0", rate="b0"),
+        ]
+    )
+    samplers = [
+        MixtureAllocation("Z", mdl, response_param="y"),
+        RandomWalkLoop("means", mdl, step=0.3, domain_limits=np.asarray([[-20.0, 20.0], [-20.0, 20.0]])),
+        NormalGamma("lams", mdl),
+    ]
+    state = {
+        "y": y,
+        "Z": (y > 0).astype(np.int32),
+        "means": np.array([-1.0, 1.0]).reshape(m_comp, 1),
+        "lams": np.ones((m_comp, 1)),
+        "prior": np.full((n, m_comp), 0.5),
+        "mu0": np.zeros((m_comp, 1)),
+        "P0": st.Diagonal(jnp.full((m_comp,), 0.01)),
+        "a0": np.full((m_comp, 1), 2.0),
+        "b0": np.full((m_comp, 1), 1.0),
+    }
+    m = MCMC(state, samplers, mdl, n_burn=500, n_iter=1000, n_chains=n_chains, seed=0)
+    m.store_names = ["means", "lams"]
+    return m, "means"
+
+
 def fused_workloads(ref):
     """The two fused whole-run engines, measured on the same configs as their generic
     counterparts and compared to the same reference numbers."""
@@ -327,6 +370,7 @@ def main():
         ("mmala", mmala, 1, 5),
         ("gmrf_smoother", gmrf_smoother, 1, 5),
         ("reversible_jump", reversible_jump, 4, 1),
+        ("mixture", mixture, 1, 2),
     ]
     for name, build, chunks, reps in workloads:
         mcmc, param = build()

@@ -128,12 +128,14 @@ def _match_smoother(mcmc) -> Optional[Callable]:
         return None
     ptau = mcmc.data.get(sp_y[0])
     plam = mcmc.data.get(sp_b[0])
-    if not isinstance(ptau, st.Diagonal) or not bool(jnp.all(ptau.diag_ == 1.0)):
+    # arbitrary positive diagonal noise penalty and arbitrary prior mean are
+    # handled by the kernel (round-3 generalization; previously identity/zero only)
+    if not isinstance(ptau, st.Diagonal) or not bool(jnp.all(ptau.diag_ > 0.0)):
         return None
     if not isinstance(plam, st.Banded) or plam.bw != 1:
         return None
     mu = mcmc.data.get(_identity_mean_name(b_dist))
-    if mu is None or not bool(jnp.all(jnp.asarray(mu) == 0.0)):
+    if mu is None:
         return None
     y = mcmc.data.get(y_dist.response)
     if y is None:
@@ -159,6 +161,7 @@ def _match_smoother(mcmc) -> Optional[Callable]:
             n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
             a_lam=hyp_lam[0], b_lam=hyp_lam[1], a_tau=hyp_tau[0], b_tau=hyp_tau[1],
             lam0=lam0, tau0=tau0, P0_bands=plam.bands,
+            noise_diag=ptau.diag_, mu0=jnp.asarray(mu).reshape(-1),
         )
         store = {
             latent: out["b"][..., None],
@@ -208,8 +211,10 @@ def _match_linreg(mcmc) -> Optional[Callable]:
     if X is None or y is None or mu is None:
         return None
     from openmcmc_tpu.fused.linreg import MAX_P
+    from openmcmc_tpu.fused.spectral import MAX_P as SPECTRAL_MAX_P
 
-    if np.asarray(X).shape[1] > MAX_P:
+    p = np.asarray(X).shape[1]
+    if p > SPECTRAL_MAX_P:
         return None
     tau_name, lam_name = sp_y[1], sp_b[1]
     # exact model inventory: no extra distribution may be dropped (see _match_smoother)
@@ -222,10 +227,19 @@ def _match_linreg(mcmc) -> Optional[Callable]:
     if None in (hyp_tau, hyp_lam, tau0, lam0):
         return None
 
-    from openmcmc_tpu.fused.linreg import run_fused_linreg
+    # p <= 16: unrolled SMEM-scalar kernel (fastest); larger p: spectral engine
+    # (eigenbasis change making the conditional diagonal, p <= 256)
+    if p <= MAX_P:
+        from openmcmc_tpu.fused.linreg import run_fused_linreg as _runner
+
+        engine_name = "fused_linreg"
+    else:
+        from openmcmc_tpu.fused.spectral import run_spectral_linreg as _runner
+
+        engine_name = "fused_linreg_spectral"
 
     def run(seed):
-        out = run_fused_linreg(
+        out = _runner(
             seed, jnp.asarray(X), jnp.asarray(y).reshape(-1),
             n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
             a_tau=hyp_tau[0], b_tau=hyp_tau[1], a_lam=hyp_lam[0], b_lam=hyp_lam[1],
@@ -239,12 +253,13 @@ def _match_linreg(mcmc) -> Optional[Callable]:
         }
         return store, out["log_post"], {latent: {}, lam_name: {}, tau_name: {}}
 
-    run.engine_name = "fused_linreg"
+    run.engine_name = engine_name
     return run
 
 
 def _match_rw(mcmc) -> Optional[Callable]:
-    """Single RandomWalk on scalar h: y ~ N(h, tau^-1), h ~ N(mu, lam^-1), constants."""
+    """Single RandomWalk on a (vector) location h: y ~ N(h, diag(tau)^-1),
+    h ~ N(mu, diag(lam)^-1), constant hyperparameters, p <= MAX_P."""
     if len(mcmc.samplers) != 1:
         return None
     rw = mcmc.samplers[0]
@@ -263,39 +278,52 @@ def _match_rw(mcmc) -> Optional[Callable]:
     if y_dist is None or not isinstance(h_dist, Normal) or y_dist.truncated or h_dist.truncated:
         return None
     y = mcmc.data.get(y_dist.response)
-    if y is None or np.asarray(y).shape[0] != 1:
+    if y is None:
+        return None
+    from openmcmc_tpu.fused.random_walk import MAX_P
+
+    p = np.asarray(y).shape[0]
+    if p > MAX_P:
         return None
     # exact model inventory: no extra distribution may be dropped (see _match_smoother)
     if set(mcmc.model.keys()) != {y_dist.response, h}:
         return None
 
-    def precision_scalar(dist):
+    def precision_diag(dist):
+        """(p,) diagonal of an Identity-form constant precision, else None."""
         if not isinstance(dist.precision, Identity):
             return None
         value = mcmc.data.get(dist.precision.form)
         if value is None:
             return None
-        arr = np.asarray(st.to_dense(st.as_structured(jnp.asarray(value))))
-        if arr.shape != (1, 1):
+        s = st.as_structured(jnp.asarray(value) if not isinstance(value, st.STRUCTURED_TYPES) else value)
+        arr = np.asarray(st.to_dense(s))
+        if arr.shape == (1, 1):
+            return np.full((p,), float(arr[0, 0]))
+        if arr.shape != (p, p) or np.any(arr != np.diag(np.diag(arr))):
             return None
-        return float(arr[0, 0])
+        return np.diag(arr)
 
-    tau = precision_scalar(y_dist)
-    lam = precision_scalar(h_dist)
-    mu = _scalar(mcmc, _identity_mean_name(h_dist)) if _identity_mean_name(h_dist) else None
-    h0 = _initial_scalar(mcmc, h)
-    if None in (tau, lam, mu, h0):
+    tau = precision_diag(y_dist)
+    lam = precision_diag(h_dist)
+    mu_name = _identity_mean_name(h_dist)
+    mu = None if mu_name is None else mcmc.data.get(mu_name)
+    h0 = mcmc.initial_chain_state.get(h)
+    if tau is None or lam is None or mu is None or h0 is None:
         return None
+    mu = np.broadcast_to(np.asarray(mu, np.float64).reshape(-1), (p,))
+    h0 = np.broadcast_to(np.asarray(h0, np.float64).reshape(-1), (p,))
 
     from openmcmc_tpu.fused.random_walk import run_fused_rw
 
     def run(seed):
         out = run_fused_rw(
-            seed, jnp.asarray(y).reshape(-1),
+            seed, jnp.asarray(y),
             n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
             mu=mu, tau=tau, lam=lam, step=float(np.asarray(rw.step_size).reshape(())), h0=h0,
         )
-        store = {h: out["h"][..., None, None]}
+        hd = out["h"]
+        store = {h: hd[..., None, None] if hd.ndim == 2 else hd[..., None]}
         n_prop = mcmc.n_burn + mcmc.n_iter  # generic counting window: burn + sampling
         stats = {
             h: {
@@ -355,12 +383,21 @@ def _match_mmala(mcmc) -> Optional[Callable]:
     if set(mcmc.model.keys()) != {y_dist.response, latent}:
         return None
     from openmcmc_tpu.fused.mmala import MAX_P
+    from openmcmc_tpu.fused.spectral import MAX_P as SPECTRAL_MAX_P
 
-    if np.asarray(X).shape[1] > MAX_P:
+    p = np.asarray(X).shape[1]
+    if p > SPECTRAL_MAX_P:
         return None
     beta0 = mcmc.initial_chain_state.get(latent)
 
-    from openmcmc_tpu.fused.mmala import run_fused_mmala
+    if p <= MAX_P:
+        from openmcmc_tpu.fused.mmala import run_fused_mmala
+
+        engine_name = "fused_mmala"
+    else:
+        from openmcmc_tpu.fused.spectral import run_spectral_mmala as run_fused_mmala
+
+        engine_name = "fused_mmala_spectral"
 
     def run(seed):
         out = run_fused_mmala(
@@ -381,5 +418,5 @@ def _match_mmala(mcmc) -> Optional[Callable]:
         }
         return store, out["log_post"], stats
 
-    run.engine_name = "fused_mmala"
+    run.engine_name = engine_name
     return run

@@ -52,8 +52,8 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
     lgam_lam = float(a_lam * np.log(b_lam) - gammaln(a_lam))
     lgam_tau = float(a_tau * np.log(b_tau) - gammaln(a_tau))
 
-    def kernel(seed_ref, logdet_ref, p0d_ref, p0c_ref, p0cprev_ref, y_ref, mask_ref, out_b_ref, out_s_ref,
-               ld_ref, u_ref, x_ref, stage_ref, small_ref, sems, small_sems):
+    def kernel(seed_ref, logdet_ref, p0d_ref, p0c_ref, p0cprev_ref, y_ref, mask_ref, d_ref, mu_ref,
+               p0mu_ref, out_b_ref, out_s_ref, ld_ref, u_ref, x_ref, stage_ref, small_ref, sems, small_sems):
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid)
         ones_row = jnp.ones((1, BLOCK_B), jnp.float32)
@@ -63,6 +63,8 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
         p0c = p0c_ref[:, :]
         yv = y_ref[:, :]
         mask = mask_ref[:, :]
+        dv = d_ref[:, :]  # noise penalty diagonal D (general, not just I)
+        muv = mu_ref[:, :]  # prior mean mu0
 
         def p0_matvec(b):
             up = jnp.concatenate([b[1:, :], jnp.zeros((1, BLOCK_B), jnp.float32)], axis=0)
@@ -75,9 +77,10 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
             lam, tau = carry  # (1, BLOCK_B) each
 
             # ---- NormalNormal: draw b | y, lam, tau -------------------------
-            # Q = lam P0 + tau I (identity rows on the padding); chunk rows are
-            # assembled from the constant input refs (Mosaic cannot dynamically
-            # slice computed values, only refs)
+            # Q = lam P0 + tau D (identity rows on the padding), canonical mean
+            # rhs = tau D y + lam P0 mu0; chunk rows are assembled from the
+            # constant input refs (Mosaic cannot dynamically slice computed
+            # values, only refs)
             u_ref[:, :] = _normal((p_pad, BLOCK_B))
 
             def fwd(ci, carry_f):
@@ -87,9 +90,11 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
                 p0cp_ch = p0cprev_ref[pl.ds(base, CHUNK), :]
                 y_ch = y_ref[pl.ds(base, CHUNK), :]
                 m_ch = mask_ref[pl.ds(base, CHUNK), :]
-                a_ch = lam * p0d_ch + tau * m_ch + (1.0 - m_ch)
+                d_ch = d_ref[pl.ds(base, CHUNK), :]
+                p0mu_ch = p0mu_ref[pl.ds(base, CHUNK), :]
+                a_ch = lam * p0d_ch + tau * d_ch * m_ch + (1.0 - m_ch)
                 cp_ch = lam * p0cp_ch
-                b_ch = tau * (y_ch * m_ch)
+                b_ch = (tau * (d_ch * y_ch) + lam * p0mu_ch) * m_ch
                 z_ch = u_ref[pl.ds(base, CHUNK), :]
                 ld_rows, u_rows = [], []
                 for k in range(CHUNK):
@@ -122,16 +127,19 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
             b_draw = x_ref[:, :] * mask
 
             # ---- NormalGamma: lam | b --------------------------------------
-            quad_lam = jnp.sum(b_draw * p0_matvec(b_draw), axis=0, keepdims=True)
+            r_prior = (b_draw - muv) * mask
+            quad_lam = jnp.sum(r_prior * p0_matvec(r_prior), axis=0, keepdims=True)
             lam_new = _gamma_mt(a_lam_star, b_lam + 0.5 * quad_lam)
 
             # ---- NormalGamma: tau | b, y -----------------------------------
             resid = (yv - b_draw) * mask
-            quad_tau = jnp.sum(resid * resid, axis=0, keepdims=True)
+            quad_tau = jnp.sum(dv * resid * resid, axis=0, keepdims=True)
             tau_new = _gamma_mt(a_tau_star, b_tau + 0.5 * quad_tau)
 
             # ---- analytic log posterior ------------------------------------
-            log_like = 0.5 * (p_real * jnp.log(tau_new) - p_real * _LOG_2PI - tau_new * quad_tau)
+            log_like = 0.5 * (
+                p_real * jnp.log(tau_new) + logdet_ref[1] - p_real * _LOG_2PI - tau_new * quad_tau
+            )
             log_prior_b = 0.5 * (p_real * jnp.log(lam_new) + logdet_ref[0] - p_real * _LOG_2PI - lam_new * quad_lam)
             log_lam = lgam_lam + (a_lam - 1.0) * jnp.log(lam_new) - b_lam * lam_new
             log_tau = lgam_tau + (a_tau - 1.0) * jnp.log(tau_new) - b_tau * tau_new
@@ -202,14 +210,18 @@ def run_fused_smoother(
     tau0: float = 1.0,
     ridge: float = 0.001,
     P0_bands: Optional[jnp.ndarray] = None,
+    noise_diag: Optional[jnp.ndarray] = None,
+    mu0: Optional[jnp.ndarray] = None,
 ):
     """Run the full GMRF smoother MCMC in one fused kernel.
 
     y: (p,) observations at locations s: (p,). Returns dict with
     b: (n_chains, n_iter, p), lam/tau/log_post: (n_chains, n_iter).
-    Matches the generic-driver model exactly (Q = lam * (P_rw1 + ridge e0 e0') + tau I).
-    Pass ``P0_bands`` (2, p) to supply the tridiagonal prior precision directly
-    instead of rebuilding it from locations (used by fused.dispatch).
+    Matches the generic-driver model exactly: Q = lam * P0 + tau * D with
+    P0 = P_rw1 + ridge e0 e0' (or ``P0_bands`` (2, p) supplied directly),
+    D = diag(``noise_diag``) an arbitrary positive noise penalty (default I),
+    and prior mean ``mu0`` (default 0) -- the general smoother family, not just
+    the identity-penalty / zero-mean benchmark shape.
     """
     y = jnp.asarray(y, jnp.float32).reshape(-1)
     p_real = y.shape[0]
@@ -218,15 +230,27 @@ def run_fused_smoother(
     else:
         P0 = gmrf.precision_irregular(jnp.asarray(s, jnp.float32))
         P0 = st.Banded(P0.bands.at[0, 0].add(ridge))
-    logdet_p0 = (2.0 * jnp.sum(jnp.log(st.diag(st.cholesky(P0))))).reshape(1).astype(jnp.float32)
+    d_vec = jnp.ones((p_real,), jnp.float32) if noise_diag is None else jnp.asarray(noise_diag, jnp.float32).reshape(-1)
+    mu_vec = jnp.zeros((p_real,), jnp.float32) if mu0 is None else jnp.asarray(mu0, jnp.float32).reshape(-1)
+    logdet_p0 = 2.0 * jnp.sum(jnp.log(st.diag(st.cholesky(P0))))
+    logdet_d = jnp.sum(jnp.log(d_vec))
+    logdets = jnp.stack([logdet_p0, logdet_d]).astype(jnp.float32)
+    p0mu = st.matvec(P0, mu_vec.reshape(-1, 1)).reshape(-1)
 
     p_pad = p_real + ((-p_real) % CHUNK)
     pad = p_pad - p_real
-    p0d = jnp.concatenate([P0.bands[0], jnp.zeros((pad,), jnp.float32)]).reshape(p_pad, 1)
-    p0c = jnp.concatenate([P0.bands[1], jnp.zeros((pad,), jnp.float32)]).reshape(p_pad, 1)
+
+    def _pad_col(v):
+        return jnp.concatenate([v.astype(jnp.float32), jnp.zeros((pad,), jnp.float32)]).reshape(p_pad, 1)
+
+    p0d = _pad_col(P0.bands[0])
+    p0c = _pad_col(P0.bands[1])
     p0cprev = jnp.concatenate([jnp.zeros((1, 1), jnp.float32), p0c[:-1]], axis=0)
-    yv = jnp.concatenate([y, jnp.zeros((pad,), jnp.float32)]).reshape(p_pad, 1)
-    mask = jnp.concatenate([jnp.ones((p_real,), jnp.float32), jnp.zeros((pad,), jnp.float32)]).reshape(p_pad, 1)
+    yv = _pad_col(y)
+    mask = _pad_col(jnp.ones((p_real,), jnp.float32))
+    dv = _pad_col(d_vec)
+    muv = _pad_col(mu_vec)
+    p0muv = _pad_col(p0mu)
 
     b_total = n_chains + ((-n_chains) % BLOCK_B)
     kernel = _make_kernel(
@@ -237,7 +261,7 @@ def run_fused_smoother(
     out_b, out_s = pl.pallas_call(
         kernel,
         grid=(b_total // BLOCK_B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 8,
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -256,7 +280,7 @@ def run_fused_smoother(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(jnp.asarray([seed], jnp.int32), logdet_p0, p0d, p0c, p0cprev, yv, mask)
+    )(jnp.asarray([seed], jnp.int32), logdets, p0d, p0c, p0cprev, yv, mask, dv, muv, p0muv)
 
     b_draws = jnp.transpose(out_b[:, :p_real, :n_chains], (2, 0, 1))  # (chains, iters, p)
     small = jnp.transpose(out_s[:, :, :n_chains], (2, 0, 1))  # (chains, iters, 8)

@@ -9,6 +9,15 @@ probability < 1e-7; misses fall back to the mode-matched d*v value).
 
 Replaces the scipy RNG layer of the reference (reference gmrf.py:20-26 uses
 scipy.stats rvs throughout).
+
+CPU statistical testability: every sampler here takes an optional ``bit_source``
+callable ``shape -> uint32 bits``. The default is the on-chip PRNG (usable only
+inside a Pallas kernel; the interpret-mode stub returns zeros, so interpret runs
+are deterministic pipelines, not statistics). Tests inject a host bit source
+(``jax.random.bits``) and run the EXACT math pipeline -- 24-bit mantissa
+conversion, Box-Muller, the Marsaglia-Tsang squeeze and the shape < 1 boost --
+as plain jnp on CPU, where Kolmogorov-Smirnov / moment tests catch any
+regression in the distributional math (tests/test_fused_prng_stats.py).
 """
 
 from __future__ import annotations
@@ -22,21 +31,29 @@ LOG_2PI = 1.8378770664093453
 GAMMA_ROUNDS = 6
 
 
-def uniform(shape):
+def _tpu_bits(shape):
+    return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+
+def uniform(shape, bit_source=_tpu_bits):
     """U(0, 1) from the on-chip PRNG (24-bit mantissa resolution, never 0)."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    i24 = pltpu.bitcast(jnp.right_shift(bits, 8), jnp.int32)
+    bits = bit_source(shape)
+    shifted = jnp.right_shift(bits, 8)  # top 24 bits: value < 2^24 fits int32 exactly
+    if bit_source is _tpu_bits:
+        i24 = pltpu.bitcast(shifted, jnp.int32)  # Mosaic-friendly in-kernel cast
+    else:
+        i24 = shifted.astype(jnp.int32)  # host bit sources run outside Pallas
     return (i24.astype(jnp.float32) + 0.5) * (1.0 / 16777216.0)
 
 
-def normal(shape):
+def normal(shape, bit_source=_tpu_bits):
     """N(0, 1) via Box-Muller."""
-    u1 = uniform(shape)
-    u2 = uniform(shape)
+    u1 = uniform(shape, bit_source)
+    u2 = uniform(shape, bit_source)
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
 
-def gamma_mt(a_star: float, rate):
+def gamma_mt(a_star: float, rate, bit_source=_tpu_bits):
     """Marsaglia-Tsang Gamma(a_star)/rate, elementwise on ``rate``; a_star static.
 
     Marsaglia-Tsang is valid for shape >= 1; shapes below 1 use the standard boost
@@ -44,17 +61,17 @@ def gamma_mt(a_star: float, rate):
     like a = 1e-3 with a small data increment (a* = a + p/2 < 1) draw from the
     correct distribution."""
     if a_star < 1.0:
-        g1 = gamma_mt(a_star + 1.0, jnp.ones(rate.shape, jnp.float32))
-        u = uniform(rate.shape)
+        g1 = gamma_mt(a_star + 1.0, jnp.ones(rate.shape, jnp.float32), bit_source)
+        u = uniform(rate.shape, bit_source)
         return g1 * jnp.exp(jnp.log(u) / a_star) / rate
     d = a_star - 1.0 / 3.0
     c = 1.0 / float(np.sqrt(9.0 * d))
     value = jnp.full(rate.shape, d, jnp.float32)
     accepted = jnp.zeros(rate.shape, jnp.bool_)
     for _ in range(GAMMA_ROUNDS):
-        x = normal(rate.shape)
+        x = normal(rate.shape, bit_source)
         v = (1.0 + c * x) ** 3
-        u = uniform(rate.shape)
+        u = uniform(rate.shape, bit_source)
         ok = jnp.logical_and(
             v > 0.0,
             jnp.log(u) < 0.5 * x * x + d - d * v + d * jnp.log(jnp.where(v > 0.0, v, 1.0)),

@@ -3,16 +3,17 @@
 Third fused family (after the conjugate smoother and linreg engines): a METROPOLIS
 sampler, showing the one-launch pattern is not specific to conjugate Gibbs. Covers the
 reference examples/2_samplers.ipynb workload (reference metropolis_hastings.py:176-269
-driving mcmc.py:87): scalar location h with
+driving mcmc.py:87) in its general VECTOR form: a p-dimensional location h with
 
-    y_i ~ N(h, 1/tau)  (i = 1..N),    h ~ N(mu, 1/lam),
+    y_ij ~ N(h_i, 1/tau_i)  (j = 1..n),    h_i ~ N(mu_i, 1/lam_i),
 
-random-walk proposals h' = h + step * z. The data enters only through N, S1 = sum y,
-S2 = sum y^2, so each iteration is ~15 scalar ops per chain: propose, one carried
-log-density update (the current value rides the loop carry -- nothing is recomputed),
-branchless accept. Log-posterior includes the full normalizing constants, matching
-Model.log_p exactly. Chains ride the lane axis; draws stream to HBM via
-double-buffered DMA.
+random-walk proposals h' = h + step * z with a joint accept. The data enters only
+through the per-dimension sufficient statistics N, S1_i = sum_j y_ij,
+S2_i = sum_j y_ij^2, so each iteration is ~15 p-row ops per chain: propose, one
+carried log-density update (the current value rides the loop carry -- nothing is
+recomputed), branchless accept. Log-posterior includes the full normalizing
+constants, matching Model.log_p exactly. Chains ride the lane axis; draws stream to
+HBM via double-buffered DMA.
 
 Parity-tested against the generic driver in tests/test_fused_rw.py.
 """
@@ -31,30 +32,55 @@ from jax.experimental.pallas import tpu as pltpu
 from openmcmc_tpu.fused.prng import LOG_2PI, normal, uniform
 
 BLOCK_B = 2048
-OUT_ROWS = 8  # [h, log_post, accept_flag, 0...]
+MAX_P = 32
 
 
-def _make_kernel(n_obs, mu, tau, lam, step, h0, n_burn, n_keep):
-    # constants of the joint log-density (match Model.log_p)
-    const = 0.5 * (n_obs * np.log(tau) - n_obs * LOG_2PI) + 0.5 * (np.log(lam) - LOG_2PI)
-
+def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows):
     def kernel(seed_ref, scal_ref, out_ref, stage_ref, sems):
+        # scal_ref (SMEM): [S1 (p) | S2 (p) | mu (p) | tau (p) | lam (p) | h0 (p)]
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid)
-        s1 = scal_ref[0]  # sum(y)
-        s2 = scal_ref[1]  # sum(y^2)
+
+        def s1(i):
+            return scal_ref[i]
+
+        def s2(i):
+            return scal_ref[p + i]
+
+        def mu(i):
+            return scal_ref[2 * p + i]
+
+        def tau(i):
+            return scal_ref[3 * p + i]
+
+        def lam(i):
+            return scal_ref[4 * p + i]
+
+        def h0(i):
+            return scal_ref[5 * p + i]
+
+        # joint log-density constants (match Model.log_p)
+        const = 0.0
+        for i in range(p):
+            const = const + 0.5 * (n_obs * jnp.log(tau(i)) - n_obs * LOG_2PI)
+            const = const + 0.5 * (jnp.log(lam(i)) - LOG_2PI)
 
         def log_post(h):
-            quad_lik = s2 - 2.0 * h * s1 + n_obs * h * h
-            return const - 0.5 * tau * quad_lik - 0.5 * lam * (h - mu) ** 2
+            total = const
+            for i in range(p):
+                quad_lik = s2(i) - 2.0 * h[i] * s1(i) + n_obs * h[i] * h[i]
+                total = total - 0.5 * tau(i) * quad_lik - 0.5 * lam(i) * (h[i] - mu(i)) ** 2
+            return total
 
         def iteration(it, carry):
-            h, lp, acc = carry  # (1, BLOCK_B) rows
-            z = normal((1, BLOCK_B))
-            h_prop = h + step * z
+            h = carry[:p]
+            lp = carry[p]
+            acc = carry[p + 1]
+            z = normal((p, BLOCK_B))
+            h_prop = [h[i] + step * z[i : i + 1, :] for i in range(p)]
             lp_prop = log_post(h_prop)
             accept = jnp.log(uniform((1, BLOCK_B))) < (lp_prop - lp)
-            h_new = jnp.where(accept, h_prop, h)
+            h_new = [jnp.where(accept, h_prop[i], h[i]) for i in range(p)]
             lp_new = jnp.where(accept, lp_prop, lp)
             # running accept count over burn + sampling, so the reported acceptance
             # rate uses the generic driver's counting window (accumulated from -n_burn)
@@ -71,18 +97,18 @@ def _make_kernel(n_obs, mu, tau, lam, step, h0, n_burn, n_keep):
                         stage_ref.at[slot], out_ref.at[idx - 2, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
                     ).wait()
 
-                rows = [h_new, lp_new, accept.astype(jnp.float32), acc_new]
-                rows += [jnp.zeros((1, BLOCK_B), jnp.float32)] * (OUT_ROWS - len(rows))
+                rows = h_new + [lp_new, accept.astype(jnp.float32), acc_new]
+                rows += [jnp.zeros((1, BLOCK_B), jnp.float32)] * (out_rows - len(rows))
                 stage_ref[pl.ds(slot, 1)] = jnp.concatenate(rows, axis=0)[None, :, :]
                 pltpu.make_async_copy(
                     stage_ref.at[slot], out_ref.at[idx, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
                 ).start()
 
-            return h_new, lp_new, acc_new
+            return tuple(h_new) + (lp_new, acc_new)
 
-        h0_row = jnp.full((1, BLOCK_B), h0, jnp.float32)
-        zero_row = jnp.zeros((1, BLOCK_B), jnp.float32)
-        lax.fori_loop(0, n_burn + n_keep, iteration, (h0_row, log_post(h0_row), zero_row))
+        h_init = tuple(jnp.full((1, BLOCK_B), 0.0, jnp.float32) + h0(i) for i in range(p))
+        carry0 = h_init + (log_post(list(h_init)), jnp.zeros((1, BLOCK_B), jnp.float32))
+        lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
             slot = last % 2
@@ -95,7 +121,7 @@ def _make_kernel(n_obs, mu, tau, lam, step, h0, n_burn, n_keep):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_burn", "n_iter", "n_chains", "mu", "tau", "lam", "step", "h0"),
+    static_argnames=("n_burn", "n_iter", "n_chains", "step"),
 )
 def run_fused_rw(
     seed: int,
@@ -103,43 +129,56 @@ def run_fused_rw(
     n_burn: int,
     n_iter: int,
     n_chains: int,
-    mu: float,
-    tau: float,
-    lam: float,
+    mu=0.0,
+    tau=1.0,
+    lam=1.0,
     step: float = 0.2,
-    h0: float = 0.0,
+    h0=0.0,
 ):
     """Run the full random-walk MH chain for h | y in one fused kernel.
 
-    y: (N,) observations. Returns dict with h/log_post: (n_chains, n_iter),
-    accept: (n_chains, n_iter) 0/1 flags, and accept_total: (n_chains,) accept
+    y: (N,) observations for a scalar h, or (p, N) for a p-dimensional h (p <= 32,
+    independent dimensions, joint accept). mu/tau/lam/h0 broadcast to (p,).
+    Returns dict with h: (n_chains, n_iter) [scalar] or (n_chains, n_iter, p),
+    log_post/accept: (n_chains, n_iter), and accept_total: (n_chains,) accept
     counts accumulated over burn-in AND sampling (the generic driver's counting
     window; divide by n_burn + n_iter for the acceptance rate)."""
-    y = jnp.asarray(y, jnp.float32).reshape(-1)
-    n_obs = y.shape[0]
-    scal = jnp.stack([jnp.sum(y), jnp.sum(y * y)]).astype(jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    scalar_out = y.ndim == 1
+    if scalar_out:
+        y = y[None, :]
+    p, n_obs = y.shape
+    if p > MAX_P:
+        raise ValueError(f"fused random walk supports p <= {MAX_P}, got {p}")
 
+    def vec(v):
+        return jnp.broadcast_to(jnp.asarray(v, jnp.float32).reshape(-1), (p,))
+
+    s1 = jnp.sum(y, axis=1)
+    s2 = jnp.sum(y * y, axis=1)
+    scal = jnp.concatenate([s1, s2, vec(mu), vec(tau), vec(lam), vec(h0)]).astype(jnp.float32)
+
+    out_rows = p + 3 + ((-(p + 3)) % 8)
     b_total = n_chains + ((-n_chains) % BLOCK_B)
-    kernel = _make_kernel(
-        float(n_obs), float(mu), float(tau), float(lam), float(step), float(h0), n_burn, n_iter
-    )
+    kernel = _make_kernel(p, float(n_obs), float(step), n_burn, n_iter, out_rows)
     (out,) = pl.pallas_call(
         kernel,
         grid=(b_total // BLOCK_B,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
-        out_shape=(jax.ShapeDtypeStruct((n_iter, OUT_ROWS, b_total), jnp.float32),),
+        out_shape=(jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32),),
         scratch_shapes=[
-            pltpu.VMEM((2, OUT_ROWS, BLOCK_B), jnp.float32),
+            pltpu.VMEM((2, out_rows, BLOCK_B), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(jnp.asarray([seed], jnp.int32), scal)
 
     draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
+    h = draws[:, :, 0] if scalar_out else draws[:, :, :p]
     return {
-        "h": draws[:, :, 0],
-        "log_post": draws[:, :, 1],
-        "accept": draws[:, :, 2],
-        "accept_total": draws[:, -1, 3],
+        "h": h,
+        "log_post": draws[:, :, p],
+        "accept": draws[:, :, p + 1],
+        "accept_total": draws[:, -1, p + 2],
     }

@@ -1,0 +1,402 @@
+"""Spectral fused engines: linear-Gaussian MCMC in eigencoordinates, p up to 256.
+
+The unrolled scalar kernels (fused/linreg.py, fused/mmala.py) hold the p x p
+Cholesky state in SMEM scalars -- unbeatable for p <= 16, but compile size grows
+O(p^3). This module removes the dimension limit with a TPU-native change of basis:
+
+    one host-side generalized eigendecomposition   G v = s * plam v
+    (V' diag(plam) V = I,  V' G V = diag(s),  G = X' P X)
+
+simultaneously diagonalizes BOTH matrices every iteration touches, because the
+linreg conditional precision Q = lam * diag(plam) + tau * G and the mMALA Fisher
+metric A = tau * G + lam * diag(plam) are pencils of the same two matrices:
+
+    Q = V^{-T} (lam I + tau S) V^{-1}     =>   in w = V^{-1} beta coordinates the
+    A = V^{-T} (tau S + lam I) V^{-1}          conditional/proposal is DIAGONAL.
+
+Every per-iteration quantity is then elementwise over the p eigencoordinates
+(draws, quadratic forms, proposal densities); the only matrix work left is
+beta = V w for storage -- a (p, p) x (p, lanes) matmul that rides the MXU. The
+quadratic-form identities:
+
+    (beta - mu)' diag(plam) (beta - mu) = ||w - w_mu||^2,   w_mu = V' diag(plam) mu
+    (y - X beta)' P (y - X beta)        = yPy - 2 (V'c)' w + w' S w,   c = X' P y
+
+Hyperparameters (a/b Gamma constants, step) are static; V, S, w_mu, V'c are
+constant VMEM inputs. Chains ride the lane axis exactly like the other engines.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt, normal, uniform
+
+MAX_P = 256
+PAD = 8  # sublane granularity for the (p_pad, lanes) working arrays
+
+
+def _block_b(p_pad: int) -> int:
+    """Lane-block size keeping the ~6 (p_pad, B) VMEM buffers under ~12 MB."""
+    if p_pad <= 64:
+        return 2048
+    if p_pad <= 128:
+        return 1024
+    return 512
+
+
+def _eigenbasis(G: np.ndarray, plam: np.ndarray):
+    """Host-side f64 generalized eigendecomposition of the (G, diag(plam)) pencil.
+
+    Returns V (plam-orthonormal eigenvectors) and s (eigenvalues >= 0) with
+    V' diag(plam) V = I and V' G V = diag(s)."""
+    rt = 1.0 / np.sqrt(plam.astype(np.float64))
+    Gt = rt[:, None] * G.astype(np.float64) * rt[None, :]
+    s, U = np.linalg.eigh((Gt + Gt.T) / 2.0)
+    s = np.maximum(s, 0.0)  # G is PSD; clip eigen-noise
+    V = rt[:, None] * U
+    return V, s
+
+
+# ---------------------------------------------------------------------------
+# linreg: Gibbs sweep (beta | lam, tau conjugate draw; Gamma updates)
+# ---------------------------------------------------------------------------
+
+
+def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau,
+                        lam0, tau0, block_b):
+    a_tau_star = a_tau + 0.5 * n_obs
+    a_lam_star = a_lam + 0.5 * p_real
+    from scipy.special import gammaln
+
+    lgam_lam = float(a_lam * np.log(b_lam) - gammaln(a_lam))
+    lgam_tau = float(a_tau * np.log(b_tau) - gammaln(a_tau))
+
+    def kernel(seed_ref, scal_ref, V_ref, svec_ref, wmu_ref, cv_ref, mask_ref,
+               out_ref, stage_ref, sems):
+        pid = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + pid)
+        yPy = scal_ref[0]
+        logdet_plam = scal_ref[1]
+        logdet_ptau = scal_ref[2]
+        svec = svec_ref[:, :]  # (p_pad, 1)
+        wmu = wmu_ref[:, :]
+        cv = cv_ref[:, :]
+        mask = mask_ref[:, :]
+
+        def iteration(it, carry):
+            lam, tau = carry  # (1, block_b)
+
+            # ---- beta | y, tau, lam: diagonal in eigencoordinates -----------
+            z = normal((p_pad, block_b))
+            d = lam * mask + tau * svec + (1.0 - mask)  # unit rows on the padding
+            w = ((lam * wmu + tau * cv) / d + z * jax.lax.rsqrt(d)) * mask
+
+            # ---- NormalGamma updates (elementwise quadratic forms) ----------
+            r = w - wmu
+            quad_lam = jnp.sum(r * r * mask, axis=0, keepdims=True)
+            quad_tau = yPy - 2.0 * jnp.sum(cv * w, axis=0, keepdims=True) + jnp.sum(
+                svec * w * w, axis=0, keepdims=True
+            )
+            quad_tau = jnp.maximum(quad_tau, 0.0)  # f32 cancellation guard
+            tau_new = gamma_mt(a_tau_star, b_tau + 0.5 * quad_tau)
+            lam_new = gamma_mt(a_lam_star, b_lam + 0.5 * quad_lam)
+
+            # ---- analytic log posterior (matches Model.log_p) ---------------
+            log_like = 0.5 * (n_obs * jnp.log(tau_new) + logdet_ptau - n_obs * LOG_2PI - tau_new * quad_tau)
+            log_beta = 0.5 * (p_real * jnp.log(lam_new) + logdet_plam - p_real * LOG_2PI - lam_new * quad_lam)
+            log_lam = lgam_lam + (a_lam - 1.0) * jnp.log(lam_new) - b_lam * lam_new
+            log_tau = lgam_tau + (a_tau - 1.0) * jnp.log(tau_new) - b_tau * tau_new
+            log_post = log_like + log_beta + log_lam + log_tau
+
+            # ---- store: back to beta = V w (MXU) + double-buffered DMA ------
+            @pl.when(it >= n_burn)
+            def _():
+                idx = it - n_burn
+                slot = lax.rem(idx, 2)
+
+                @pl.when(idx >= 2)
+                def _():
+                    pltpu.make_async_copy(
+                        stage_ref.at[slot], out_ref.at[idx - 2, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
+                    ).wait()
+
+                beta = jnp.dot(V_ref[:, :], w, preferred_element_type=jnp.float32)
+                small = jnp.concatenate(
+                    [lam_new, tau_new, log_post, jnp.zeros((5, block_b), jnp.float32)], axis=0
+                )
+                stage_ref[pl.ds(slot, 1)] = jnp.concatenate([beta, small], axis=0)[None, :, :]
+                pltpu.make_async_copy(
+                    stage_ref.at[slot], out_ref.at[idx, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
+                ).start()
+
+            return lam_new, tau_new
+
+        lam0_row = jnp.full((1, block_b), lam0, jnp.float32)
+        tau0_row = jnp.full((1, block_b), tau0, jnp.float32)
+        lax.fori_loop(0, n_burn + n_keep, iteration, (lam0_row, tau0_row))
+
+        for last in range(max(0, n_keep - 2), n_keep):
+            slot = last % 2
+            pltpu.make_async_copy(
+                stage_ref.at[slot], out_ref.at[last, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
+            ).wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_burn", "n_iter", "n_chains", "a_lam", "b_lam", "a_tau", "b_tau", "lam0", "tau0", "n_obs", "p_real"),
+)
+def _run_spectral_linreg_jit(seed, V, svec, wmu, cv, yPy, logdet_plam, logdet_ptau,
+                             n_burn, n_iter, n_chains, a_lam, b_lam, a_tau, b_tau, lam0, tau0,
+                             n_obs, p_real):
+    p_pad = V.shape[0]
+    block_b = _block_b(p_pad)
+    b_total = n_chains + ((-n_chains) % block_b)
+    out_rows = p_pad + 8
+    mask = (jnp.arange(p_pad) < p_real).astype(jnp.float32).reshape(p_pad, 1)
+    kernel = _make_linreg_kernel(
+        p_pad, float(p_real), float(n_obs), n_burn, n_iter,
+        float(a_lam), float(b_lam), float(a_tau), float(b_tau), float(lam0), float(tau0), block_b,
+    )
+    shared = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scal = jnp.stack([yPy, logdet_plam, logdet_ptau]).astype(jnp.float32)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid=(b_total // block_b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 5,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
+        out_shape=(jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32),),
+        scratch_shapes=[
+            pltpu.VMEM((2, out_rows, block_b), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.asarray([seed], jnp.int32), scal, V, svec, wmu, cv, mask)
+    draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
+    return {
+        "beta": draws[:, :, :p_real],
+        "lam": draws[:, :, p_pad],
+        "tau": draws[:, :, p_pad + 1],
+        "log_post": draws[:, :, p_pad + 2],
+    }
+
+
+def run_spectral_linreg(
+    seed, X, y, n_burn, n_iter, n_chains,
+    a_tau=1e-3, b_tau=1e-3, a_lam=1e-3, b_lam=1e-3, lam0=0.01, tau0=1.0,
+    mu=None, plam_diag=None, ptau_diag=None,
+):
+    """Bayesian linear regression, whole run in one launch, p <= 256.
+
+    Same model/returns as fused.linreg.run_fused_linreg (y ~ N(X beta,
+    (tau diag(ptau))^{-1}), beta ~ N(mu, (lam diag(plam))^{-1}), Gamma scales);
+    the host does one generalized eigendecomposition instead of the kernel doing
+    an unrolled Cholesky per iteration."""
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y, np.float64).reshape(-1)
+    n_obs, p = X.shape
+    if p > MAX_P:
+        raise ValueError(f"spectral linreg supports p <= {MAX_P}, got {p}")
+    mu = np.zeros(p) if mu is None else np.asarray(mu, np.float64).reshape(-1)
+    plam = np.ones(p) if plam_diag is None else np.asarray(plam_diag, np.float64).reshape(-1)
+    ptau = np.ones(n_obs) if ptau_diag is None else np.asarray(ptau_diag, np.float64).reshape(-1)
+
+    XtP = X.T * ptau[None, :]
+    G = XtP @ X
+    c = (XtP @ y).reshape(-1)
+    V, s = _eigenbasis(G, plam)
+    wmu = V.T @ (plam * mu)
+    cv = V.T @ c
+
+    p_pad = p + ((-p) % PAD)
+    pad = p_pad - p
+
+    def col(v):
+        return jnp.asarray(np.concatenate([v, np.zeros(pad)]), jnp.float32).reshape(p_pad, 1)
+
+    Vp = np.zeros((p_pad, p_pad))
+    Vp[:p, :p] = V
+    return _run_spectral_linreg_jit(
+        seed, jnp.asarray(Vp, jnp.float32), col(s), col(wmu), col(cv),
+        jnp.asarray(np.sum(y * ptau * y), jnp.float32),
+        jnp.asarray(np.sum(np.log(plam)), jnp.float32),
+        jnp.asarray(np.sum(np.log(ptau)), jnp.float32),
+        n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
+        a_lam=float(a_lam), b_lam=float(b_lam), a_tau=float(a_tau), b_tau=float(b_tau),
+        lam0=float(lam0), tau0=float(tau0), n_obs=n_obs, p_real=p,
+    )
+
+
+# ---------------------------------------------------------------------------
+# mMALA: constant-metric manifold Langevin in eigencoordinates
+# ---------------------------------------------------------------------------
+
+
+def _make_mmala_kernel(p_pad, p_real, n_obs, step, n_burn, n_keep, block_b):
+    s2 = step * step
+
+    def kernel(seed_ref, scal_ref, V_ref, dvec_ref, vw_ref, w0_ref, mask_ref,
+               out_ref, stage_ref, sems):
+        pid = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + pid)
+        yPy = scal_ref[0]  # b-independent quadratic (tau y'Py + lam mu0'Plam mu0)
+        logdet_tauP = scal_ref[1]
+        logdet_lamPlam = scal_ref[2]
+        half_logdetA = scal_ref[3]  # 1/2 sum log d_i
+        dvec = dvec_ref[:, :]  # (p_pad, 1) metric eigenvalues, 1 on padding
+        vw = vw_ref[:, :]  # V' v (canonical mean vector in w-coords)
+        mask = mask_ref[:, :]
+
+        lik_const = 0.5 * (logdet_tauP - n_obs * LOG_2PI)
+        pri_const = 0.5 * (logdet_lamPlam - p_real * LOG_2PI)
+
+        def log_target(w):
+            quad = jnp.sum(dvec * w * w * mask, axis=0, keepdims=True)
+            lin = jnp.sum(vw * w, axis=0, keepdims=True)
+            return lik_const + pri_const - 0.5 * (quad + yPy) + lin
+
+        def prop_logq(w_to, w_mu):
+            # N(w_to; w_mu, s^2 D^{-1}): elementwise in eigencoordinates
+            r = w_to - w_mu
+            ssq = jnp.sum(dvec * r * r * mask, axis=0, keepdims=True)
+            return half_logdetA - 0.5 * p_real * (LOG_2PI + np.log(s2)) - 0.5 * ssq / s2
+
+        def drift(w):
+            # mu(w) = w + (s^2/2) D^{-1} (vw - D w)
+            return w + 0.5 * s2 * (vw / dvec - w)
+
+        def iteration(it, carry):
+            w, lp, acc = carry
+            z = normal((p_pad, block_b))
+            mu_cur = drift(w)
+            w_prop = (mu_cur + step * z * jax.lax.rsqrt(dvec)) * mask
+            lp_prop = log_target(w_prop)
+            log_accept = lp_prop - lp + prop_logq(w, drift(w_prop)) - prop_logq(w_prop, mu_cur)
+            accept = jnp.log(uniform((1, block_b))) < log_accept
+            w_new = jnp.where(accept, w_prop, w)
+            lp_new = jnp.where(accept, lp_prop, lp)
+            acc_new = acc + accept.astype(jnp.float32)
+
+            @pl.when(it >= n_burn)
+            def _():
+                idx = it - n_burn
+                slot = lax.rem(idx, 2)
+
+                @pl.when(idx >= 2)
+                def _():
+                    pltpu.make_async_copy(
+                        stage_ref.at[slot], out_ref.at[idx - 2, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
+                    ).wait()
+
+                beta = jnp.dot(V_ref[:, :], w_new, preferred_element_type=jnp.float32)
+                small = jnp.concatenate(
+                    [lp_new, accept.astype(jnp.float32), acc_new, jnp.zeros((5, block_b), jnp.float32)], axis=0
+                )
+                stage_ref[pl.ds(slot, 1)] = jnp.concatenate([beta, small], axis=0)[None, :, :]
+                pltpu.make_async_copy(
+                    stage_ref.at[slot], out_ref.at[idx, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
+                ).start()
+
+            return w_new, lp_new, acc_new
+
+        w0 = jnp.broadcast_to(w0_ref[:, :], (p_pad, block_b)) * mask
+        carry0 = (w0, log_target(w0), jnp.zeros((1, block_b), jnp.float32))
+        lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
+
+        for last in range(max(0, n_keep - 2), n_keep):
+            slot = last % 2
+            pltpu.make_async_copy(
+                stage_ref.at[slot], out_ref.at[last, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
+            ).wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_burn", "n_iter", "n_chains", "step", "n_obs", "p_real"))
+def _run_spectral_mmala_jit(seed, V, dvec, vw, w0, yPy, logdet_tauP, logdet_lamPlam,
+                            half_logdetA, n_burn, n_iter, n_chains, step, n_obs, p_real):
+    p_pad = V.shape[0]
+    block_b = _block_b(p_pad)
+    b_total = n_chains + ((-n_chains) % block_b)
+    out_rows = p_pad + 8
+    mask = (jnp.arange(p_pad) < p_real).astype(jnp.float32).reshape(p_pad, 1)
+    kernel = _make_mmala_kernel(p_pad, float(p_real), float(n_obs), float(step), n_burn, n_iter, block_b)
+    shared = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scal = jnp.stack([yPy, logdet_tauP, logdet_lamPlam, half_logdetA]).astype(jnp.float32)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid=(b_total // block_b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 5,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
+        out_shape=(jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32),),
+        scratch_shapes=[
+            pltpu.VMEM((2, out_rows, block_b), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.asarray([seed], jnp.int32), scal, V, dvec, vw, w0, mask)
+    draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
+    return {
+        "beta": draws[:, :, :p_real],
+        "log_post": draws[:, :, p_pad],
+        "accept": draws[:, :, p_pad + 1],
+        "accept_total": draws[:, -1, p_pad + 2],
+    }
+
+
+def run_spectral_mmala(
+    seed, X, y, n_burn, n_iter, n_chains,
+    tau=1.0, lam=1.0, step=1.0, ptau_diag=None, plam_diag=None, mu0=None, beta0=None,
+):
+    """Constant-metric manifold MALA, whole run in one launch, p <= 256.
+
+    Same model/returns as fused.mmala.run_fused_mmala; the Fisher metric
+    A = tau G + lam diag(plam) is diagonalized once on the host, making every
+    proposal/accept elementwise in eigencoordinates."""
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y, np.float64).reshape(-1)
+    n_obs, p = X.shape
+    if p > MAX_P:
+        raise ValueError(f"spectral mMALA supports p <= {MAX_P}, got {p}")
+    ptau = np.ones(n_obs) if ptau_diag is None else np.asarray(ptau_diag, np.float64).reshape(-1)
+    plam = np.ones(p) if plam_diag is None else np.asarray(plam_diag, np.float64).reshape(-1)
+    mu0 = np.zeros(p) if mu0 is None else np.asarray(mu0, np.float64).reshape(-1)
+    beta0 = np.zeros(p) if beta0 is None else np.asarray(beta0, np.float64).reshape(-1)
+
+    XtP = X.T * ptau[None, :]
+    G = XtP @ X
+    V, s = _eigenbasis(G, plam)
+    d = tau * s + lam  # metric eigenvalues (A = V^{-T} diag(d) V^{-1})
+    v = tau * (XtP @ y) + lam * plam * mu0
+    vw = V.T @ v
+    w0 = V.T @ (plam * beta0)  # V^{-1} beta0
+    yPy = tau * np.sum(y * ptau * y) + lam * np.sum(mu0 * plam * mu0)
+    logdet_tauP = n_obs * np.log(tau) + np.sum(np.log(ptau))
+    logdet_lamPlam = p * np.log(lam) + np.sum(np.log(plam))
+    half_logdetA = 0.5 * np.sum(np.log(d))
+
+    p_pad = p + ((-p) % PAD)
+    pad = p_pad - p
+
+    def col(vv, fill=0.0):
+        return jnp.asarray(np.concatenate([vv, np.full(pad, fill)]), jnp.float32).reshape(p_pad, 1)
+
+    Vp = np.zeros((p_pad, p_pad))
+    Vp[:p, :p] = V
+    return _run_spectral_mmala_jit(
+        seed, jnp.asarray(Vp, jnp.float32), col(d, fill=1.0), col(vw), col(w0),
+        jnp.asarray(yPy, jnp.float32), jnp.asarray(logdet_tauP, jnp.float32),
+        jnp.asarray(logdet_lamPlam, jnp.float32), jnp.asarray(half_logdetA, jnp.float32),
+        n_burn=n_burn, n_iter=n_iter, n_chains=n_chains, step=float(step),
+        n_obs=n_obs, p_real=p,
+    )

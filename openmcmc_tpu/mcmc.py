@@ -297,6 +297,29 @@ class MCMC:
         resume raises; engine="auto" with resume runs generic."""
         if engine not in ("generic", "auto", "fused"):
             raise ValueError("engine must be 'generic', 'auto' or 'fused'")
+        if self.mesh is not None and "seq" in self.mesh.axis_names:
+            # sequence-sharded mode: the latent field itself is distributed over
+            # the 'seq' mesh axis (the TP/SP analog, SURVEY.md section 2); the
+            # generic chain-sharding driver cannot express this, so the model must
+            # match the distributed smoother family
+            from openmcmc_tpu.parallel.smoother import match_distributed_smoother
+
+            runner = match_distributed_smoother(self)
+            if runner is None:
+                raise ValueError(
+                    "mesh has a 'seq' axis but the model does not match the "
+                    "sequence-shardable smoother family (NormalNormal on a "
+                    "tridiagonal-precision latent + two NormalGammas, zero prior mean)"
+                )
+            if resume is not None:
+                raise ValueError("the distributed smoother engine does not support resume")
+            seed = int(np.asarray(jax.random.key_data(self.key)).reshape(-1)[-1] & 0x7FFFFFFF)
+            store, log_post, stats, final_state = runner(seed)
+            self.last_engine = runner.engine_name
+            return MCMCResult(
+                store=store, log_post=log_post, stats=stats, final_state=final_state,
+                final_key=jax.random.split(self.key, self.n_chains), engine=runner.engine_name,
+            )
         if engine == "fused" and resume is not None:
             raise ValueError(
                 "engine='fused' cannot continue from resume (fused engines use the "

@@ -101,3 +101,15 @@ def take_column(arr: jnp.ndarray, index, axis: int) -> jnp.ndarray:
     pos = _axis_iota(arr.shape[axis], axis, arr.ndim)
     onehot = (pos == index).astype(arr.dtype)
     return jnp.sum(arr * onehot, axis=axis, keepdims=True)
+
+
+def insert_column(mat: jnp.ndarray, column: jnp.ndarray, col_index) -> jnp.ndarray:
+    """Shift columns of ``mat`` right from ``col_index`` and place ``column``
+    ((..., p, 1)) there (generalization of insert_identity_column; static-shift +
+    select, no gathers)."""
+    col_index = jnp.reshape(jnp.asarray(col_index), ())
+    n = mat.shape[-1]
+    pos = jnp.arange(n)
+    shifted = jnp.concatenate([mat[..., :, :1], mat[..., :, :-1]], axis=-1)
+    out = jnp.where((pos > col_index)[None, :], shifted, mat)
+    return jnp.where((pos == col_index)[None, :], column, out)

@@ -156,26 +156,34 @@ def sample_rw1_canonical_sharded(
     local noise + one distributed solve; the only collectives are a ppermute (one
     boundary element of D1' z) and the interface all_gather of the solve.
 
-    b, tau_diag: (..., n); s: (n,) locations. Returns (..., n).
+    b, tau_diag: (..., n); s: (n,) locations; ``lam`` and ``ridge`` may be scalars
+    or arrays broadcastable against the leading (chain) axes, e.g. per-chain
+    sampled scales with shape (..., 1). Returns (..., n).
     """
     n = b.shape[-1]
+    lam = jnp.asarray(lam, b.dtype)
+    ridge = jnp.asarray(ridge, b.dtype)
     w = 1.0 / jnp.diff(s)  # (n-1,)
     w_pad = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])  # per-edge weights, edge i: (i, i+1)
 
-    # tridiagonal bands of Q
+    # tridiagonal bands of Q = lam D1' W D1 + diag(tau) + ridge e0 e0'
     d0 = lam * (jnp.concatenate([w, jnp.zeros((1,))]) + jnp.concatenate([jnp.zeros((1,)), w])) + tau_diag
-    d0 = d0.at[..., 0].add(ridge)
+    one_hot0 = (jnp.arange(n) == 0).astype(b.dtype)
+    d0 = d0 + ridge * one_hot0
     c = -lam * w_pad  # c[n-1] = 0
 
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     z_edge = jax.random.normal(k1, b.shape, b.dtype)  # one noise per edge (last unused)
     z_node = jax.random.normal(k2, b.shape, b.dtype)
+    z_ridge = jax.random.normal(k3, b.shape[:-1], b.dtype)
     # D1' W^{1/2} z: node i gets sqrt(w_i) z_i (from edge i) - sqrt(w_{i-1}) z_{i-1}
     contrib = jnp.sqrt(lam * w_pad) * z_edge
     shifted = jnp.roll(contrib, 1, axis=-1).at[..., 0].set(0.0)
     perturbation = -contrib + shifted
     # NOTE: jnp.roll on a sharded axis lowers to a collective permute under SPMD
     b_tilde = b + perturbation + jnp.sqrt(tau_diag) * z_node
+    # the ridge term's own noise (sqrt(ridge) z at node 0), so Cov(b_tilde - b) = Q exactly
+    b_tilde = b_tilde + jnp.sqrt(ridge) * z_ridge[..., None] * one_hot0
 
     a_full = jnp.broadcast_to(d0, b.shape)
     c_full = jnp.broadcast_to(c, b.shape)

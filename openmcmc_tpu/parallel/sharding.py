@@ -55,3 +55,10 @@ def pooled_mean_var(draws: jnp.ndarray, mesh: Mesh, axis_name: str = "chains"):
 
     fn = shard_map(local, mesh=mesh, in_specs=P(axis_name), out_specs=(P(), P()))
     return fn(draws)
+
+
+def make_mesh_2d(n_chain_devices: int, n_seq_devices: int) -> Mesh:
+    """2-D (chains x seq) mesh: data parallelism over chains, sequence parallelism
+    over the latent field (the DP x SP layout of the distributed smoother)."""
+    devices = jax.devices()[: n_chain_devices * n_seq_devices]
+    return Mesh(np.asarray(devices).reshape(n_chain_devices, n_seq_devices), ("chains", "seq"))

@@ -218,22 +218,29 @@ class ReversibleJump(MetropolisHastings):
     # prediction-matched coefficient transitions
     # ------------------------------------------------------------------
 
-    def _masked_gram_solve(self, basis: jnp.ndarray, rhs: jnp.ndarray, count):
-        """solve(basis' basis + ridge + inactive-identity, rhs) on padded matrices.
+    def _masked_gram(self, basis: jnp.ndarray, count):
+        """basis' basis + ridge on the active block + identity on the inactive block.
 
         Unit diagonal on the inactive block (instead of the bare 1e-10 ridge,
-        reference :240-242) keeps the padded system well-conditioned in f32; inactive
-        rows of the solution are exactly zero because the corresponding rhs rows are.
+        reference :240-242) keeps the padded system well-conditioned in f32; since
+        the padded basis columns are zero, S[:, j] = e_j exactly for inactive j --
+        the property the determinant identities below rely on.
         """
         mask = padding.active_mask(count, basis.shape[1], basis.dtype)
-        gram = mm(basis.T, basis) + sm.diag_embed(1e-6 * mask + (1.0 - mask))
-        # SPD by construction: unrolled batched Cholesky solve (the jnp.linalg custom
-        # calls serialize over the vmapped chain batch on TPU; see linalg/smallmat.py)
-        return sm.spd_solve_small(gram, rhs)
+        return mm(basis.T, basis) + sm.diag_embed(1e-6 * mask + (1.0 - mask))
 
     def matched_birth_transition(self, key, current_state, prop_state, logp_pr_g_cr, logp_cr_g_pr):
         """Match predictions across a birth move: beta* = G beta + noisy last coeff
-        (reference reversible_jump.py:195-261), on padded matrices."""
+        (reference reversible_jump.py:195-261), on padded matrices.
+
+        Cost restructure (the RJ proposal dominates the sweep; profiled round 3):
+        the transition needs only G @ beta -- ONE solve rhs, not the full p x p
+        G = S^{-1} M -- and log|det F| follows from F = S^{-1} C via
+        log|det F| = log|det C| - log det S, where C = S F is assembled directly
+        from the already-formed Gram blocks (column j of C: M[:, j] for j < k,
+        S[:, k] at j = k, e_j = S[:, j] on the inactive block). This removes the
+        p-RHS substitution passes over (batch, p, p) temporaries entirely.
+        """
         vector = self.matching_params["variable"]
         matrix = self.matching_params["matrix"]
         scale = self.matching_params["scale"]
@@ -242,8 +249,11 @@ class ReversibleJump(MetropolisHastings):
 
         current_basis = current_state[matrix]
         prop_basis = prop_state[matrix]
-        G = self._masked_gram_solve(prop_basis, mm(prop_basis.T, current_basis), k + 1)
-        mu_star = mm(G, current_state[vector])  # (n_max, 1)
+        S = self._masked_gram(prop_basis, k + 1)
+        chol_S = sm.cholesky_small(S)
+        # mu_star = G beta = S^{-1} (B*' (B beta)): one rhs through the factorization
+        r = mm(current_basis, current_state[vector])  # (n_data, 1)
+        mu_star = sm.cho_solve_small(chol_S, mm(prop_basis.T, r))  # (n_max, 1)
 
         mu_new = padding.take_column(mu_star, k, axis=0)  # (1, 1)
         if limits is not None:
@@ -264,24 +274,26 @@ class ReversibleJump(MetropolisHastings):
         prop_state[vector] = new_vector
 
         # F = [G_active | e_k] padded with identity on the inactive block: det equals
-        # the dense sub-matrix determinant (reference :243,259)
-        F = self._birth_F(G, k)
-        logp_cr_g_pr = logp_cr_g_pr + sm.logdet_small(F)
+        # the dense sub-matrix determinant (reference :243,259). Computed via
+        # log|det F| = log|det C| - log det S with C = S F (see docstring).
+        idx = jnp.arange(S.shape[0])
+        M = mm(prop_basis.T, current_basis)
+        C = jnp.where((idx < k)[None, :], M, 0.0)
+        C = C + jnp.where((idx == k)[None, :], S, 0.0)  # column k of C is S[:, k]
+        C = C + sm.diag_embed((idx > k).astype(S.dtype))
+        logdet_S = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_S, axis1=-2, axis2=-1)))
+        logp_cr_g_pr = logp_cr_g_pr + sm.logdet_small(C) - logdet_S
         return prop_state, logp_pr_g_cr, logp_cr_g_pr
-
-    def _birth_F(self, G: jnp.ndarray, k):
-        n = G.shape[0]
-        idx = jnp.arange(n)
-        col_mask = (idx < k)[None, :]  # keep G columns 0..k-1
-        F = jnp.where(col_mask, G, 0.0)
-        e_k = (idx == k).astype(G.dtype)
-        F = F + jnp.outer(e_k, e_k)  # unit column at index k
-        F = F + sm.diag_embed((idx > k).astype(G.dtype))  # identity on inactive block
-        return F
 
     def matched_death_transition(self, key, current_state, prop_state, logp_pr_g_cr, logp_cr_g_pr, deletion_index):
         """Reverse of the birth matching: beta_aug = F^{-1} beta, delete the chosen
-        coefficient (reference reversible_jump.py:263-308), on padded matrices."""
+        coefficient (reference reversible_jump.py:263-308), on padded matrices.
+
+        Same cost restructure as the birth: with F = S^{-1} C (S the current-basis
+        Gram, C assembled by inserting the column S[:, j] into M = B' B_prop at the
+        deletion position), one augmented LU pass on C yields both
+        mu_aug = C^{-1} (S beta) and log|det F| = log|det C| - log det S -- no
+        p-RHS Gram solve."""
         vector = self.matching_params["variable"]
         matrix = self.matching_params["matrix"]
         scale = self.matching_params["scale"]
@@ -290,10 +302,15 @@ class ReversibleJump(MetropolisHastings):
 
         current_basis = current_state[matrix]
         prop_basis = prop_state[matrix]
-        G = self._masked_gram_solve(current_basis, mm(current_basis.T, prop_basis), k)
-        F = self._death_F(G, deletion_index, k)
-        # one unrolled pivoted-elimination pass gives both the solve and log|det F|
-        mu_aug, logdet_F = sm.lu_solve_logdet_small(F, current_state[vector])  # (n_max, 1)
+        S = self._masked_gram(current_basis, k)
+        M = mm(current_basis.T, prop_basis)
+        idx = jnp.arange(S.shape[0])
+        C = padding.insert_column(M, padding.take_column(S, deletion_index, axis=1), deletion_index)
+        C = jnp.where((idx < k)[None, :], C, 0.0)
+        C = C + sm.diag_embed((idx >= k).astype(S.dtype))
+        mu_aug, logdet_C = sm.lu_solve_logdet_small(C, mm(S, current_state[vector]))
+        logdet_S = 2.0 * jnp.sum(jnp.log(jnp.diagonal(sm.cholesky_small(S), axis1=-2, axis2=-1)))
+        logdet_F = logdet_C - logdet_S
         param_del = padding.take_column(mu_aug, deletion_index, axis=0)
         prop_state = dict(prop_state)
         prop_state[vector] = padding.delete(mu_aug, deletion_index, k, axis=0)
@@ -309,17 +326,3 @@ class ReversibleJump(MetropolisHastings):
                 -0.5 * (z * z + jnp.log(2.0 * jnp.pi)) - jnp.log(jnp.asarray(scale, param_del.dtype))
             )
         return prop_state, logp_pr_g_cr, logp_cr_g_pr
-
-    def _death_F(self, G: jnp.ndarray, deletion_index, k):
-        """F = G with the unit column e_j inserted at position j (shifting the
-        remaining G columns right), identity on the inactive block."""
-        n = G.shape[0]
-        idx = jnp.arange(n)
-        # G columns 0..k-2 are the active ones (prop has k-1 active)
-        F = padding.insert_identity_column(G, deletion_index)
-        # zero columns beyond the active range (k-1 columns of G + 1 inserted = k), then
-        # identity on the inactive block
-        col_mask = (idx < k)[None, :]
-        F = jnp.where(col_mask, F, 0.0)
-        F = F + sm.diag_embed((idx >= k).astype(G.dtype))
-        return F

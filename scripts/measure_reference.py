@@ -210,12 +210,75 @@ def reversible_jump():
     return m.store["n_basis"], 5000
 
 
+def mixture():
+    """Gaussian mixture: MixtureAllocation + RandomWalkLoop(means) + NormalGamma(lams)
+    (reference sampler.py:291-355 allocation machinery driven end-to-end)."""
+    from openmcmc.distribution.distribution import Categorical, Gamma
+    from openmcmc.distribution.location_scale import Normal
+    from openmcmc.mcmc import MCMC
+    from openmcmc.model import Model
+    from openmcmc.parameter import MixtureParameterMatrix, MixtureParameterVector
+    from openmcmc.sampler.metropolis_hastings import RandomWalkLoop
+    from openmcmc.sampler.sampler import MixtureAllocation, NormalGamma
+
+    np.random.seed(0)
+    n, m_comp = 200, 2
+    true_means = np.array([-2.0, 3.0])
+    true_lam = np.array([4.0, 1.0])
+    alloc = np.random.randint(0, m_comp, n)
+    y = np.random.normal(true_means[alloc], 1.0 / np.sqrt(true_lam[alloc])).reshape(n, 1)
+    model = Model(
+        [
+            Normal(
+                "y",
+                mean=MixtureParameterVector(param="means", allocation="Z"),
+                precision=MixtureParameterMatrix(param="lams", allocation="Z"),
+            ),
+            Categorical("Z", prob="prior"),
+            Normal("means", mean="mu0", precision="P0"),
+            Gamma("lams", shape="a0", rate="b0"),
+        ]
+    )
+    state = {
+        "y": y,
+        "Z": (y > 0).astype(int),
+        "means": np.array([-1.0, 1.0]).reshape(m_comp, 1),
+        "lams": np.ones((m_comp, 1)),
+        "prior": np.full((n, m_comp), 0.5),
+        "mu0": np.zeros((m_comp, 1)),
+        "P0": np.eye(m_comp) * 0.01,
+        "a0": np.full((m_comp, 1), 2.0),
+        "b0": np.full((m_comp, 1), 1.0),
+    }
+    samplers = [
+        MixtureAllocation(param="Z", model=model, response_param="y"),
+        RandomWalkLoop(param="means", model=model, step=np.array([[0.3]]), domain_limits=np.array([[-20.0, 20.0], [-20.0, 20.0]])),
+        NormalGamma(param="lams", model=model),
+    ]
+    m = MCMC(state=state, samplers=samplers, model=model, n_burn=500, n_iter=1000)
+    m.run_mcmc()
+    return m.store["means"], 1500
+
+
 if __name__ == "__main__":
-    measure("linreg_gibbs", linreg)
-    measure("random_walk_mh", random_walk)
-    measure("mmala", mmala)
-    measure("gmrf_smoother", gmrf_smoother)
-    measure("reversible_jump", reversible_jump)
-    with open("/root/repo/reference_measured.json", "w") as f:
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    table = [
+        ("linreg_gibbs", linreg),
+        ("random_walk_mh", random_walk),
+        ("mmala", mmala),
+        ("gmrf_smoother", gmrf_smoother),
+        ("reversible_jump", reversible_jump),
+        ("mixture", mixture),
+    ]
+    out_path = "/root/repo/reference_measured.json"
+    import os
+
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            RESULTS.update(json.load(f))
+    for name, fn in table:
+        if only is None or name == only:
+            measure(name, fn)
+    with open(out_path, "w") as f:
         json.dump(RESULTS, f, indent=1)
     print(json.dumps(RESULTS, indent=1))

@@ -1,0 +1,79 @@
+"""CPU statistical validation of the fused engines' PRNG math pipeline.
+
+The on-chip PRNG itself cannot run on CPU (the interpret stub returns zeros), but
+everything downstream of the raw bits -- the 24-bit mantissa uniform conversion,
+Box-Muller, the fixed-round Marsaglia-Tsang Gamma squeeze and the shape < 1
+boost -- is plain jnp math. Injecting a host bit source runs that EXACT pipeline
+with real randomness, so a distributional regression (e.g. a broken Box-Muller
+term, a wrong squeeze constant, a missing boost) fails this suite on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as sps
+
+from openmcmc_tpu.fused import prng
+
+N = 200_000
+
+
+def _host_bits(key):
+    keys = [key]
+
+    def source(shape):
+        keys[0], sub = jax.random.split(keys[0])
+        return jax.random.bits(sub, shape, dtype=jnp.uint32)
+
+    return source
+
+
+def test_uniform_distribution(key):
+    u = np.asarray(prng.uniform((N,), _host_bits(key)))
+    assert u.min() > 0.0 and u.max() < 1.0
+    # mean/var within 5 sigma
+    assert abs(u.mean() - 0.5) < 5 * np.sqrt(1 / 12 / N)
+    assert abs(u.var() - 1 / 12) < 5 * np.sqrt(1 / 180 / N) * 2
+    _, p = sps.kstest(u[:20000], "uniform")
+    assert p > 1e-4, p
+
+
+def test_normal_distribution(key):
+    z = np.asarray(prng.normal((N,), _host_bits(key)))
+    assert abs(z.mean()) < 5 / np.sqrt(N)
+    assert abs(z.var() - 1.0) < 5 * np.sqrt(2 / N)
+    _, p = sps.kstest(z[:20000], "norm")
+    assert p > 1e-4, p
+    # skewness and excess kurtosis vanish (catches asymmetric pipeline bugs)
+    assert abs(sps.skew(z)) < 6 / np.sqrt(6 / N) * np.sqrt(6 / N) + 0.03
+    assert abs(sps.kurtosis(z)) < 0.06
+
+
+@pytest.mark.parametrize("a_star", [0.501, 0.9, 1.0, 1.5, 4.0, 25.0])
+def test_gamma_distribution(key, a_star):
+    """Covers the Marsaglia-Tsang squeeze (a >= 1) and the U^(1/a) boost (a < 1,
+    the round-2 advisor finding: weak priors land here)."""
+    rate = jnp.full((N,), 2.0, jnp.float32)
+    g = np.asarray(prng.gamma_mt(a_star, rate, _host_bits(key)))
+    assert g.min() >= 0.0
+    mean, var = a_star / 2.0, a_star / 4.0
+    assert abs(g.mean() - mean) < 6 * np.sqrt(var / N) + 1e-3
+    assert abs(g.var() - var) < 0.05 * var + 6 * np.sqrt(2 * var**2 / N)
+    _, p = sps.kstest(g[:20000], "gamma", args=(a_star, 0.0, 0.5))
+    assert p > 1e-4, (a_star, p)
+
+
+def test_broken_box_muller_is_detected(key):
+    """Meta-test (VERDICT round-2 'done when'): a deliberately corrupted
+    Box-Muller -- using u instead of sqrt(-2 log u) -- must fail the same check
+    that the real pipeline passes."""
+
+    def broken_normal(shape, bit_source):
+        u1 = prng.uniform(shape, bit_source)
+        u2 = prng.uniform(shape, bit_source)
+        return u1 * jnp.cos(2.0 * np.pi * u2)  # wrong radial term
+
+    z = np.asarray(broken_normal((20000,), _host_bits(key)))
+    _, p = sps.kstest(z, "norm")
+    assert p < 1e-4  # the suite's detection threshold catches it
