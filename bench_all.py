@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from openmcmc_tpu import padding
+from openmcmc_tpu.basis import GaussianKernelBasis
 from openmcmc_tpu.diagnostics import ess_per_param
 from openmcmc_tpu.distributions import Gamma, Normal, NullDistribution, Poisson, Uniform
 from openmcmc_tpu.linalg import gmrf
@@ -163,43 +164,8 @@ def gmrf_smoother(n_chains=8192):
 N_MAX = 20
 
 
-def _make_basis(X, theta, omega, count):
-    om = jnp.where(omega > 0, omega, 1.0)
-    B = jax.scipy.stats.norm.pdf(X, loc=theta, scale=om)
-    return B * padding.active_mask(count, theta.shape[1], B.dtype)[None, :]
-
-
-def _rj_birth(key, cur, prop):
-    prop = dict(prop)
-    prop["B"] = _make_basis(prop["X"], prop["theta"], prop["omega"], prop["n_basis"])
-    return prop, jnp.asarray(0.0), jnp.asarray(0.0)
-
-
-def _rj_death(key, cur, prop, j):
-    return _rj_birth(key, cur, prop)
-
-
-def _rj_move(key, updates, state, i):
-    # incremental: a single-column theta/omega proposal only changes column i of B
-    updates = dict(updates)
-    th = updates.get("theta", state["theta"])
-    om = updates.get("omega", state["omega"])
-    th_i = jax.lax.dynamic_slice_in_dim(th, i, 1, axis=1)
-    om_i = jnp.where(jax.lax.dynamic_slice_in_dim(om, i, 1, axis=1) > 0,
-                     jax.lax.dynamic_slice_in_dim(om, i, 1, axis=1), 1.0)
-    col = jax.scipy.stats.norm.pdf(state["X"], loc=th_i, scale=om_i)
-    active = (i < jnp.reshape(state["n_basis"], ())).astype(col.dtype)
-    updates["B"] = jax.lax.dynamic_update_slice_in_dim(state["B"], col * active, i, axis=1)
-    return updates, jnp.asarray(0.0), jnp.asarray(0.0)
-
-
-def _rj_move_vec(key, updates, state):
-    # vectorized-path hook: one full basis rebuild after the per-column accepts
-    updates = dict(updates)
-    th = updates.get("theta", state["theta"])
-    om = updates.get("omega", state["omega"])
-    updates["B"] = _make_basis(state["X"], th, om, state["n_basis"])
-    return updates
+_RJ_BASIS = GaussianKernelBasis()  # shared hook bundle; recognized by engine="auto"
+_make_basis = _RJ_BASIS.make
 
 
 def reversible_jump(n_chains=2048):
@@ -234,13 +200,13 @@ def reversible_jump(n_chains=2048):
     samplers = [
         ManifoldMALA("beta", mdl, step=0.5, active_count="n_basis"),
         RandomWalkLoop("theta", mdl, step=0.1, domain_limits=np.asarray([[-10.0, 10.0]]),
-                       state_update_function=_rj_move, vector_state_update_function=_rj_move_vec,
+                       state_update_function=_RJ_BASIS.move, vector_state_update_function=_RJ_BASIS.move_vec,
                        active_count="n_basis", updated_names=["theta", "B"]),
         RandomWalkLoop("omega", mdl, step=0.1, domain_limits=np.asarray([[0.5, 2.0]]),
-                       state_update_function=_rj_move, vector_state_update_function=_rj_move_vec,
+                       state_update_function=_RJ_BASIS.move, vector_state_update_function=_RJ_BASIS.move_vec,
                        active_count="n_basis", updated_names=["omega", "B"]),
         ReversibleJump("n_basis", mdl, associated_params=["theta", "omega"], n_max=N_MAX,
-                       state_birth_function=_rj_birth, state_death_function=_rj_death,
+                       state_birth_function=_RJ_BASIS.birth, state_death_function=_RJ_BASIS.death,
                        matching_params={"variable": "beta", "matrix": "B", "scale": 1.0, "limits": [-10.0, 10.0]}),
     ]
     m = MCMC(state, samplers, mdl, n_burn=0, n_iter=5000, n_chains=n_chains, seed=0)
@@ -330,12 +296,25 @@ def fused_workloads(ref):
         return run_fused_rw(3, y_rw, n_burn=0, n_iter=1000, n_chains=8192,
                             mu=160.0, tau=1.0 / 200.0, lam=1.0 / 100.0, step=5.0, h0=200.0)
 
+    from openmcmc_tpu.fused.rj import run_fused_rj
+
+    rng4 = np.random.default_rng(0)
+    X_rj = np.sort(rng4.uniform(-10, 10, 50))
+    th0 = np.zeros(N_MAX); th0[:4] = rng4.uniform(-10, 10, 4)
+    om0 = np.zeros(N_MAX); om0[:4] = 1.0
+    be0 = np.zeros(N_MAX); be0[:4] = 1.0
+
+    def go_rj():
+        return run_fused_rj(3, X_rj, n_burn=0, n_iter=5000, n_chains=2048, n_max=N_MAX,
+                            beta0=be0, theta0=th0, omega0=om0, k0=4.0)
+
     REPS = 10
     for name, go, draw_key, iters, n_chains, ref_name in [
         ("linreg_gibbs_fused", go_linreg, "beta", 2000, 4096, "linreg_gibbs"),
         ("gmrf_smoother_fused", go_smoother, "b", 700, 8192, "gmrf_smoother"),
         ("random_walk_mh_fused", go_rw, "h", 1000, 8192, "random_walk_mh"),
         ("mmala_fused", go_mmala, "beta", 1200, 4096, "mmala"),
+        ("reversible_jump_fused", go_rj, "n_basis", 5000, 2048, "reversible_jump"),
     ]:
         out = go()  # compile + warm
         float(jnp.max(out[draw_key]))  # true barrier

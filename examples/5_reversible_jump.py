@@ -24,31 +24,18 @@ from openmcmc_tpu.parameters import (
 )
 from openmcmc_tpu.samplers import ManifoldMALA, RandomWalkLoop, ReversibleJump
 
+from openmcmc_tpu.basis import GaussianKernelBasis
+
 N_MAX, N_DATA, LIMITS = 10, 80, (-10.0, 10.0)
 
-
-def make_basis(X, theta, omega, count):
-    om = jnp.where(omega > 0, omega, 1.0)
-    B = jax.scipy.stats.norm.pdf(X, loc=theta, scale=om)
-    return B * padding.active_mask(count, theta.shape[1], B.dtype)[None, :]
-
-
-def birth_fn(key, cur, prop):
-    prop = dict(prop)
-    prop["B"] = make_basis(prop["X"], prop["theta"], prop["omega"], prop["n_basis"])
-    return prop, jnp.asarray(0.0), jnp.asarray(0.0)
-
-
-def death_fn(key, cur, prop, j):
-    return birth_fn(key, cur, prop)
-
-
-def move_fn(key, updates, state, i):
-    updates = dict(updates)
-    th = updates.get("theta", state["theta"])
-    om = updates.get("omega", state["omega"])
-    updates["B"] = make_basis(state["X"], th, om, state["n_basis"])
-    return updates, jnp.asarray(0.0), jnp.asarray(0.0)
+# shared basis hooks: one implementation for tests/examples/benchmarks, and the
+# structure engine="auto" recognizes for the fused RJ kernel
+_BASIS = GaussianKernelBasis()
+make_basis = _BASIS.make
+birth_fn = _BASIS.birth
+death_fn = _BASIS.death
+move_fn = _BASIS.move
+move_vec_fn = _BASIS.move_vec
 
 
 def main():
@@ -91,9 +78,11 @@ def main():
     samplers = [
         ManifoldMALA("beta", mdl, step=0.4, active_count="n_basis"),
         RandomWalkLoop("theta", mdl, step=0.5, domain_limits=np.asarray([LIMITS]),
-                       state_update_function=move_fn, active_count="n_basis", updated_names=["theta", "B"]),
+                       state_update_function=move_fn, vector_state_update_function=move_vec_fn,
+                       active_count="n_basis", updated_names=["theta", "B"]),
         RandomWalkLoop("omega", mdl, step=0.1, domain_limits=np.asarray([[0.5, 2.0]]),
-                       state_update_function=move_fn, active_count="n_basis", updated_names=["omega", "B"]),
+                       state_update_function=move_fn, vector_state_update_function=move_vec_fn,
+                       active_count="n_basis", updated_names=["omega", "B"]),
         ReversibleJump("n_basis", mdl, associated_params=["theta", "omega"], n_max=N_MAX,
                        state_birth_function=birth_fn, state_death_function=death_fn,
                        matching_params={"variable": "beta", "matrix": "B", "scale": 1.0, "limits": [-10.0, 10.0]}),

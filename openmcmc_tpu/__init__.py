@@ -21,6 +21,7 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
         pass
 
 from openmcmc_tpu import (
+    basis,
     checkpoint,
     diagnostics,
     distributions,

@@ -4,6 +4,7 @@ from openmcmc_tpu.fused.gmrf_smoother import run_fused_smoother
 from openmcmc_tpu.fused.linreg import run_fused_linreg
 from openmcmc_tpu.fused.mmala import run_fused_mmala
 from openmcmc_tpu.fused.random_walk import run_fused_rw
+from openmcmc_tpu.fused.rj import run_fused_rj
 from openmcmc_tpu.fused.spectral import run_spectral_linreg, run_spectral_mmala
 
 __all__ = [
@@ -11,6 +12,7 @@ __all__ = [
     "run_fused_linreg",
     "run_fused_rw",
     "run_fused_mmala",
+    "run_fused_rj",
     "run_spectral_linreg",
     "run_spectral_mmala",
 ]

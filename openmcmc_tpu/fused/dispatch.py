@@ -79,7 +79,7 @@ def match_fused_engine(mcmc) -> Optional[Callable]:
         # fitted-value storage (reference mcmc.py:109-111) is a generic-driver
         # feature the kernels do not reproduce
         return None
-    for matcher in (_match_smoother, _match_linreg, _match_rw, _match_mmala):
+    for matcher in (_match_smoother, _match_linreg, _match_rw, _match_mmala, _match_rj):
         runner = matcher(mcmc)
         if runner is not None:
             return runner
@@ -334,6 +334,170 @@ def _match_rw(mcmc) -> Optional[Callable]:
         return store, out["log_post"], stats
 
     run.engine_name = "fused_random_walk"
+    return run
+
+
+def _match_rj(mcmc) -> Optional[Callable]:
+    """The reversible-jump knot-basis family (reference tests/test_reversible_jump.py
+    prior-recovery workload): Null likelihood on a Gaussian-kernel basis regression,
+
+        count ~ Poisson(rho), theta_j ~ U(lo, hi), omega_j ~ Gamma(a, b),
+        beta ~ N(mu_b, (tau_b I)^-1)  (padded to n_max, n_active = count)
+
+    with the four-sampler sweep [ManifoldMALA(beta), RandomWalkLoop(theta),
+    RandomWalkLoop(omega), ReversibleJump(count, matched transitions on beta)].
+    The basis maintenance hooks must be bound methods of ONE
+    :class:`openmcmc_tpu.basis.GaussianKernelBasis` -- that is what tells us the
+    basis math is normpdf(X; theta, omega), which the kernel reimplements in-core."""
+    from openmcmc_tpu.basis import GaussianKernelBasis
+    from openmcmc_tpu.distributions.location_scale import NullDistribution
+    from openmcmc_tpu.distributions.univariate import Poisson, Uniform
+    from openmcmc_tpu.parameters import MixtureParameterMatrix, MixtureParameterVector
+    from openmcmc_tpu.samplers.reversible_jump import ReversibleJump
+
+    if len(mcmc.samplers) != 4:
+        return None
+    mala, rw_th, rw_om, rj = mcmc.samplers
+    if not isinstance(mala, ManifoldMALA) or not isinstance(rj, ReversibleJump):
+        return None
+    if not (isinstance(rw_th, RandomWalkLoop) and isinstance(rw_om, RandomWalkLoop)):
+        return None
+    if any(s.adapt_step for s in (mala, rw_th, rw_om)):
+        return None
+    if any(np.asarray(s.step_size).size != 1 for s in (mala, rw_th, rw_om)):
+        return None
+    count, beta, theta, omega = rj.param, mala.param, rw_th.param, rw_om.param
+    if rj.associated_params != [theta, omega] or rj.birth_probability != 0.5:
+        return None
+    if {mala.active_count, rw_th.active_count, rw_om.active_count} != {count}:
+        return None
+
+    # the basis hooks must be the recognized Gaussian-kernel maintenance methods
+    def bound_to(fn, method):
+        return (
+            getattr(fn, "__func__", None) is method
+            and isinstance(getattr(fn, "__self__", None), GaussianKernelBasis)
+        )
+
+    if not bound_to(rj.state_birth_function, GaussianKernelBasis.birth):
+        return None
+    g = rj.state_birth_function.__self__
+    if not bound_to(rj.state_death_function, GaussianKernelBasis.death):
+        return None
+    for rw in (rw_th, rw_om):
+        if not (
+            bound_to(rw.state_update_function, GaussianKernelBasis.move)
+            and bound_to(rw.vector_state_update_function, GaussianKernelBasis.move_vec)
+            and rw.state_update_function.__self__ is g
+            and rw.vector_state_update_function.__self__ is g
+        ):
+            return None
+    if (g.theta, g.omega, g.count) != (theta, omega, count):
+        return None
+
+    mp = rj.matching_params
+    if mp is None or mp.get("variable") != beta or mp.get("matrix") != g.matrix:
+        return None
+    if mp.get("limits") is None or mp.get("scale") is None:
+        return None
+
+    # model inventory: Null likelihood + the four priors, nothing else
+    y_name = None
+    for key, dist in mcmc.model.items():
+        if isinstance(dist, NullDistribution):
+            y_name = key
+    if y_name is None or set(mcmc.model.keys()) != {y_name, beta, theta, omega, count}:
+        return None
+    y_dist = mcmc.model[y_name]
+    if not (
+        isinstance(y_dist.mean, LinearCombination)
+        and list(y_dist.mean.form_dict.keys()) == [beta]
+        and y_dist.mean.form_dict[beta] == g.matrix
+    ):
+        return None
+    k_dist = mcmc.model[count]
+    if not (isinstance(k_dist, Poisson) and isinstance(k_dist.rate, Identity)):
+        return None
+    rho = _scalar(mcmc, k_dist.rate.form)
+    th_dist = mcmc.model[theta]
+    if not isinstance(th_dist, Uniform) or th_dist.n_active != count:
+        return None
+    if len(th_dist.domain_response_lower) != 1 or len(th_dist.domain_response_upper) != 1:
+        return None
+    th_lims = (th_dist.domain_response_lower[0], th_dist.domain_response_upper[0])
+    # the kernel truncates theta RW proposals at the prior domain (the only
+    # configuration in which the proposal mass and prior support coincide)
+    if rw_th.domain_limits is None or tuple(np.asarray(rw_th.domain_limits).reshape(-1)) != th_lims:
+        return None
+    if rw_om.domain_limits is None or np.asarray(rw_om.domain_limits).size != 2:
+        return None
+    om_lims = tuple(np.asarray(rw_om.domain_limits).reshape(-1))
+    om_dist = mcmc.model[omega]
+    if not isinstance(om_dist, Gamma) or om_dist.n_active != count:
+        return None
+    hyp_om = _gamma_hypers(mcmc, omega)
+    b_dist = mcmc.model[beta]
+    if not isinstance(b_dist, Normal) or b_dist.truncated or b_dist.n_active != count:
+        return None
+    # single-component mixture mean/precision (the workload's constant mu_b, tau_b)
+    if not (
+        isinstance(b_dist.mean, MixtureParameterVector)
+        and isinstance(b_dist.precision, MixtureParameterMatrix)
+        and b_dist.mean.allocation == b_dist.precision.allocation
+    ):
+        return None
+    alloc = mcmc.data.get(b_dist.mean.allocation)
+    if alloc is None or np.any(np.asarray(alloc) != 0):
+        return None
+    mu_b = _scalar(mcmc, b_dist.mean.param)
+    tau_b = _scalar(mcmc, b_dist.precision.param)
+    X = mcmc.data.get(g.x)
+    init = mcmc.initial_chain_state
+    if None in (rho, hyp_om, mu_b, tau_b, X) or rho <= 0.0:
+        return None
+    if any(init.get(n) is None for n in (beta, theta, omega, count)):
+        return None
+    n_max = int(rj.n_max)
+    if n_max > 32 or np.asarray(init[theta]).size != n_max:
+        return None
+    # the kernel streams out count + log_post only; a store request for anything
+    # else (beta/theta/omega draws) needs the generic driver
+    if not set(mcmc.store_names) <= {count}:
+        return None
+
+    from openmcmc_tpu.fused.rj import run_fused_rj
+
+    def run(seed):
+        out = run_fused_rj(
+            seed, np.asarray(X).reshape(-1),
+            n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains, n_max=n_max,
+            beta0=np.asarray(init[beta]), theta0=np.asarray(init[theta]),
+            omega0=np.asarray(init[omega]), k0=float(np.asarray(init[count]).reshape(())),
+            rho=rho, mu_beta=mu_b, tau_beta=tau_b, a_omega=hyp_om[0], b_omega=hyp_om[1],
+            theta_limits=th_lims, omega_rw_limits=om_lims,
+            match_limits=(float(mp["limits"][0]), float(mp["limits"][1])),
+            match_scale=float(mp["scale"]),
+            step_mmala=float(np.asarray(mala.step_size).reshape(())),
+            step_theta=float(np.asarray(rw_th.step_size).reshape(())),
+            step_omega=float(np.asarray(rw_om.step_size).reshape(())),
+        )
+        store = {count: out["n_basis"][..., None, None].astype(jnp.int32)}
+        n_prop = jnp.full((mcmc.n_chains,), mcmc.n_burn + mcmc.n_iter, jnp.int32)
+        stats = {
+            beta: {"accept": out["accept_mmala"].astype(jnp.int32), "proposal": n_prop},
+            theta: {
+                "accept": out["accept_theta"].astype(jnp.int32),
+                "proposal": out["proposal_theta"].astype(jnp.int32),
+            },
+            omega: {
+                "accept": out["accept_omega"].astype(jnp.int32),
+                "proposal": out["proposal_omega"].astype(jnp.int32),
+            },
+            count: {"accept": out["accept_rj"].astype(jnp.int32), "proposal": n_prop},
+        }
+        return store, out["log_post"], stats
+
+    run.engine_name = "fused_rj"
     return run
 
 

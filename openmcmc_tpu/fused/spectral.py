@@ -128,7 +128,8 @@ def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_ta
                         stage_ref.at[slot], out_ref.at[idx - 2, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
                     ).wait()
 
-                beta = jnp.dot(V_ref[:, :], w, preferred_element_type=jnp.float32)
+                beta = jnp.dot(V_ref[:, :], w, preferred_element_type=jnp.float32,
+                               precision=lax.Precision.HIGHEST)
                 small = jnp.concatenate(
                     [lam_new, tau_new, log_post, jnp.zeros((5, block_b), jnp.float32)], axis=0
                 )
@@ -298,7 +299,8 @@ def _make_mmala_kernel(p_pad, p_real, n_obs, step, n_burn, n_keep, block_b):
                         stage_ref.at[slot], out_ref.at[idx - 2, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
                     ).wait()
 
-                beta = jnp.dot(V_ref[:, :], w_new, preferred_element_type=jnp.float32)
+                beta = jnp.dot(V_ref[:, :], w_new, preferred_element_type=jnp.float32,
+                               precision=lax.Precision.HIGHEST)
                 small = jnp.concatenate(
                     [lp_new, accept.astype(jnp.float32), acc_new, jnp.zeros((5, block_b), jnp.float32)], axis=0
                 )

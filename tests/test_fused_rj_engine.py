@@ -1,0 +1,153 @@
+"""Fused reversible-jump engine: dispatch matching + interpret-mode pipeline.
+
+The statistical parity of the kernel (prior recovery: with a Null likelihood the
+chain targets the prior, so the count marginal is a [1, n_max]-truncated
+Poisson(rho)) is TPU-gated in ``test_fused_rj_tpu``; on CPU the interpret tests
+run the deterministic kernel pipeline and the matcher tests pin down exactly
+which configurations dispatch (reference workload:
+reference tests/test_reversible_jump.py prior-recovery configuration).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from openmcmc_tpu.basis import GaussianKernelBasis
+from openmcmc_tpu.distributions import Gamma, Normal, NullDistribution, Poisson, Uniform
+from openmcmc_tpu.fused.dispatch import match_fused_engine
+from openmcmc_tpu.linalg import structured as st
+from openmcmc_tpu.mcmc import MCMC
+from openmcmc_tpu.model import Model
+from openmcmc_tpu.parameters import (
+    LinearCombination,
+    MixtureParameterMatrix,
+    MixtureParameterVector,
+    ScaledMatrix,
+)
+from openmcmc_tpu.samplers import ManifoldMALA, RandomWalkLoop, ReversibleJump
+
+N_MAX = 20
+
+
+def build_rj_mcmc(n_chains=64, n_iter=8, n_burn=2, basis=None, rho=8.0, seed=0):
+    """The benchmark prior-recovery configuration (bench_all.reversible_jump)."""
+    g = basis if basis is not None else GaussianKernelBasis()
+    rng = np.random.default_rng(0)
+    n_data = 50
+    X = np.sort(rng.uniform(-10, 10, (n_data, 1)), axis=0)
+    k0 = 4
+    theta = np.zeros((1, N_MAX)); theta[0, :k0] = rng.uniform(-10, 10, k0)
+    omega = np.zeros((1, N_MAX)); omega[0, :k0] = 1.0
+    beta = np.zeros((N_MAX, 1)); beta[:k0] = 1.0
+    state = {
+        "X": X, "y": rng.normal(size=(n_data, 1)),
+        "n_basis": np.array([[k0]], dtype=np.int32),
+        "theta": theta, "omega": omega, "beta": beta,
+        "alloc_beta": np.zeros((N_MAX, 1), dtype=np.int32),
+        "mu_beta": 0.0, "tau_beta": 0.25, "rho": rho,
+        "a_omega": 3.0, "b_omega": 2.0,
+        "P": st.Diagonal(jnp.ones(n_data)), "tau_y": 100.0,
+    }
+    state["B"] = np.asarray(g.make(jnp.asarray(X), jnp.asarray(theta), jnp.asarray(omega), k0))
+    mdl = Model(
+        [
+            NullDistribution("y", mean=LinearCombination(form={"beta": "B"}), precision=ScaledMatrix("P", "tau_y")),
+            Normal("beta", mean=MixtureParameterVector("mu_beta", "alloc_beta"),
+                   precision=MixtureParameterMatrix("tau_beta", "alloc_beta"), n_active="n_basis"),
+            Poisson("n_basis", rate="rho"),
+            Uniform("theta", domain_response_lower=-10.0, domain_response_upper=10.0, n_active="n_basis"),
+            Gamma("omega", shape="a_omega", rate="b_omega", n_active="n_basis"),
+        ]
+    )
+    samplers = [
+        ManifoldMALA("beta", mdl, step=0.5, active_count="n_basis"),
+        RandomWalkLoop("theta", mdl, step=0.1, domain_limits=np.asarray([[-10.0, 10.0]]),
+                       state_update_function=g.move, vector_state_update_function=g.move_vec,
+                       active_count="n_basis", updated_names=["theta", "B"]),
+        RandomWalkLoop("omega", mdl, step=0.1, domain_limits=np.asarray([[0.5, 2.0]]),
+                       state_update_function=g.move, vector_state_update_function=g.move_vec,
+                       active_count="n_basis", updated_names=["omega", "B"]),
+        ReversibleJump("n_basis", mdl, associated_params=["theta", "omega"], n_max=N_MAX,
+                       state_birth_function=g.birth, state_death_function=g.death,
+                       matching_params={"variable": "beta", "matrix": "B", "scale": 1.0, "limits": [-10.0, 10.0]}),
+    ]
+    m = MCMC(state, samplers, mdl, n_burn=n_burn, n_iter=n_iter, n_chains=n_chains, seed=seed)
+    m.store_names = ["n_basis"]
+    return m
+
+
+def test_match_rj():
+    m = build_rj_mcmc()
+    runner = match_fused_engine(m)
+    assert runner is not None and runner.engine_name == "fused_rj"
+
+
+def test_no_match_with_plain_function_hooks():
+    """User-supplied (unrecognizable) basis hooks must fall back to generic."""
+    g = GaussianKernelBasis()
+    m = build_rj_mcmc(basis=g)
+
+    def birth(key, cur, prop):  # same math, but opaque to the matcher
+        return g.birth(key, cur, prop)
+
+    m.samplers[3].state_birth_function = birth
+    assert match_fused_engine(m) is None
+
+
+def test_no_match_when_storing_more_than_count():
+    """The kernel only streams the count; storing theta requires the generic driver."""
+    m = build_rj_mcmc()
+    m.store_names = ["n_basis", "theta"]
+    assert match_fused_engine(m) is None
+
+
+def test_no_match_with_mismatched_rw_limits():
+    """Theta RW truncation must coincide with the Uniform prior domain."""
+    m = build_rj_mcmc()
+    m.samplers[1].domain_limits = np.asarray([[-9.0, 10.0]])
+    assert match_fused_engine(m) is None
+
+
+def test_interpret_engine_run():
+    """engine='auto' dispatches the RJ kernel (interpret mode on CPU) and returns the
+    generic driver's result contract: store key, log_post, per-sampler stats."""
+    m = build_rj_mcmc(n_chains=64, n_iter=6, n_burn=2)
+    with pltpu.force_tpu_interpret_mode():
+        res = m.run(engine="auto")
+    assert res.engine == "fused_rj"
+    assert res.store["n_basis"].shape == (64, 6, 1, 1)
+    assert res.store["n_basis"].dtype == jnp.int32
+    nb = np.asarray(res.store["n_basis"])
+    assert nb.min() >= 1 and nb.max() <= N_MAX
+    assert np.isfinite(np.asarray(res.log_post)).all()
+    assert set(res.stats.keys()) == {"beta", "theta", "omega", "n_basis"}
+    for name in ("beta", "theta", "omega", "n_basis"):
+        assert set(res.stats[name]) >= {"accept", "proposal"}
+        assert res.stats[name]["accept"].shape == (64,)
+    # acceptance_rate() works on the fused stats pytree
+    assert set(res.acceptance.keys()) == {"beta", "theta", "omega", "n_basis"}
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
+)
+def test_fused_rj_prior_recovery_tpu():
+    """With a Null likelihood the posterior IS the prior: the count marginal must
+    match the [1, n_max]-truncated Poisson(rho) (reference
+    tests/test_reversible_jump.py prior-recovery test, chi-square there)."""
+    from scipy.stats import poisson
+
+    m = build_rj_mcmc(n_chains=512, n_iter=2000, n_burn=500)
+    res = m.run(engine="fused")
+    assert res.engine == "fused_rj"
+    nb = np.asarray(res.store["n_basis"]).reshape(512, -1)[:, ::10]
+    ks = np.arange(1, N_MAX + 1)
+    pmf = poisson.pmf(ks, 8.0)
+    pmf = pmf / pmf.sum()
+    exact_mean = float((ks * pmf).sum())
+    exact_sd = float(np.sqrt((ks**2 * pmf).sum() - exact_mean**2))
+    mean = nb.mean()
+    # generous MC + mixing tolerance; catches gross distribution errors
+    assert abs(mean - exact_mean) < 0.25, (mean, exact_mean)
+    assert abs(nb.std() - exact_sd) < 0.35, (nb.std(), exact_sd)

@@ -26,30 +26,18 @@ from openmcmc_tpu.parameters import (
 )
 from openmcmc_tpu.samplers import ManifoldMALA, RandomWalkLoop, ReversibleJump
 
+from openmcmc_tpu.basis import GaussianKernelBasis
+
 N_MAX = 8
 N_DATA = 50
 LIMITS = (-10.0, 10.0)
 
-
-def make_basis(X, theta, omega, count):
-    """Gaussian-kernel basis on padded knots; padded columns are zero
-    (reference tests/test_reversible_jump.py:23-38, vectorized)."""
-    om = jnp.where(omega > 0, omega, 1.0)
-    B = jax.scipy.stats.norm.pdf(X, loc=theta, scale=om)
-    mask = padding.active_mask(count, theta.shape[1], B.dtype)
-    return B * mask[None, :]
-
-
-def birth_fn(key, current_state, prop_state):
-    prop_state = dict(prop_state)
-    prop_state["B"] = make_basis(prop_state["X"], prop_state["theta"], prop_state["omega"], prop_state["n_basis"])
-    return prop_state, jnp.asarray(0.0), jnp.asarray(0.0)
-
-
-def death_fn(key, current_state, prop_state, deletion_index):
-    prop_state = dict(prop_state)
-    prop_state["B"] = make_basis(prop_state["X"], prop_state["theta"], prop_state["omega"], prop_state["n_basis"])
-    return prop_state, jnp.asarray(0.0), jnp.asarray(0.0)
+# shared Gaussian-kernel basis hooks (openmcmc_tpu.basis); recognized by the
+# fused dispatcher, and identical math to reference tests/test_reversible_jump.py:23-38
+_BASIS = GaussianKernelBasis()
+make_basis = _BASIS.make
+birth_fn = _BASIS.birth
+death_fn = _BASIS.death
 
 
 def move_fn(key, updates, state, param_index):
