@@ -223,9 +223,11 @@ class Categorical(Distribution):
                 jax.scipy.special.gammaln(counts + 1.0), axis=1
             )
             return jnp.sum(coeff + jnp.sum(counts * logprob, axis=1))
-        # gather per element: rows index p, values index category
-        row = jnp.arange(x.shape[0])[:, None]
-        lp = logprob[row, x]  # (p, n)
+        # one-hot contraction per element (NOT logprob[rows, x]: a vmapped gather
+        # with per-chain traced indices serializes per batch element on TPU)
+        n_cat = prob.shape[1]
+        onehot = x[:, :, None] == jnp.arange(n_cat)[None, None, :]  # (p, n, n_cat)
+        lp = jnp.sum(jnp.where(onehot, logprob[:, None, :], 0.0), axis=-1)  # (p, n)
         log_p = jnp.sum(lp, axis=0)
         if not by_observation:
             log_p = jnp.sum(log_p)

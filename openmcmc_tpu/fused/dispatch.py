@@ -110,7 +110,13 @@ def _gamma_hypers(mcmc, name):
 
 
 def _match_smoother(mcmc) -> Optional[Callable]:
-    """y ~ N(b, (tau I)^-1); b ~ N(0, (lam P0)^-1) with tridiagonal P0; Gamma scales."""
+    """y ~ N(b, (tau D)^-1); b ~ N(mu0, (lam P0)^-1); Gamma scales.
+
+    Tridiagonal P0 runs the O(p) Thomas kernel (fused/gmrf_smoother.py); any
+    other structured P0 -- 2-D lattice stencils, RCM-permuted CAR graphs, dense
+    -- runs the spectral engine (fused/spectral.py, p <= 1024), so the general
+    sparse patterns the reference factors through SuperLU (gmrf.py:489-520) get
+    the one-launch treatment too."""
     trip = _conjugate_triplet(mcmc)
     if trip is None:
         return None
@@ -132,8 +138,12 @@ def _match_smoother(mcmc) -> Optional[Callable]:
     # handled by the kernel (round-3 generalization; previously identity/zero only)
     if not isinstance(ptau, st.Diagonal) or not bool(jnp.all(ptau.diag_ > 0.0)):
         return None
-    if not isinstance(plam, st.Banded) or plam.bw != 1:
-        return None
+    tridiag = isinstance(plam, st.Banded) and plam.bw == 1
+    if not tridiag:
+        from openmcmc_tpu.fused.spectral import MAX_P_SMOOTHER
+
+        if not isinstance(plam, st.STRUCTURED_TYPES) or st.dim(plam) > MAX_P_SMOOTHER:
+            return None
     mu = mcmc.data.get(_identity_mean_name(b_dist))
     if mu is None:
         return None
@@ -153,16 +163,7 @@ def _match_smoother(mcmc) -> Optional[Callable]:
     if None in (hyp_tau, hyp_lam, tau0, lam0):
         return None
 
-    from openmcmc_tpu.fused.gmrf_smoother import run_fused_smoother
-
-    def run(seed):
-        out = run_fused_smoother(
-            seed, jnp.asarray(y).reshape(-1), None,
-            n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
-            a_lam=hyp_lam[0], b_lam=hyp_lam[1], a_tau=hyp_tau[0], b_tau=hyp_tau[1],
-            lam0=lam0, tau0=tau0, P0_bands=plam.bands,
-            noise_diag=ptau.diag_, mu0=jnp.asarray(mu).reshape(-1),
-        )
+    def _package(out):
         store = {
             latent: out["b"][..., None],
             lam_name: out["lam"][..., None, None],
@@ -172,7 +173,34 @@ def _match_smoother(mcmc) -> Optional[Callable]:
         # sampler param, exactly like the generic driver's init_stats()
         return store, out["log_post"], {latent: {}, lam_name: {}, tau_name: {}}
 
-    run.engine_name = "fused_gmrf_smoother"
+    if tridiag:
+        from openmcmc_tpu.fused.gmrf_smoother import run_fused_smoother
+
+        def run(seed):
+            out = run_fused_smoother(
+                seed, jnp.asarray(y).reshape(-1), None,
+                n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+                a_lam=hyp_lam[0], b_lam=hyp_lam[1], a_tau=hyp_tau[0], b_tau=hyp_tau[1],
+                lam0=lam0, tau0=tau0, P0_bands=plam.bands,
+                noise_diag=ptau.diag_, mu0=jnp.asarray(mu).reshape(-1),
+            )
+            return _package(out)
+
+        run.engine_name = "fused_gmrf_smoother"
+    else:
+        from openmcmc_tpu.fused.spectral import run_spectral_smoother
+
+        def run(seed):
+            out = run_spectral_smoother(
+                seed, np.asarray(jnp.asarray(y).reshape(-1)), np.asarray(st.to_dense(plam)),
+                n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+                a_lam=hyp_lam[0], b_lam=hyp_lam[1], a_tau=hyp_tau[0], b_tau=hyp_tau[1],
+                lam0=lam0, tau0=tau0,
+                noise_diag=np.asarray(ptau.diag_), mu0=np.asarray(jnp.asarray(mu).reshape(-1)),
+            )
+            return _package(out)
+
+        run.engine_name = "fused_smoother_spectral"
     return run
 
 

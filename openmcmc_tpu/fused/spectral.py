@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt, normal, uniform
 
 MAX_P = 256
+MAX_P_SMOOTHER = 1024  # V is (p, p) f32 in VMEM: 4 MB at the limit
 PAD = 8  # sublane granularity for the (p_pad, lanes) working arrays
 
 
@@ -49,7 +50,11 @@ def _block_b(p_pad: int) -> int:
         return 2048
     if p_pad <= 128:
         return 1024
-    return 512
+    if p_pad <= 256:
+        return 512
+    if p_pad <= 512:
+        return 256
+    return 128
 
 
 def _eigenbasis(G: np.ndarray, plam: np.ndarray):
@@ -235,6 +240,180 @@ def run_spectral_linreg(
         n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
         a_lam=float(a_lam), b_lam=float(b_lam), a_tau=float(a_tau), b_tau=float(b_tau),
         lam0=float(lam0), tau0=float(tau0), n_obs=n_obs, p_real=p,
+    )
+
+
+# ---------------------------------------------------------------------------
+# smoother: Gibbs sweep for ANY symmetric prior precision (lattice/CAR/dense)
+# ---------------------------------------------------------------------------
+
+
+def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau,
+                          lam0, tau0, block_b):
+    a_lam_star = a_lam + 0.5 * p_real
+    a_tau_star = a_tau + 0.5 * p_real
+    from scipy.special import gammaln
+
+    lgam_lam = float(a_lam * np.log(b_lam) - gammaln(a_lam))
+    lgam_tau = float(a_tau * np.log(b_tau) - gammaln(a_tau))
+
+    def kernel(seed_ref, scal_ref, W_ref, svec_ref, wy_ref, wmu_ref, mask_ref,
+               out_ref, stage_ref, sems):
+        pid = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + pid)
+        logdet_p0 = scal_ref[0]
+        logdet_d = scal_ref[1]
+        svec = svec_ref[:, :]  # (p_pad, 1) pencil eigenvalues, 0 on padding
+        wy = wy_ref[:, :]  # w-coordinates of the data, V^{-1} y = V' D y
+        wmu = wmu_ref[:, :]  # w-coordinates of the prior mean
+        mask = mask_ref[:, :]
+
+        def iteration(it, carry):
+            lam, tau = carry  # (1, block_b)
+
+            # ---- NormalNormal: b | y, lam, tau is DIAGONAL in w = V^{-1} b --
+            # Q = lam P0 + tau D = V^{-T} (lam S + tau I) V^{-1}; canonical mean
+            # rhs = tau D y + lam P0 mu0 => V' rhs = tau wy + lam S wmu
+            z = normal((p_pad, block_b))
+            d = (lam * svec + tau) * mask + (1.0 - mask)
+            w = ((tau * wy + lam * svec * wmu) / d + z * jax.lax.rsqrt(d)) * mask
+
+            # ---- NormalGamma updates: both quadratic forms are elementwise --
+            # (b-mu0)' P0 (b-mu0) = (w-wmu)' S (w-wmu); (y-b)' D (y-b) = ||wy-w||^2
+            r = w - wmu
+            quad_lam = jnp.sum(svec * r * r, axis=0, keepdims=True)
+            t = (wy - w) * mask
+            quad_tau = jnp.sum(t * t, axis=0, keepdims=True)
+            lam_new = gamma_mt(a_lam_star, b_lam + 0.5 * quad_lam)
+            tau_new = gamma_mt(a_tau_star, b_tau + 0.5 * quad_tau)
+
+            # ---- analytic log posterior (gmrf_smoother kernel's convention) -
+            log_like = 0.5 * (p_real * jnp.log(tau_new) + logdet_d - p_real * LOG_2PI - tau_new * quad_tau)
+            log_prior_b = 0.5 * (p_real * jnp.log(lam_new) + logdet_p0 - p_real * LOG_2PI - lam_new * quad_lam)
+            log_lam = lgam_lam + (a_lam - 1.0) * jnp.log(lam_new) - b_lam * lam_new
+            log_tau = lgam_tau + (a_tau - 1.0) * jnp.log(tau_new) - b_tau * tau_new
+            log_post = log_like + log_prior_b + log_lam + log_tau
+
+            # ---- store: b = W w rides the MXU; double-buffered DMA ----------
+            @pl.when(it >= n_burn)
+            def _():
+                idx = it - n_burn
+                slot = lax.rem(idx, 2)
+
+                @pl.when(idx >= 2)
+                def _():
+                    pltpu.make_async_copy(
+                        stage_ref.at[slot], out_ref.at[idx - 2, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
+                    ).wait()
+
+                b = jnp.dot(W_ref[:, :], w, preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+                small = jnp.concatenate(
+                    [lam_new, tau_new, log_post, jnp.zeros((5, block_b), jnp.float32)], axis=0
+                )
+                stage_ref[pl.ds(slot, 1)] = jnp.concatenate([b, small], axis=0)[None, :, :]
+                pltpu.make_async_copy(
+                    stage_ref.at[slot], out_ref.at[idx, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
+                ).start()
+
+            return lam_new, tau_new
+
+        lam0_row = jnp.full((1, block_b), lam0, jnp.float32)
+        tau0_row = jnp.full((1, block_b), tau0, jnp.float32)
+        lax.fori_loop(0, n_burn + n_keep, iteration, (lam0_row, tau0_row))
+
+        for last in range(max(0, n_keep - 2), n_keep):
+            slot = last % 2
+            pltpu.make_async_copy(
+                stage_ref.at[slot], out_ref.at[last, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
+            ).wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_burn", "n_iter", "n_chains", "a_lam", "b_lam", "a_tau", "b_tau", "lam0", "tau0", "p_real"),
+)
+def _run_spectral_smoother_jit(seed, W, svec, wy, wmu, logdet_p0, logdet_d,
+                               n_burn, n_iter, n_chains, a_lam, b_lam, a_tau, b_tau,
+                               lam0, tau0, p_real):
+    p_pad = W.shape[0]
+    block_b = _block_b(p_pad)
+    b_total = n_chains + ((-n_chains) % block_b)
+    out_rows = p_pad + 8
+    mask = (jnp.arange(p_pad) < p_real).astype(jnp.float32).reshape(p_pad, 1)
+    kernel = _make_smoother_kernel(
+        p_pad, float(p_real), n_burn, n_iter,
+        float(a_lam), float(b_lam), float(a_tau), float(b_tau), float(lam0), float(tau0), block_b,
+    )
+    shared = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scal = jnp.stack([logdet_p0, logdet_d]).astype(jnp.float32)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid=(b_total // block_b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 5,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
+        out_shape=(jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32),),
+        scratch_shapes=[
+            pltpu.VMEM((2, out_rows, block_b), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.asarray([seed], jnp.int32), scal, W, svec, wy, wmu, mask)
+    draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
+    return {
+        "b": draws[:, :, :p_real],
+        "lam": draws[:, :, p_pad],
+        "tau": draws[:, :, p_pad + 1],
+        "log_post": draws[:, :, p_pad + 2],
+    }
+
+
+def run_spectral_smoother(
+    seed, y, P0, n_burn, n_iter, n_chains,
+    a_lam=10.0, b_lam=1.0, a_tau=1.0, b_tau=1.0, lam0=100.0, tau0=1.0,
+    noise_diag=None, mu0=None,
+):
+    """GMRF smoother with ARBITRARY symmetric prior precision, one launch, p <= 1024.
+
+    Same model/returns as fused.gmrf_smoother.run_fused_smoother --
+    y ~ N(b, (tau D)^{-1}), b ~ N(mu0, (lam P0)^{-1}), Gamma scales -- but where
+    the Thomas kernel needs tridiagonal P0, here ``P0`` is any symmetric PSD
+    (p, p) dense array: 2-D lattice stencils, CAR graphs, RCM-permuted sparse
+    patterns (reference gmrf.py:489-520 factors these through SuperLU; the
+    TPU-native route is one host-side f64 generalized eigendecomposition of the
+    (P0, D) pencil, after which every iteration is elementwise in
+    eigencoordinates with one MXU matmul per stored draw)."""
+    y = np.asarray(y, np.float64).reshape(-1)
+    p = y.shape[0]
+    if p > MAX_P_SMOOTHER:
+        raise ValueError(f"spectral smoother supports p <= {MAX_P_SMOOTHER}, got {p}")
+    P0 = np.asarray(P0, np.float64)
+    d_vec = np.ones(p) if noise_diag is None else np.asarray(noise_diag, np.float64).reshape(-1)
+    mu0 = np.zeros(p) if mu0 is None else np.asarray(mu0, np.float64).reshape(-1)
+
+    V, s = _eigenbasis(P0, d_vec)  # V' D V = I, V' P0 V = diag(s)
+    wy = V.T @ (d_vec * y)
+    wmu = V.T @ (d_vec * mu0)
+    logdet_d = float(np.sum(np.log(d_vec)))
+    # |P0| = |D| * prod(s): P0 = D^{1/2} (D^{-1/2} P0 D^{-1/2}) D^{1/2}
+    logdet_p0 = logdet_d + float(np.sum(np.log(np.maximum(s, 1e-300))))
+
+    p_pad = p + ((-p) % PAD)
+    pad = p_pad - p
+
+    def col(v):
+        return jnp.asarray(np.concatenate([v, np.zeros(pad)]), jnp.float32).reshape(p_pad, 1)
+
+    Vp = np.zeros((p_pad, p_pad))
+    Vp[:p, :p] = V
+    return _run_spectral_smoother_jit(
+        seed, jnp.asarray(Vp, jnp.float32), col(s), col(wy), col(wmu),
+        jnp.asarray(logdet_p0, jnp.float32), jnp.asarray(logdet_d, jnp.float32),
+        n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
+        a_lam=float(a_lam), b_lam=float(b_lam), a_tau=float(a_tau), b_tau=float(b_tau),
+        lam0=float(lam0), tau0=float(tau0), p_real=p,
     )
 
 

@@ -129,17 +129,14 @@ class NormalGamma(Sampler):
         b = jnp.broadcast_to(b, (m,))
 
         if isinstance(precision, MixtureParameterMatrix):
+            # one-hot contraction, not segment_sum: a vmapped scatter-add with
+            # per-chain traced allocation indices serializes per batch element on
+            # TPU; the (m, n) @ (n,) matmul stays batched
             alloc = state[precision.allocation].reshape(-1).astype(jnp.int32)
-            r = residual.reshape(-1) if residual.shape[1] == 1 else residual
-            if residual.shape[1] == 1:
-                quad = jax.ops.segment_sum(r * r, alloc, num_segments=m)
-                counts = jax.ops.segment_sum(jnp.ones_like(r), alloc, num_segments=m)
-            else:
-                rsq = jnp.sum(residual * residual, axis=1)
-                quad = jax.ops.segment_sum(rsq, alloc, num_segments=m)
-                counts = residual.shape[1] * jax.ops.segment_sum(
-                    jnp.ones(residual.shape[0]), alloc, num_segments=m
-                )
+            rsq = jnp.sum(residual * residual, axis=1)
+            onehot = (alloc[:, None] == jnp.arange(m)[None, :]).astype(rsq.dtype)
+            quad = rsq @ onehot
+            counts = residual.shape[1] * jnp.sum(onehot, axis=0)
             a = a + counts / 2.0
             b = b + quad / 2.0
         elif isinstance(precision, Identity):

@@ -90,6 +90,155 @@ def test_spectral_mmala_interpret_matches_logpost(interpret, rng):
             assert abs(got - want) < 5e-2 * max(1.0, abs(want)), (c, t, got, want)
 
 
+def _lattice_p0(side=6, ridge=0.01):
+    """5-point stencil Laplacian on a side x side grid + ridge: the canonical
+    non-tridiagonal GMRF precision (reference factors these via SuperLU,
+    gmrf.py:489-520)."""
+    import scipy.sparse as sp
+
+    d = sp.diags([np.ones(side - 1), np.ones(side - 1)], [-1, 1], (side, side))
+    lap = sp.eye(side * side) * 4 - sp.kron(sp.eye(side), d) - sp.kron(d, sp.eye(side))
+    return np.asarray(lap.todense(), np.float64) + ridge * np.eye(side * side)
+
+
+def test_spectral_smoother_interpret_matches_logpost(interpret, rng):
+    """Kernel log_post must equal Model.log_p at the stored (b, lam, tau) draws."""
+    from openmcmc_tpu.distributions import Gamma, Normal
+    from openmcmc_tpu.linalg import structured as st
+    from openmcmc_tpu.model import Model
+    from openmcmc_tpu.parameters import ScaledMatrix
+
+    P0 = _lattice_p0(side=5)
+    p = P0.shape[0]
+    y = rng.normal(size=p)
+    d_vec = rng.uniform(0.5, 2.0, p)
+    mu0 = 0.1 * rng.normal(size=p)
+    out = spectral.run_spectral_smoother(
+        11, y, P0, n_burn=2, n_iter=4, n_chains=8,
+        a_lam=10.0, b_lam=1.0, a_tau=1.0, b_tau=1.0, lam0=5.0, tau0=1.0,
+        noise_diag=d_vec, mu0=mu0,
+    )
+    assert out["b"].shape == (8, 4, p)
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("D", "tau")),
+            Normal("b", mean="mu0", precision=ScaledMatrix("P0", "lam")),
+            Gamma("lam", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    base = {
+        "y": jnp.asarray(y).reshape(-1, 1), "D": st.Diagonal(jnp.asarray(d_vec)),
+        "P0": st.Dense(jnp.asarray(P0)), "mu0": jnp.asarray(mu0).reshape(-1, 1),
+        "a_lam": jnp.full((1, 1), 10.0), "b_lam": jnp.ones((1, 1)),
+        "a_tau": jnp.ones((1, 1)), "b_tau": jnp.ones((1, 1)),
+    }
+    for c in range(2):
+        for t in range(2):
+            state = dict(base)
+            state["b"] = jnp.asarray(out["b"][c, t]).reshape(p, 1)
+            state["lam"] = jnp.asarray(out["lam"][c, t]).reshape(1, 1)
+            state["tau"] = jnp.asarray(out["tau"][c, t]).reshape(1, 1)
+            want = float(mdl.log_p(state))
+            got = float(out["log_post"][c, t])
+            assert abs(got - want) < 5e-2 * max(1.0, abs(want)), (c, t, got, want)
+
+
+def test_dispatch_routes_lattice_smoother_to_spectral(rng):
+    """A 2-D lattice prior precision (Dense, non-tridiagonal) through the
+    NormalNormal triplet must dispatch the spectral smoother engine and return
+    the generic driver's store contract."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from openmcmc_tpu.distributions import Gamma, Normal
+    from openmcmc_tpu.fused.dispatch import match_fused_engine
+    from openmcmc_tpu.linalg import structured as st
+    from openmcmc_tpu.mcmc import MCMC
+    from openmcmc_tpu.model import Model
+    from openmcmc_tpu.parameters import ScaledMatrix
+    from openmcmc_tpu.samplers import NormalGamma, NormalNormal
+
+    P0 = _lattice_p0(side=5)
+    p = P0.shape[0]
+    y = rng.normal(size=p)
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+    state = {
+        "y": y, "b": y.copy(), "mu": np.zeros(p), "lambda": 10.0,
+        "P_lambda": st.Dense(jnp.asarray(P0)),
+        "a_lam": 10.0, "b_lam": 1.0, "tau": 1.0, "P_tau": st.Diagonal(jnp.ones(p)),
+        "a_tau": 1.0, "b_tau": 1.0,
+    }
+    m = MCMC(dict(state), samplers, mdl, n_burn=2, n_iter=4, n_chains=8, seed=0)
+    runner = match_fused_engine(m)
+    assert runner is not None and runner.engine_name == "fused_smoother_spectral"
+    with pltpu.force_tpu_interpret_mode():
+        res = m.run(engine="auto")
+    assert res.engine == "fused_smoother_spectral"
+    assert set(res.store.keys()) == {"b", "lambda", "tau"}
+    assert res.store["b"].shape == (8, 4, p, 1)
+    assert np.isfinite(np.asarray(res.log_post)).all()
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
+)
+def test_spectral_smoother_tpu_matches_generic(rng):
+    """Lattice smoother: fused spectral posterior must match the generic driver
+    (same model, separate seeds) within MC error on the real chip."""
+    from openmcmc_tpu.distributions import Gamma, Normal
+    from openmcmc_tpu.linalg import structured as st
+    from openmcmc_tpu.mcmc import MCMC
+    from openmcmc_tpu.model import Model
+    from openmcmc_tpu.parameters import ScaledMatrix
+    from openmcmc_tpu.samplers import NormalGamma, NormalNormal
+
+    P0 = _lattice_p0(side=8)
+    p = P0.shape[0]
+    xg, yg = np.meshgrid(np.arange(8), np.arange(8))
+    truth = np.sin(xg / 2.0) + np.cos(yg / 3.0)
+    y = (truth + rng.normal(0, 0.3, (8, 8))).reshape(-1)
+
+    def build(n_chains, n_iter, n_burn):
+        mdl = Model(
+            [
+                Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+                Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+                Gamma("lambda", shape="a_lam", rate="b_lam"),
+                Gamma("tau", shape="a_tau", rate="b_tau"),
+            ]
+        )
+        samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+        state = {
+            "y": y, "b": y.copy(), "mu": np.zeros(p), "lambda": 2.0,
+            "P_lambda": st.Dense(jnp.asarray(P0)),
+            "a_lam": 2.0, "b_lam": 1.0, "tau": 1.0, "P_tau": st.Diagonal(jnp.ones(p)),
+            "a_tau": 1.0, "b_tau": 1.0,
+        }
+        return MCMC(dict(state), samplers, mdl, n_burn=n_burn, n_iter=n_iter, n_chains=n_chains, seed=3)
+
+    m = build(512, 400, 100)
+    res = m.run(engine="fused")
+    assert res.engine == "fused_smoother_spectral"
+    m2 = build(512, 400, 100)
+    res2 = m2.run(engine="generic")
+    b_f = np.asarray(res.store["b"]).reshape(512, 400, p).mean(axis=(0, 1))
+    b_g = np.asarray(res2.store["b"]).reshape(512, 400, p).mean(axis=(0, 1))
+    # conjugate draws mix in one step: MC error of the mean is ~sd/sqrt(n_draws_eff)
+    assert np.max(np.abs(b_f - b_g)) < 0.05, np.max(np.abs(b_f - b_g))
+    for name in ("lambda", "tau"):
+        v_f = np.asarray(res.store[name]).reshape(-1)
+        v_g = np.asarray(res2.store[name]).reshape(-1)
+        assert abs(np.log(v_f.mean()) - np.log(v_g.mean())) < 0.05, name
+
+
 def test_dispatch_routes_large_p_to_spectral(rng):
     from openmcmc_tpu.distributions import Gamma, Normal
     from openmcmc_tpu.fused.dispatch import match_fused_engine
