@@ -308,6 +308,23 @@ def fused_workloads(ref):
         return run_fused_rj(3, X_rj, n_burn=0, n_iter=5000, n_chains=2048, n_max=N_MAX,
                             beta0=be0, theta0=th0, omega0=om0, k0=4.0)
 
+    from openmcmc_tpu.fused import run_fused_mixture
+
+    # same config as the generic mixture workload (mixture() above)
+    rng5 = np.random.default_rng(0)
+    true_means = np.array([-2.0, 3.0])
+    true_lam = np.array([4.0, 1.0])
+    alloc5 = rng5.integers(0, 2, 200)
+    y_mix = rng5.normal(true_means[alloc5], 1.0 / np.sqrt(true_lam[alloc5]))
+
+    def go_mixture():
+        return run_fused_mixture(
+            3, y_mix, np.full((200, 2), 0.5), n_burn=500, n_iter=1000, n_chains=4096,
+            mu0=np.zeros(2), p0=np.full(2, 0.01), a0=np.full(2, 2.0), b0=np.ones(2),
+            mu_init=np.array([-1.0, 1.0]), lam_init=np.ones(2), step=0.3,
+            domain=(np.full(2, -20.0), np.full(2, 20.0)),
+        )
+
     REPS = 10
     for name, go, draw_key, iters, n_chains, ref_name in [
         ("linreg_gibbs_fused", go_linreg, "beta", 2000, 4096, "linreg_gibbs"),
@@ -315,6 +332,7 @@ def fused_workloads(ref):
         ("random_walk_mh_fused", go_rw, "h", 1000, 8192, "random_walk_mh"),
         ("mmala_fused", go_mmala, "beta", 1200, 4096, "mmala"),
         ("reversible_jump_fused", go_rj, "n_basis", 5000, 2048, "reversible_jump"),
+        ("mixture_fused", go_mixture, "means", 1500, 4096, "mixture"),
     ]:
         out = go()  # compile + warm
         float(jnp.max(out[draw_key]))  # true barrier

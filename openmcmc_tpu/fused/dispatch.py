@@ -79,7 +79,7 @@ def match_fused_engine(mcmc) -> Optional[Callable]:
         # fitted-value storage (reference mcmc.py:109-111) is a generic-driver
         # feature the kernels do not reproduce
         return None
-    for matcher in (_match_smoother, _match_linreg, _match_rw, _match_mmala, _match_rj):
+    for matcher in (_match_smoother, _match_linreg, _match_rw, _match_mmala, _match_rj, _match_mixture):
         runner = matcher(mcmc)
         if runner is not None:
             return runner
@@ -526,6 +526,158 @@ def _match_rj(mcmc) -> Optional[Callable]:
         return store, out["log_post"], stats
 
     run.engine_name = "fused_rj"
+    return run
+
+
+def _match_mixture(mcmc) -> Optional[Callable]:
+    """The K-component Gaussian-mixture family (reference sampler.py:291-355
+    machinery end-to-end):
+
+        y_i ~ N(mu_{Z_i}, 1/lam_{Z_i}),  Z_i ~ Categorical(w_i.),
+        mu ~ N(mu0, diag(p0)^-1),  lam_k ~ Gamma(a0_k, b0_k)
+
+    with the sweep [MixtureAllocation(Z), RandomWalkLoop(mu), NormalGamma(lam)]
+    in that order. Requires constant weights/hyperparameters, single-replicate
+    data, K <= 8, n <= 2048, every a0_k >= 1 (elementwise in-kernel Gamma), and
+    store_names within {mu, lam} (the kernel does not stream the n-sized Z)."""
+    from openmcmc_tpu.distributions.univariate import Categorical
+    from openmcmc_tpu.parameters import MixtureParameterMatrix, MixtureParameterVector
+    from openmcmc_tpu.samplers.conjugate import MixtureAllocation
+
+    if len(mcmc.samplers) != 3:
+        return None
+    alloc, rwl, ng = mcmc.samplers
+    if (
+        not isinstance(alloc, MixtureAllocation)
+        or not isinstance(rwl, RandomWalkLoop)
+        or not isinstance(ng, NormalGamma)
+    ):
+        return None
+    if rwl.adapt_step or rwl.state_update_function is not None or rwl.active_count is not None:
+        return None
+    if np.asarray(rwl.step_size).size != 1:
+        return None
+    z_name, mu_name, lam_name, y_name = alloc.param, rwl.param, ng.param, alloc.response_param
+    if set(mcmc.model.keys()) != {y_name, z_name, mu_name, lam_name}:
+        return None
+    y_dist = mcmc.model[y_name]
+    if not isinstance(y_dist, Normal) or y_dist.truncated:
+        return None
+    if not (
+        isinstance(y_dist.mean, MixtureParameterVector)
+        and isinstance(y_dist.precision, MixtureParameterMatrix)
+        and y_dist.mean.param == mu_name
+        and y_dist.precision.param == lam_name
+        and y_dist.mean.allocation == z_name
+        and y_dist.precision.allocation == z_name
+    ):
+        return None
+    z_dist = mcmc.model[z_name]
+    if not isinstance(z_dist, Categorical) or not isinstance(z_dist.prob, Identity):
+        return None
+    prior = mcmc.data.get(z_dist.prob.form)
+    y = mcmc.data.get(y_name)
+    if prior is None or y is None:
+        return None
+    prior = np.asarray(prior)
+    yv = np.asarray(y)
+    if yv.ndim == 2 and yv.shape[1] != 1:
+        return None  # single-replicate data only
+    from openmcmc_tpu.fused.mixture import MAX_K, MAX_N
+
+    n, k_comp = prior.shape
+    if yv.reshape(-1).shape[0] != n or k_comp > MAX_K or n > MAX_N:
+        return None
+    if np.any(prior <= 0.0):
+        return None
+
+    mu_dist = mcmc.model[mu_name]
+    if not isinstance(mu_dist, Normal) or mu_dist.truncated:
+        return None
+    if not isinstance(mu_dist.mean, Identity) or not isinstance(mu_dist.precision, Identity):
+        return None
+    mu0 = mcmc.data.get(mu_dist.mean.form)
+    p0_val = mcmc.data.get(mu_dist.precision.form)
+    if mu0 is None or p0_val is None:
+        return None
+    if isinstance(p0_val, st.Diagonal):
+        p0 = np.asarray(p0_val.diag_)
+    elif isinstance(p0_val, st.STRUCTURED_TYPES):
+        arr = np.asarray(st.to_dense(p0_val))
+        if np.any(arr != np.diag(np.diag(arr))):
+            return None
+        p0 = np.diag(arr)
+    else:
+        p0 = np.asarray(p0_val).reshape(-1)
+    p0 = np.broadcast_to(np.asarray(p0, np.float64).reshape(-1), (k_comp,))
+    if np.any(p0 <= 0.0):
+        return None
+
+    lam_dist = mcmc.model[lam_name]
+    if not isinstance(lam_dist, Gamma) or not isinstance(lam_dist.shape, Identity) or not isinstance(lam_dist.rate, Identity):
+        return None
+    a0 = mcmc.data.get(lam_dist.shape.form)
+    b0 = mcmc.data.get(lam_dist.rate.form)
+    if a0 is None or b0 is None:
+        return None
+    a0 = np.broadcast_to(np.asarray(a0, np.float64).reshape(-1), (k_comp,))
+    b0 = np.broadcast_to(np.asarray(b0, np.float64).reshape(-1), (k_comp,))
+    if np.min(a0) < 1.0:  # elementwise Marsaglia-Tsang: a* = a0 + count/2 must stay >= 1
+        return None
+
+    init = mcmc.initial_chain_state
+    mu_i = init.get(mu_name)
+    lam_i = init.get(lam_name)
+    if mu_i is None or lam_i is None:
+        return None
+    mu_i = np.asarray(mu_i, np.float64)
+    if mu_i.ndim == 2 and mu_i.shape[1] != 1:
+        return None  # RandomWalkLoop must scan exactly one replicate column
+    mu_i = mu_i.reshape(-1)
+    lam_i = np.asarray(lam_i, np.float64).reshape(-1)
+    if mu_i.shape[0] != k_comp or lam_i.shape[0] != k_comp:
+        return None
+
+    domain = None
+    if rwl.domain_limits is not None:
+        dl = np.asarray(rwl.domain_limits, np.float64)
+        if dl.shape != (k_comp, 2):
+            return None
+        domain = (dl[:, 0], dl[:, 1])
+        if np.any(mu_i <= domain[0]) or np.any(mu_i >= domain[1]):
+            return None  # initial means must start strictly inside the proposal box
+    # the kernel streams means/lams/log_post only; requesting the n-sized Z needs
+    # the generic driver
+    if not set(mcmc.store_names) <= {mu_name, lam_name}:
+        return None
+
+    mu0v = np.broadcast_to(np.asarray(mu0, np.float64).reshape(-1), (k_comp,))
+
+    from openmcmc_tpu.fused.mixture import run_fused_mixture
+
+    def run(seed):
+        out = run_fused_mixture(
+            seed, yv.reshape(-1), prior,
+            n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+            mu0=mu0v, p0=p0, a0=a0, b0=b0, mu_init=mu_i, lam_init=lam_i,
+            step=float(np.asarray(rwl.step_size).reshape(())), domain=domain,
+        )
+        store = {
+            mu_name: out["means"][..., None],
+            lam_name: out["lams"][..., None],
+        }
+        n_prop = mcmc.n_burn + mcmc.n_iter  # one active column per sweep
+        stats = {
+            z_name: {},
+            mu_name: {
+                "accept": out["accept_total"].astype(jnp.int32),
+                "proposal": jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
+            },
+            lam_name: {},
+        }
+        return store, out["log_post"], stats
+
+    run.engine_name = "fused_mixture"
     return run
 
 

@@ -53,6 +53,100 @@ def normal(shape, bit_source=_tpu_bits):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
 
+def gamma_mt_elem(a_star, rate, bit_source=_tpu_bits):
+    """Marsaglia-Tsang Gamma(a_star)/rate with ELEMENTWISE (traced) shape array.
+
+    ``a_star`` may vary per element (e.g. conjugate updates a0 + count/2 where the
+    count is a per-chain statistic), but every entry must be >= 1: the squeeze is
+    only valid there and the scalar boost of :func:`gamma_mt` cannot be applied
+    per element without wasting a full extra draw. Callers (fused/mixture.py
+    matcher) must guarantee a_star >= 1 structurally (a0 >= 1)."""
+    d = a_star - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * d)
+    value = d
+    accepted = jnp.zeros(jnp.shape(rate), jnp.bool_)
+    for _ in range(GAMMA_ROUNDS):
+        x = normal(jnp.shape(rate), bit_source)
+        v = (1.0 + c * x) ** 3
+        u = uniform(jnp.shape(rate), bit_source)
+        ok = jnp.logical_and(
+            v > 0.0,
+            jnp.log(u) < 0.5 * x * x + d - d * v + d * jnp.log(jnp.where(v > 0.0, v, 1.0)),
+        )
+        take = jnp.logical_and(ok, jnp.logical_not(accepted))
+        value = jnp.where(take, d * v, value)
+        accepted = jnp.logical_or(accepted, ok)
+    return value / rate
+
+
+def erf_poly(x):
+    """Abramowitz-Stegun 7.1.26 erf polynomial (max abs err 1.5e-7; f32-exact).
+
+    Mosaic has no lowering for ``lax.erf``, so fused kernels carry their own;
+    only exp/divide are used."""
+    sgn = jnp.where(x < 0.0, -1.0, 1.0)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sgn * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def erfinv_poly(t):
+    """Giles (2012) single-precision inverse erf polynomial (linalg/random.py math,
+    inlined so kernels have no host dependencies)."""
+    w = -jnp.log((1.0 - t) * (1.0 + t))
+    w_small = w - 2.5
+    w_big = jnp.sqrt(jnp.maximum(w, 1e-30)) - 3.0
+    arg = jnp.where(w < 5.0, w_small, w_big)
+    cs = [
+        (2.81022636e-08, -2.00214257e-04),
+        (3.43273939e-07, 1.00950558e-04),
+        (-3.5233877e-06, 1.34934322e-03),
+        (-4.39150654e-06, -3.67342844e-03),
+        (2.1858087e-04, 5.73950773e-03),
+        (-1.25372503e-03, -7.62246130e-03),
+        (-4.17768164e-03, 9.43887047e-03),
+        (2.46640727e-01, 1.00167406e00),
+        (1.50140941e00, 2.83297682e00),
+    ]
+    small = w < 5.0
+    p = jnp.where(small, cs[0][0], cs[0][1])
+    for a, b in cs[1:]:
+        p = p * arg + jnp.where(small, a, b)
+    return p * t
+
+
+_SQRT2 = 1.4142135623730951
+_INV_SQRT2 = 0.7071067811865476
+
+
+def truncnorm_draw(mu, scale, lo, hi, shape, bit_source=_tpu_bits):
+    """Inverse-CDF truncated-normal draw on [lo, hi] (in-kernel form of
+    linalg/gmrf.py truncated_normal_rv, with the polynomial erf pair)."""
+    a = (lo - mu) / scale
+    b = (hi - mu) / scale
+    ea = erf_poly(a * _INV_SQRT2)
+    eb = erf_poly(b * _INV_SQRT2)
+    u = uniform(shape, bit_source)
+    t = ea + u * (eb - ea)
+    z = _SQRT2 * erfinv_poly(jnp.clip(t, -1.0 + 1e-7, 1.0 - 1e-7))
+    z = jnp.clip(z, a, b)
+    return jnp.clip(mu + scale * z, lo, hi)
+
+
+def truncnorm_logpdf(x, mu, scale, lo, hi):
+    """Truncated-normal log-density on [lo, hi]; the box-mass uses the erf
+    difference clamped at 1e-30 (tails beyond f32 resolution at kernel scales)."""
+    a = (lo - mu) / scale
+    b = (hi - mu) / scale
+    z = (x - mu) / scale
+    mass = 0.5 * (erf_poly(b * _INV_SQRT2) - erf_poly(a * _INV_SQRT2))
+    return -0.5 * (z * z + LOG_2PI) - jnp.log(scale) - jnp.log(jnp.maximum(mass, 1e-30))
+
+
 def gamma_mt(a_star: float, rate, bit_source=_tpu_bits):
     """Marsaglia-Tsang Gamma(a_star)/rate, elementwise on ``rate``; a_star static.
 

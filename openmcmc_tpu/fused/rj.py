@@ -60,7 +60,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt, uniform, normal
+from openmcmc_tpu.fused.prng import (
+    LOG_2PI,
+    gamma_mt,
+    normal,
+    uniform,
+    erf_poly as _erf,
+    truncnorm_draw as _truncnorm_draw,
+    truncnorm_logpdf as _truncnorm_logpdf,
+)
 
 BLOCK_B = 1024
 OUT_ROWS = 8  # [k, log_post, acc_mmala, acc_theta, acc_omega, acc_rj, prop_cols_theta, prop_cols_omega]
@@ -69,66 +77,6 @@ _SQRT2 = 1.4142135623730951
 _INV_SQRT2 = 0.7071067811865476
 _SQRT_2PI = 2.5066282746310002
 _RIDGE = 1e-6
-
-
-def _erf(x):
-    """Abramowitz-Stegun 7.1.26 erf polynomial (max abs err 1.5e-7; f32-exact).
-
-    Mosaic has no lowering for lax.erf, so the kernel carries its own; only
-    exp/divide are used."""
-    sgn = jnp.where(x < 0.0, -1.0, 1.0)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (
-        0.254829592
-        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
-    )
-    return sgn * (1.0 - poly * jnp.exp(-ax * ax))
-
-
-def _erfinv(t):
-    """Giles (2012) single-precision inverse erf polynomial (linalg/random.py math,
-    inlined so the kernel has no host dependencies)."""
-    w = -jnp.log((1.0 - t) * (1.0 + t))
-    w_small = w - 2.5
-    w_big = jnp.sqrt(jnp.maximum(w, 1e-30)) - 3.0
-    arg = jnp.where(w < 5.0, w_small, w_big)
-    cs = [
-        (2.81022636e-08, -2.00214257e-04),
-        (3.43273939e-07, 1.00950558e-04),
-        (-3.5233877e-06, 1.34934322e-03),
-        (-4.39150654e-06, -3.67342844e-03),
-        (2.1858087e-04, 5.73950773e-03),
-        (-1.25372503e-03, -7.62246130e-03),
-        (-4.17768164e-03, 9.43887047e-03),
-        (2.46640727e-01, 1.00167406e00),
-        (1.50140941e00, 2.83297682e00),
-    ]
-    small = w < 5.0
-    p = jnp.where(small, cs[0][0], cs[0][1])
-    for a, b in cs[1:]:
-        p = p * arg + jnp.where(small, a, b)
-    return p * t
-
-
-def _truncnorm_draw(mu, scale, lo, hi, shape):
-    a = (lo - mu) / scale
-    b = (hi - mu) / scale
-    ea = _erf(a * _INV_SQRT2)
-    eb = _erf(b * _INV_SQRT2)
-    u = uniform(shape)
-    t = ea + u * (eb - ea)
-    z = _SQRT2 * _erfinv(jnp.clip(t, -1.0 + 1e-7, 1.0 - 1e-7))
-    z = jnp.clip(z, a, b)
-    return jnp.clip(mu + scale * z, lo, hi)
-
-
-def _truncnorm_logpdf(x, mu, scale, lo, hi):
-    a = (lo - mu) / scale
-    b = (hi - mu) / scale
-    z = (x - mu) / scale
-    mass = 0.5 * (_erf(b * _INV_SQRT2) - _erf(a * _INV_SQRT2))
-    return -0.5 * (z * z + LOG_2PI) - np.log(scale) - jnp.log(jnp.maximum(mass, 1e-30))
 
 
 def _make_kernel(p, n_data, n_burn, n_keep, cfg):
