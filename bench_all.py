@@ -277,9 +277,17 @@ def fused_workloads(ref):
     s = np.linspace(0.0, 60.0, n_time)
     ys = np.sin(s / 20.0) + 2.0 * np.cos(s / 12.0) + 2.0 + rng2.normal(0.0, 1.0, n_time)
 
+    # spectral engine: what engine="auto" dispatches for this model (the Thomas
+    # kernel run_fused_smoother remains the p > 1024 fallback)
+    from openmcmc_tpu.linalg import gmrf as _gmrf
+    from openmcmc_tpu.linalg import structured as _st
+    from openmcmc_tpu.fused import run_spectral_smoother
+
+    P0s = np.asarray(_st.to_dense(_gmrf.precision_temporal(jnp.asarray(s))))
+
     def go_smoother():
-        return run_fused_smoother(7, ys, s, n_burn=200, n_iter=500, n_chains=8192,
-                                  a_lam=10.0, b_lam=1.0, a_tau=1.0, b_tau=1.0)
+        return run_spectral_smoother(7, ys, P0s, n_burn=200, n_iter=500, n_chains=8192,
+                                     a_lam=10.0, b_lam=1.0, a_tau=1.0, b_tau=1.0)
 
     rng3 = np.random.default_rng(0)
     Xm = rng3.normal(size=(100, 5))

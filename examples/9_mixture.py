@@ -1,0 +1,91 @@
+"""Example 9: Gaussian mixture model with conjugate allocation Gibbs.
+
+The reference's mixture machinery (reference sampler.py:291-355 MixtureAllocation,
+parameter.py:420-538 MixtureParameterVector/Matrix, sampler.py:210-288 NormalGamma)
+driven end-to-end: observations from a K-component Normal mixture, Gibbs sweep
+
+    Z | mu, lam   ~ Categorical(prior * N(y; mu_k, lam_k^-1))   (exact conjugate)
+    mu | Z, lam     one-at-a-time random-walk MH (reference semantics)
+    lam | Z, mu   ~ Gamma(a0 + n_k/2, b0 + rss_k/2)             (exact conjugate)
+
+``engine="auto"`` dispatches the whole run to the fused mixture kernel
+(openmcmc_tpu.fused.mixture): one Pallas launch, allocations redrawn in-register
+from per-component sufficient statistics, ~5x the generic driver's throughput.
+
+Run: python examples/9_mixture.py
+"""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from openmcmc_tpu.distributions import Categorical, Gamma, Normal
+from openmcmc_tpu.linalg import structured as st
+from openmcmc_tpu.mcmc import MCMC
+from openmcmc_tpu.model import Model
+from openmcmc_tpu.parameters import MixtureParameterMatrix, MixtureParameterVector
+from openmcmc_tpu.samplers import MixtureAllocation, NormalGamma, RandomWalkLoop
+
+
+def main(n_chains: int = 2048, n: int = 300, k: int = 3):
+    rng = np.random.default_rng(0)
+    true_mu = np.array([-3.0, 0.0, 3.0])
+    true_lam = np.array([4.0, 1.0, 2.0])
+    alloc = rng.integers(0, k, n)
+    y = rng.normal(true_mu[alloc], 1.0 / np.sqrt(true_lam[alloc]))
+
+    mdl = Model(
+        [
+            Normal(
+                "y",
+                mean=MixtureParameterVector(param="means", allocation="Z"),
+                precision=MixtureParameterMatrix(param="lams", allocation="Z"),
+            ),
+            Categorical("Z", prob="prior"),
+            Normal("means", mean="mu0", precision="P0"),
+            Gamma("lams", shape="a0", rate="b0"),
+        ]
+    )
+    samplers = [
+        MixtureAllocation("Z", mdl, response_param="y"),
+        RandomWalkLoop("means", mdl, step=0.3,
+                       domain_limits=np.tile([[-20.0, 20.0]], (k, 1))),
+        NormalGamma("lams", mdl),
+    ]
+    state = {
+        "y": y.reshape(n, 1),
+        "Z": np.zeros((n, 1), np.int32),
+        "means": np.array([-1.0, 0.0, 1.0]).reshape(k, 1),
+        "lams": np.ones((k, 1)),
+        "prior": np.full((n, k), 1.0 / k),
+        "mu0": np.zeros((k, 1)),
+        "P0": st.Diagonal(jnp.full((k,), 0.01)),
+        "a0": np.full((k, 1), 2.0),
+        "b0": np.full((k, 1), 1.0),
+    }
+    mcmc = MCMC(dict(state), samplers, mdl, n_burn=1000, n_iter=2000,
+                n_chains=n_chains, seed=3)
+    mcmc.store_names = ["means", "lams"]
+
+    t0 = time.perf_counter()
+    res = mcmc.run(engine="auto")
+    _ = float(jnp.max(res.store["means"]))  # host-fetch barrier
+    wall = time.perf_counter() - t0
+    print(f"engine={res.engine}  wall={wall:.1f}s "
+          f"({n_chains} chains x 3000 sweeps)")
+
+    means = np.asarray(res.store["means"]).reshape(n_chains, 2000, k)
+    order = np.argsort(means.mean((0, 1)))
+    mu_post = means.mean((0, 1))[order]
+    lam_post = np.asarray(res.store["lams"]).reshape(n_chains, 2000, k).mean((0, 1))[order]
+    acc = float(np.asarray(res.stats["means"]["accept"]).mean()) / 3000
+    print("posterior means:     ", np.round(mu_post, 3), " (true:", true_mu, ")")
+    print("posterior precisions:", np.round(lam_post, 3), " (true:", true_lam, ")")
+    print(f"means RW acceptance: {acc:.2%}")
+    assert np.max(np.abs(mu_post - true_mu)) < 0.3
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -37,11 +37,22 @@ from openmcmc_tpu.fused.prng import normal as _normal
 from openmcmc_tpu.linalg import gmrf
 from openmcmc_tpu.linalg import structured as st
 
-BLOCK_B = 2048
+BLOCK_B = 2048  # lane-block at the benchmark p; halved as p grows so the
+# O(p * block) scratch + double-buffered stage stay inside scoped VMEM
+
+
+def _block_b(p_pad: int) -> int:
+    if p_pad <= 256:
+        return 2048
+    if p_pad <= 512:
+        return 1024
+    if p_pad <= 1024:
+        return 512
+    return 256
 CHUNK = 8
 
 
-def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau0):
+def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau0, block_b):
     n_chunks = p_pad // CHUNK
     half_p = 0.5 * p_real
     a_lam_star = a_lam + half_p
@@ -56,8 +67,8 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
                p0mu_ref, out_b_ref, out_s_ref, ld_ref, u_ref, x_ref, stage_ref, small_ref, sems, small_sems):
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid)
-        ones_row = jnp.ones((1, BLOCK_B), jnp.float32)
-        zeros_row = jnp.zeros((1, BLOCK_B), jnp.float32)
+        ones_row = jnp.ones((1, block_b), jnp.float32)
+        zeros_row = jnp.zeros((1, block_b), jnp.float32)
 
         p0d = p0d_ref[:, :]  # (p_pad, 1)
         p0c = p0c_ref[:, :]
@@ -67,21 +78,21 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
         muv = mu_ref[:, :]  # prior mean mu0
 
         def p0_matvec(b):
-            up = jnp.concatenate([b[1:, :], jnp.zeros((1, BLOCK_B), jnp.float32)], axis=0)
-            down = jnp.concatenate([jnp.zeros((1, BLOCK_B), jnp.float32), (p0c * b)[:-1, :]], axis=0)
+            up = jnp.concatenate([b[1:, :], jnp.zeros((1, block_b), jnp.float32)], axis=0)
+            down = jnp.concatenate([jnp.zeros((1, block_b), jnp.float32), (p0c * b)[:-1, :]], axis=0)
             return p0d * b + p0c * up + down
 
-        x_ref[:, :] = jnp.broadcast_to(yv * mask, (p_pad, BLOCK_B))  # init latent field at the data
+        x_ref[:, :] = jnp.broadcast_to(yv * mask, (p_pad, block_b))  # init latent field at the data
 
         def iteration(it, carry):
-            lam, tau = carry  # (1, BLOCK_B) each
+            lam, tau = carry  # (1, block_b) each
 
             # ---- NormalNormal: draw b | y, lam, tau -------------------------
             # Q = lam P0 + tau D (identity rows on the padding), canonical mean
             # rhs = tau D y + lam P0 mu0; chunk rows are assembled from the
             # constant input refs (Mosaic cannot dynamically slice computed
             # values, only refs)
-            u_ref[:, :] = _normal((p_pad, BLOCK_B))
+            u_ref[:, :] = _normal((p_pad, block_b))
 
             def fwd(ci, carry_f):
                 ld_prev, w_prev = carry_f
@@ -154,38 +165,38 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
                 @pl.when(idx >= 2)
                 def _():
                     pltpu.make_async_copy(
-                        stage_ref.at[slot], out_b_ref.at[idx - 2, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
+                        stage_ref.at[slot], out_b_ref.at[idx - 2, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
                     ).wait()
                     pltpu.make_async_copy(
-                        small_ref.at[slot], out_s_ref.at[idx - 2, :, pl.ds(pid * BLOCK_B, BLOCK_B)],
+                        small_ref.at[slot], out_s_ref.at[idx - 2, :, pl.ds(pid * block_b, block_b)],
                         small_sems.at[slot],
                     ).wait()
 
                 stage_ref[pl.ds(slot, 1)] = b_draw[None, :, :]
                 small_ref[pl.ds(slot, 1)] = jnp.concatenate(
-                    [lam_new, tau_new, log_post, jnp.zeros((5, BLOCK_B), jnp.float32)], axis=0
+                    [lam_new, tau_new, log_post, jnp.zeros((5, block_b), jnp.float32)], axis=0
                 )[None, :, :]
                 pltpu.make_async_copy(
-                    stage_ref.at[slot], out_b_ref.at[idx, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
+                    stage_ref.at[slot], out_b_ref.at[idx, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
                 ).start()
                 pltpu.make_async_copy(
-                    small_ref.at[slot], out_s_ref.at[idx, :, pl.ds(pid * BLOCK_B, BLOCK_B)], small_sems.at[slot]
+                    small_ref.at[slot], out_s_ref.at[idx, :, pl.ds(pid * block_b, block_b)], small_sems.at[slot]
                 ).start()
 
             return lam_new, tau_new
 
-        lam0_row = jnp.full((1, BLOCK_B), lam0, jnp.float32)
-        tau0_row = jnp.full((1, BLOCK_B), tau0, jnp.float32)
+        lam0_row = jnp.full((1, block_b), lam0, jnp.float32)
+        tau0_row = jnp.full((1, block_b), tau0, jnp.float32)
         lax.fori_loop(0, n_burn + n_keep, iteration, (lam0_row, tau0_row))
 
         # drain the (up to two) in-flight copies; n_keep is static
         for last in range(max(0, n_keep - 2), n_keep):
             slot = last % 2
             pltpu.make_async_copy(
-                stage_ref.at[slot], out_b_ref.at[last, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
+                stage_ref.at[slot], out_b_ref.at[last, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
             ).wait()
             pltpu.make_async_copy(
-                small_ref.at[slot], out_s_ref.at[last, :, pl.ds(pid * BLOCK_B, BLOCK_B)], small_sems.at[slot]
+                small_ref.at[slot], out_s_ref.at[last, :, pl.ds(pid * block_b, block_b)], small_sems.at[slot]
             ).wait()
 
     return kernel
@@ -252,15 +263,16 @@ def run_fused_smoother(
     muv = _pad_col(mu_vec)
     p0muv = _pad_col(p0mu)
 
-    b_total = n_chains + ((-n_chains) % BLOCK_B)
+    block_b = _block_b(p_pad)
+    b_total = n_chains + ((-n_chains) % block_b)
     kernel = _make_kernel(
         p_pad, float(p_real), n_burn, n_iter, float(a_lam), float(b_lam), float(a_tau), float(b_tau),
-        float(lam0), float(tau0),
+        float(lam0), float(tau0), block_b,
     )
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_b, out_s = pl.pallas_call(
         kernel,
-        grid=(b_total // BLOCK_B,),
+        grid=(b_total // block_b,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 8,
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -271,15 +283,21 @@ def run_fused_smoother(
             jax.ShapeDtypeStruct((n_iter, 8, b_total), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((p_pad, BLOCK_B), jnp.float32),  # ld
-            pltpu.VMEM((p_pad, BLOCK_B), jnp.float32),  # u / z
-            pltpu.VMEM((p_pad, BLOCK_B), jnp.float32),  # x
-            pltpu.VMEM((2, p_pad, BLOCK_B), jnp.float32),  # stage (double buffer)
-            pltpu.VMEM((2, 8, BLOCK_B), jnp.float32),  # small stage
+            pltpu.VMEM((p_pad, block_b), jnp.float32),  # ld
+            pltpu.VMEM((p_pad, block_b), jnp.float32),  # u / z
+            pltpu.VMEM((p_pad, block_b), jnp.float32),  # x
+            pltpu.VMEM((2, p_pad, block_b), jnp.float32),  # stage (double buffer)
+            pltpu.VMEM((2, 8, block_b), jnp.float32),  # small stage
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # p >= 512 at block 1024 carries ~16 MB of live scan state +
+            # double-buffered stage; the 16 MB default scoped-vmem limit is
+            # conservative, v5e has 128 MB
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(jnp.asarray([seed], jnp.int32), logdets, p0d, p0c, p0cprev, yv, mask, dv, muv, p0muv)
 
     b_draws = jnp.transpose(out_b[:, :p_real, :n_chains], (2, 0, 1))  # (chains, iters, p)

@@ -373,7 +373,7 @@ def _run_spectral_smoother_jit(seed, W, svec, wy, wmu, logdet_p0, logdet_d,
 def run_spectral_smoother(
     seed, y, P0, n_burn, n_iter, n_chains,
     a_lam=10.0, b_lam=1.0, a_tau=1.0, b_tau=1.0, lam0=100.0, tau0=1.0,
-    noise_diag=None, mu0=None,
+    noise_diag=None, mu0=None, logdet_p0=None,
 ):
     """GMRF smoother with ARBITRARY symmetric prior precision, one launch, p <= 1024.
 
@@ -394,11 +394,21 @@ def run_spectral_smoother(
     mu0 = np.zeros(p) if mu0 is None else np.asarray(mu0, np.float64).reshape(-1)
 
     V, s = _eigenbasis(P0, d_vec)  # V' D V = I, V' P0 V = diag(s)
+    # an INTRINSIC (singular) prior -- e.g. the RW1 precision -- has near-zero
+    # pencil eigenvalues that can come out of the f64 eigensolver slightly
+    # negative; clamp so the conditional stays PD and the null directions carry
+    # zero prior quadratic, exactly like (b-mu)' P0 (b-mu)
+    s = np.maximum(s, 0.0)
     wy = V.T @ (d_vec * y)
     wmu = V.T @ (d_vec * mu0)
     logdet_d = float(np.sum(np.log(d_vec)))
-    # |P0| = |D| * prod(s): P0 = D^{1/2} (D^{-1/2} P0 D^{-1/2}) D^{1/2}
-    logdet_p0 = logdet_d + float(np.sum(np.log(np.maximum(s, 1e-300))))
+    if logdet_p0 is None:
+        # |P0| = |D| * prod(s): P0 = D^{1/2} (D^{-1/2} P0 D^{-1/2}) D^{1/2}.
+        # For a singular P0 this is an arbitrary large-negative finite constant;
+        # dispatch passes the generic driver's clamped structured-Cholesky value
+        # instead so the stored log_post matches Model.log_p bit-for-bit in
+        # convention (both are improper-prior normalizing pseudo-constants).
+        logdet_p0 = logdet_d + float(np.sum(np.log(np.maximum(s, 1e-300))))
 
     p_pad = p + ((-p) % PAD)
     pad = p_pad - p

@@ -69,7 +69,7 @@ def _rw_mcmc():
 
 
 def test_matchers_identify_engines(rng):
-    assert match_fused_engine(_smoother_mcmc(rng)).engine_name == "fused_gmrf_smoother"
+    assert match_fused_engine(_smoother_mcmc(rng)).engine_name == "fused_smoother_spectral"
     assert match_fused_engine(_linreg_mcmc(rng)).engine_name == "fused_linreg"
     assert match_fused_engine(_rw_mcmc()).engine_name == "fused_random_walk"
 
@@ -95,10 +95,10 @@ def test_smoother_generalized_configs_match_and_run(rng):
     m.data["mu"] = jnp.ones_like(m.data["mu"]) * 0.7
     m.data["P_tau"] = st.Diagonal(jnp.linspace(0.5, 2.0, 16))
     runner = match_fused_engine(m)
-    assert runner is not None and runner.engine_name == "fused_gmrf_smoother"
+    assert runner is not None and runner.engine_name == "fused_smoother_spectral"
     with pltpu.force_tpu_interpret_mode():
         res = m.run(engine="auto")
-    assert res.engine == "fused_gmrf_smoother"
+    assert res.engine == "fused_smoother_spectral"
     assert bool(np.isfinite(np.asarray(res.store["b"])).all())
     assert bool(np.isfinite(np.asarray(res.log_post)).all())
 
@@ -109,7 +109,7 @@ def test_auto_runs_fused_and_repackages(rng):
     m = _smoother_mcmc(rng, n_chains=8)
     with pltpu.force_tpu_interpret_mode():
         res = m.run(engine="auto")
-    assert m.last_engine == "fused_gmrf_smoother"
+    assert m.last_engine == "fused_smoother_spectral"
     assert res.store["b"].shape == (8, 6, 16, 1)
     assert res.store["lambda"].shape == (8, 6, 1, 1)
     assert res.log_post.shape == (8, 6)
@@ -183,8 +183,8 @@ def test_fused_contract_matches_generic(rng):
     m_fused = _smoother_mcmc(rng, store_names=["b", "tau"])
     with pltpu.force_tpu_interpret_mode():
         res_fused = m_fused.run(engine="auto")
-    assert m_fused.last_engine == "fused_gmrf_smoother"
-    assert res_fused.engine == "fused_gmrf_smoother"
+    assert m_fused.last_engine == "fused_smoother_spectral"
+    assert res_fused.engine == "fused_smoother_spectral"
     assert res_gen.engine == "generic"
     assert set(res_fused.store.keys()) == set(res_gen.store.keys()) == {"b", "tau"}
     for name in res_gen.store:

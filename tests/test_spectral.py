@@ -239,6 +239,71 @@ def test_spectral_smoother_tpu_matches_generic(rng):
         assert abs(np.log(v_f.mean()) - np.log(v_g.mean())) < 0.05, name
 
 
+def test_dispatch_routes_tridiag_to_spectral_with_generic_logdet(rng):
+    """Tridiagonal (p <= 1024) now routes to the spectral engine; with an
+    INTRINSIC (singular RW1) prior the stored log_post must still match
+    Model.log_p, whose logdet(P0) goes through the clamped structured Cholesky
+    -- dispatch passes that value instead of the eigenvalue product."""
+    from openmcmc_tpu.distributions import Gamma, Normal
+    from openmcmc_tpu.fused.dispatch import match_fused_engine
+    from openmcmc_tpu.linalg import gmrf
+    from openmcmc_tpu.linalg import structured as st
+    from openmcmc_tpu.mcmc import MCMC
+    from openmcmc_tpu.model import Model
+    from openmcmc_tpu.parameters import ScaledMatrix
+    from openmcmc_tpu.samplers import NormalGamma, NormalNormal
+
+    s_loc = np.linspace(0.0, 6.0, 12)
+    P0 = gmrf.precision_temporal(jnp.asarray(s_loc))  # singular Banded bw=1
+    p = 12
+    y = rng.normal(size=p)
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+    state = {
+        "y": y, "b": y.copy(), "mu": np.zeros(p), "lambda": 10.0, "P_lambda": P0,
+        "a_lam": 10.0, "b_lam": 1.0, "tau": 1.0, "P_tau": st.Diagonal(jnp.ones(p)),
+        "a_tau": 1.0, "b_tau": 1.0,
+    }
+    m = MCMC(dict(state), samplers, mdl, n_burn=2, n_iter=4, n_chains=8, seed=5)
+    runner = match_fused_engine(m)
+    assert runner is not None and runner.engine_name == "fused_smoother_spectral"
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        res = m.run(engine="auto")
+    base = {
+        "y": jnp.asarray(y).reshape(-1, 1), "P_tau": st.Diagonal(jnp.ones(p)),
+        "P_lambda": P0, "mu": jnp.zeros((p, 1)),
+        "a_lam": jnp.full((1, 1), 10.0), "b_lam": jnp.ones((1, 1)),
+        "a_tau": jnp.ones((1, 1)), "b_tau": jnp.ones((1, 1)),
+    }
+    mdl2 = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    for c in range(2):
+        for t in range(2):
+            st_ = dict(base)
+            st_["b"] = jnp.asarray(res.store["b"][c, t]).reshape(p, 1)
+            st_["lambda"] = jnp.asarray(res.store["lambda"][c, t]).reshape(1, 1)
+            st_["tau"] = jnp.asarray(res.store["tau"][c, t]).reshape(1, 1)
+            want = float(mdl2.log_p(st_))
+            got = float(np.asarray(res.log_post)[c, t])
+            # the singular-prior pseudo-constant is ~1e2; match to f32 noise
+            assert abs(got - want) < 5e-2 * max(1.0, abs(want)), (c, t, got, want)
+
+
 def test_dispatch_routes_large_p_to_spectral(rng):
     from openmcmc_tpu.distributions import Gamma, Normal
     from openmcmc_tpu.fused.dispatch import match_fused_engine
