@@ -77,3 +77,36 @@ def test_broken_box_muller_is_detected(key):
     z = np.asarray(broken_normal((20000,), _host_bits(key)))
     _, p = sps.kstest(z, "norm")
     assert p < 1e-4  # the suite's detection threshold catches it
+
+
+def test_gamma_elem_traced_shapes(key):
+    """gamma_mt_elem: ELEMENTWISE shape arrays (the mixture engine's a0 + count/2
+    with per-chain counts) must draw from the right Gamma for every shape."""
+    shapes = np.array([1.0, 2.5, 7.0, 40.0, 101.0])
+    m = N // 5
+    a = jnp.asarray(np.repeat(shapes, m), jnp.float32)
+    rate = jnp.full((5 * m,), 2.0, jnp.float32)
+    g = np.asarray(prng.gamma_mt_elem(a, rate, _host_bits(key)))
+    assert g.min() >= 0.0
+    for i, a_i in enumerate(shapes):
+        seg = g[i * m : (i + 1) * m]
+        mean, var = a_i / 2.0, a_i / 4.0
+        assert abs(seg.mean() - mean) < 6 * np.sqrt(var / m) + 1e-3, a_i
+        _, p = sps.kstest(seg[:20000], "gamma", args=(a_i, 0.0, 0.5))
+        assert p > 1e-4, (a_i, p)
+
+
+def test_truncnorm_draw_distribution(key):
+    """truncnorm_draw (polynomial erf/erfinv inverse-CDF) vs scipy.truncnorm,
+    including an asymmetric box that clips real mass."""
+    mu, scale, lo, hi = 0.7, 1.3, -0.5, 2.0
+    x = np.asarray(prng.truncnorm_draw(mu, scale, lo, hi, (N,), _host_bits(key)))
+    assert x.min() >= lo and x.max() <= hi
+    a, b = (lo - mu) / scale, (hi - mu) / scale
+    _, p = sps.kstest(x[:20000], "truncnorm", args=(a, b, mu, scale))
+    assert p > 1e-4, p
+    # logpdf parity against scipy on a grid (inside the box)
+    grid = np.linspace(lo + 0.01, hi - 0.01, 101)
+    got = np.asarray(prng.truncnorm_logpdf(jnp.asarray(grid, jnp.float32), mu, scale, lo, hi))
+    want = sps.truncnorm.logpdf(grid, a, b, mu, scale)
+    assert np.max(np.abs(got - want)) < 5e-4, np.max(np.abs(got - want))
