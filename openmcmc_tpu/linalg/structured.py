@@ -473,7 +473,12 @@ def _tridiag_cholesky(bands: jnp.ndarray) -> jnp.ndarray:
 
     s00, _, s10, _ = lax.associative_scan(combine, (m00, m01, m10, m11), axis=m00.ndim - 1)
     d = s00 / s10
-    l_diag = jnp.sqrt(d)
+    # pivot clamp (same convention as the fused kernels): an INTRINSIC prior --
+    # e.g. the unridged RW1 precision -- has one numerically-zero final pivot,
+    # which f32 can round slightly negative; clamping keeps the factor (and the
+    # logdet pseudo-constant feeding Model.log_p) finite instead of NaN. A truly
+    # indefinite input shows up as a huge-negative logdet, not silent success.
+    l_diag = jnp.sqrt(jnp.maximum(d, 1e-30))
     l_off = jnp.where(jnp.arange(p) < p - 1, c / l_diag, jnp.zeros_like(c))
     return jnp.stack([l_diag, l_off], axis=-2)
 
@@ -517,7 +522,8 @@ def _banded_cholesky(bands: jnp.ndarray) -> jnp.ndarray:
         wp = jnp.pad(w, ((0, 0), (0, bw)))  # room to index up to 2*bw
         lik = wp[m_idx, 1 + m_idx]  # L[i, i-1-m]
         s0 = jnp.sum(lik * lik)
-        d = jnp.sqrt(a_col[0] - s0)
+        # pivot clamp: see _tridiag_cholesky (intrinsic priors stay finite)
+        d = jnp.sqrt(jnp.maximum(a_col[0] - s0, 1e-30))
         # cross[j-1, m] = L[i+j, i-1-m]
         cross = wp[m_idx[None, :], j_idx[:, None] + 1 + m_idx[None, :]]
         sj = mm(cross, lik)

@@ -376,3 +376,27 @@ def test_red_black_gibbs_strong_truncation_matches_lex(rng, key):
     se = np.sqrt(s1**2 / n + s2**2 / n)
     assert np.all(np.abs(m1 - m2) < 6 * se)
     np.testing.assert_allclose(s1, s2, rtol=0.12)
+
+
+def test_singular_intrinsic_prior_logdet_finite(rng):
+    """Intrinsic (singular RW1) precisions: the clamped pivots keep the Cholesky
+    factor and its logdet pseudo-constant finite (the reference's dense fallback
+    raises on these; users of improper GMRF priors rely on the conditional being
+    PD, with log_p carrying a finite improper-prior constant)."""
+    import jax.numpy as jnp
+
+    from openmcmc_tpu.linalg import gmrf
+    from openmcmc_tpu.linalg import structured as st
+
+    s = np.linspace(0.0, 10.0, 50)
+    P0 = gmrf.precision_temporal(jnp.asarray(s))  # singular Banded bw=1
+    chol = st.cholesky(P0)
+    logdet = 2.0 * jnp.sum(jnp.log(st.diag(chol)))
+    assert np.isfinite(float(logdet))
+    # wider-band singular case through the banded column recurrence
+    dense = np.asarray(st.to_dense(P0))
+    bands = np.zeros((3, 50))
+    bands[0] = np.diag(dense)
+    bands[1, :49] = np.diag(dense, -1)
+    chol3 = st.cholesky(st.Banded(jnp.asarray(bands)))
+    assert np.isfinite(float(2.0 * jnp.sum(jnp.log(st.diag(chol3)))))
