@@ -69,21 +69,103 @@ def match_fused_engine(mcmc) -> Optional[Callable]:
     """Return a zero-arg callable running the MCMC as a fused kernel, or None."""
     import jax
 
-    if mcmc.n_thin != 1 or mcmc.mesh is not None:
+    if mcmc.mesh is not None:
+        # chain-data-parallel meshes shard the fused launch (one kernel per device
+        # over its chain shard, zero collectives); anything else (e.g. a 'seq'
+        # axis) is not expressible as independent per-device kernels
+        if tuple(mcmc.mesh.axis_names) != (mcmc.chain_axis,):
+            return None
+        if mcmc.n_chains % int(mcmc.mesh.shape[mcmc.chain_axis]) != 0:
+            return None
+    if mcmc.n_thin != 1 and mcmc.n_iter * mcmc.n_thin > 65536:
+        # thinned runs execute n_thin x the sweeps with every sweep stored, then
+        # slice; cap the stored-draw buffer (and the single-launch runtime) --
+        # longer runs fall back to the generic driver's O(n_iter) storage
         return None
     if jax.config.jax_enable_x64:
         # fused kernels are f32-only; silently dropping precision under
         # jax.enable_x64 would betray the generic driver's contract
         return None
     if mcmc.model.response is not None:
-        # fitted-value storage (reference mcmc.py:109-111) is a generic-driver
-        # feature the kernels do not reproduce
-        return None
+        # fitted-value storage (reference mcmc.py:109-111): the kernels don't
+        # compute predictors in-flight, but MCMC._run_fused reproduces them
+        # post-hoc from the stored draws -- possible iff every input of each
+        # fitted predictor is either constant data or a stored (sampled) entry
+        available = set(mcmc.data) | set(mcmc.chain_state_names)
+        for response, predictor_name in mcmc.model.response.items():
+            dist = mcmc.model.get(response)
+            predictor = getattr(dist, predictor_name, None)
+            if predictor is None or not set(predictor.get_param_list()) <= available:
+                return None
     for matcher in (_match_smoother, _match_linreg, _match_rw, _match_mmala, _match_rj, _match_mixture):
         runner = matcher(mcmc)
         if runner is not None:
-            return runner
+            return _sharded(_thinned(runner, mcmc), mcmc)
     return None
+
+
+def _sharded(runner, mcmc) -> Callable:
+    """Chain-data-parallel wrapper: run the matched engine as one independent
+    kernel per mesh device over its chain shard (shard_map, no collectives --
+    chains never communicate; SURVEY.md section 2 parallelism table).
+
+    Each shard gets its own PRNG stream by offsetting the kernel seed with a
+    stride far above any grid's program count (kernels seed with seed + pid)."""
+    if mcmc.mesh is None:
+        return runner
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec
+
+    n_dev = int(mcmc.mesh.shape[mcmc.chain_axis])
+    spec = PartitionSpec(mcmc.chain_axis)
+
+    def run(seed):
+        per_dev = mcmc.n_chains // n_dev
+
+        def shard_fn(seeds):
+            n_chains = mcmc.n_chains
+            mcmc.n_chains = per_dev  # matcher closures read n_chains at trace time
+            try:
+                return runner(seeds[0])
+            finally:
+                mcmc.n_chains = n_chains
+
+        seeds = jnp.asarray(seed, jnp.int32) + jnp.arange(n_dev, dtype=jnp.int32) * 1000003
+        # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+        # annotation, and these per-shard kernels never communicate anyway
+        return shard_map(
+            shard_fn, mesh=mcmc.mesh, in_specs=(spec,), out_specs=spec, check_vma=False
+        )(seeds)
+
+    run.engine_name = runner.engine_name
+    return run
+
+
+def _thinned(runner, mcmc) -> Callable:
+    """Thinning wrapper (reference mcmc.py:98: every iteration -- burn included --
+    runs n_thin sweeps; every n_thin-th post-burn sweep is stored).
+
+    The kernels store every post-burn sweep, so a thinned run is the same launch
+    with n_thin-scaled iteration counts followed by a strided slice of the draw
+    axis. Stats need no correction: the accept/proposal counters accumulate per
+    sweep in both drivers, and the burn-in adaptation window scales with the
+    sweep count exactly like the generic driver's."""
+    if mcmc.n_thin == 1:
+        return runner
+
+    def run(seed):
+        thin, nb, ni = mcmc.n_thin, mcmc.n_burn, mcmc.n_iter
+        mcmc.n_burn, mcmc.n_iter = nb * thin, ni * thin
+        try:
+            store, log_post, stats = runner(seed)
+        finally:
+            mcmc.n_burn, mcmc.n_iter = nb, ni
+        store = {name: draws[:, thin - 1 :: thin] for name, draws in store.items()}
+        return store, log_post[:, thin - 1 :: thin], stats
+
+    run.engine_name = runner.engine_name
+    return run
 
 
 def _conjugate_triplet(mcmc):
@@ -310,7 +392,7 @@ def _match_rw(mcmc) -> Optional[Callable]:
     rw = mcmc.samplers[0]
     if not isinstance(rw, RandomWalk) or isinstance(rw, (RandomWalkLoop, ManifoldMALA)):
         return None
-    if rw.domain_limits is not None or rw.state_update_function is not None or rw.adapt_step:
+    if rw.domain_limits is not None or rw.state_update_function is not None:
         return None
     if np.asarray(rw.step_size).size != 1:
         return None
@@ -366,6 +448,7 @@ def _match_rw(mcmc) -> Optional[Callable]:
             seed, jnp.asarray(y),
             n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
             mu=mu, tau=tau, lam=lam, step=float(np.asarray(rw.step_size).reshape(())), h0=h0,
+            adapt_step=rw.adapt_step, target_accept=rw.target_accept, adapt_rate=rw.adapt_rate,
         )
         hd = out["h"]
         store = {h: hd[..., None, None] if hd.ndim == 2 else hd[..., None]}
@@ -376,6 +459,9 @@ def _match_rw(mcmc) -> Optional[Callable]:
                 "proposal": jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
             }
         }
+        if rw.adapt_step:
+            # generic init_stats carries log_step with the step's (1, 1) shape
+            stats[h]["log_step"] = out["log_step"].reshape(mcmc.n_chains, 1, 1)
         return store, out["log_post"], stats
 
     run.engine_name = "fused_random_walk"

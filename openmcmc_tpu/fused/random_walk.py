@@ -35,7 +35,7 @@ BLOCK_B = 2048
 MAX_P = 32
 
 
-def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows):
+def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows, adapt, target, rate):
     def kernel(seed_ref, scal_ref, out_ref, stage_ref, sems):
         # scal_ref (SMEM): [S1 (p) | S2 (p) | mu (p) | tau (p) | lam (p) | h0 (p)]
         pid = pl.program_id(0)
@@ -76,15 +76,24 @@ def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows):
             h = carry[:p]
             lp = carry[p]
             acc = carry[p + 1]
+            log_step = carry[p + 2]
+            step_val = jnp.exp(log_step) if adapt else step
             z = normal((p, BLOCK_B))
-            h_prop = [h[i] + step * z[i : i + 1, :] for i in range(p)]
+            h_prop = [h[i] + step_val * z[i : i + 1, :] for i in range(p)]
             lp_prop = log_post(h_prop)
-            accept = jnp.log(uniform((1, BLOCK_B))) < (lp_prop - lp)
+            log_accept = lp_prop - lp
+            accept = jnp.log(uniform((1, BLOCK_B))) < log_accept
             h_new = [jnp.where(accept, h_prop[i], h[i]) for i in range(p)]
             lp_new = jnp.where(accept, lp_prop, lp)
             # running accept count over burn + sampling, so the reported acceptance
             # rate uses the generic driver's counting window (accumulated from -n_burn)
             acc_new = acc + accept.astype(jnp.float32)
+            if adapt:
+                # Robbins-Monro toward the target acceptance, burn-in only (the
+                # generic driver's adapt=True window); frozen once sampling starts
+                alpha = jnp.exp(jnp.minimum(log_accept, 0.0))
+                nudged = log_step + rate * (alpha - target)
+                log_step = jnp.where(it < n_burn, nudged, log_step)
 
             @pl.when(it >= n_burn)
             def _():
@@ -97,17 +106,21 @@ def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows):
                         stage_ref.at[slot], out_ref.at[idx - 2, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
                     ).wait()
 
-                rows = h_new + [lp_new, accept.astype(jnp.float32), acc_new]
+                rows = h_new + [lp_new, accept.astype(jnp.float32), acc_new, log_step]
                 rows += [jnp.zeros((1, BLOCK_B), jnp.float32)] * (out_rows - len(rows))
                 stage_ref[pl.ds(slot, 1)] = jnp.concatenate(rows, axis=0)[None, :, :]
                 pltpu.make_async_copy(
                     stage_ref.at[slot], out_ref.at[idx, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
                 ).start()
 
-            return tuple(h_new) + (lp_new, acc_new)
+            return tuple(h_new) + (lp_new, acc_new, log_step)
 
         h_init = tuple(jnp.full((1, BLOCK_B), 0.0, jnp.float32) + h0(i) for i in range(p))
-        carry0 = h_init + (log_post(list(h_init)), jnp.zeros((1, BLOCK_B), jnp.float32))
+        carry0 = h_init + (
+            log_post(list(h_init)),
+            jnp.zeros((1, BLOCK_B), jnp.float32),
+            jnp.full((1, BLOCK_B), float(np.log(step)), jnp.float32),
+        )
         lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
@@ -121,7 +134,7 @@ def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_burn", "n_iter", "n_chains", "step"),
+    static_argnames=("n_burn", "n_iter", "n_chains", "step", "adapt_step", "target_accept", "adapt_rate"),
 )
 def run_fused_rw(
     seed: int,
@@ -134,11 +147,17 @@ def run_fused_rw(
     lam=1.0,
     step: float = 0.2,
     h0=0.0,
+    adapt_step: bool = False,
+    target_accept: float = 0.234,
+    adapt_rate: float = 0.05,
 ):
     """Run the full random-walk MH chain for h | y in one fused kernel.
 
     y: (N,) observations for a scalar h, or (p, N) for a p-dimensional h (p <= 32,
     independent dimensions, joint accept). mu/tau/lam/h0 broadcast to (p,).
+    ``adapt_step``: Robbins-Monro adaptation of log(step) toward ``target_accept``
+    during burn-in, per chain, frozen once sampling starts (the generic driver's
+    semantics); the final per-chain log-step is returned as ``log_step``.
     Returns dict with h: (n_chains, n_iter) [scalar] or (n_chains, n_iter, p),
     log_post/accept: (n_chains, n_iter), and accept_total: (n_chains,) accept
     counts accumulated over burn-in AND sampling (the generic driver's counting
@@ -158,9 +177,12 @@ def run_fused_rw(
     s2 = jnp.sum(y * y, axis=1)
     scal = jnp.concatenate([s1, s2, vec(mu), vec(tau), vec(lam), vec(h0)]).astype(jnp.float32)
 
-    out_rows = p + 3 + ((-(p + 3)) % 8)
+    out_rows = p + 4 + ((-(p + 4)) % 8)
     b_total = n_chains + ((-n_chains) % BLOCK_B)
-    kernel = _make_kernel(p, float(n_obs), float(step), n_burn, n_iter, out_rows)
+    kernel = _make_kernel(
+        p, float(n_obs), float(step), n_burn, n_iter, out_rows,
+        bool(adapt_step), float(target_accept), float(adapt_rate),
+    )
     (out,) = pl.pallas_call(
         kernel,
         grid=(b_total // BLOCK_B,),
@@ -181,4 +203,5 @@ def run_fused_rw(
         "log_post": draws[:, :, p],
         "accept": draws[:, :, p + 1],
         "accept_total": draws[:, -1, p + 2],
+        "log_step": draws[:, -1, p + 3],
     }

@@ -290,10 +290,14 @@ class MCMC:
         (:mod:`openmcmc_tpu.fused`) and uses one when it applies -- the entire run in a
         single kernel launch, typically several times faster -- falling back to the
         generic path otherwise. "fused" requires a match (raises if none). Fused
-        results reproduce the generic driver's store keys, log_post and acceptance
-        stats (accept/proposal counted over burn + sampling), but do not support
-        ``resume`` continuation (the kernels use the on-chip PRNG, whose state cannot
-        be re-imported into the threefry stream) -- combining engine="fused" with
+        results reproduce the generic driver's full contract: store keys incl.
+        post-hoc fitted responses, log_post, acceptance stats (accept/proposal
+        counted over burn + sampling), Robbins-Monro ``adapt_step`` with the same
+        burn-in window, ``n_thin`` (the launch runs n_thin-scaled sweeps and the
+        draw axis is strided), and chain-axis Mesh sharding (one independent kernel
+        per device over its chain shard). They do not support ``resume``
+        continuation (the kernels use the on-chip PRNG, whose state cannot be
+        re-imported into the threefry stream) -- combining engine="fused" with
         resume raises; engine="auto" with resume runs generic."""
         if engine not in ("generic", "auto", "fused"):
             raise ValueError("engine must be 'generic', 'auto' or 'fused'")
@@ -315,6 +319,7 @@ class MCMC:
                 raise ValueError("the distributed smoother engine does not support resume")
             seed = int(np.asarray(jax.random.key_data(self.key)).reshape(-1)[-1] & 0x7FFFFFFF)
             store, log_post, stats, final_state = runner(seed)
+            store.update(self._fused_fitted(store))
             self.last_engine = runner.engine_name
             return MCMCResult(
                 store=store, log_post=log_post, stats=stats, final_state=final_state,
@@ -379,14 +384,45 @@ class MCMC:
             final_key=final_keys,
         )
 
+    def _fused_fitted(self, store: dict) -> dict:
+        """Fitted-value storage for fused runs (reference mcmc.py:109-111).
+
+        The kernels don't evaluate predictors in-flight; since every matched
+        predictor is a pure function of constant data + sampled entries, recompute
+        it from the stored draws with a (chains, draws) double vmap — same arrays
+        the generic driver's per-iteration ``_record`` would have stored."""
+        if self.model.response is None:
+            return {}
+        available = set(self.data) | set(store)
+        predictors = {
+            response: getattr(self.model[response], predictor_name)
+            for response, predictor_name in self.model.response.items()
+        }
+        predictors = {
+            response: predictor
+            for response, predictor in predictors.items()
+            if set(predictor.get_param_list()) <= available
+        }
+        if not predictors:
+            return {}
+
+        def fitted_one(drawstate):
+            full = dict(self.data)
+            full.update(drawstate)
+            return {f"{r}_fitted": predictor.predictor(full) for r, predictor in predictors.items()}
+
+        return jax.jit(jax.vmap(jax.vmap(fitted_one)))(dict(store))
+
     def _run_fused(self, runner) -> MCMCResult:
         """Execute a matched fused engine and repackage as an MCMCResult."""
         seed = int(np.asarray(jax.random.key_data(self.key)).reshape(-1)[-1] & 0x7FFFFFFF)
         store, log_post, stats = runner(seed)
         self.last_engine = runner.engine_name
         final_state = {name: draws[:, -1] for name, draws in store.items()}
+        fitted = self._fused_fitted(store)
         # honor store_names exactly like the generic driver's _record
         store = {name: draws for name, draws in store.items() if name in self.store_names}
+        store.update(fitted)
         return MCMCResult(
             store=store,
             log_post=log_post,

@@ -75,8 +75,8 @@ def test_matchers_identify_engines(rng):
 
 
 def test_non_matching_configs(rng):
-    # thinning is not representable in the engines
-    m = _smoother_mcmc(rng, n_thin=2)
+    # thinned runs that would exceed the stored-draw cap fall back to generic
+    m = _smoother_mcmc(rng, n_thin=20000)
     assert match_fused_engine(m) is None
     # a NEGATIVE noise-penalty diagonal is invalid for the kernel
     m2 = _smoother_mcmc(rng)
@@ -222,3 +222,134 @@ def test_rw_vector_param_matches_and_runs():
         res = m.run(engine="auto")
     assert res.store["h"].shape == (8, 6, p, 1)
     assert np.asarray(res.stats["h"]["proposal"])[0] == 10
+
+
+def test_fused_fitted_values_match_generic(rng):
+    """Round-3: model.response no longer blocks the fused match; fitted values are
+    recomputed post-hoc from the stored draws and must equal predictor(draw) exactly
+    (and carry the generic driver's store key/shape conventions)."""
+    N = 30
+    X = np.stack([np.ones(N), np.sort(rng.random(N))], 1)
+    y = X @ np.array([2.0, 0.5]) + rng.normal(0, 0.1, N)
+    lc = LinearCombination(form={"beta": "X"})
+    mdl = Model(
+        [
+            Normal("y", mean=lc, precision=ScaledMatrix("P_tau", "tau")),
+            Normal("beta", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+            Gamma("lambda", shape="a_lambda", rate="b_lambda"),
+        ],
+        response={"y": "mean"},
+    )
+    samplers = [NormalNormal("beta", mdl), NormalGamma("tau", mdl), NormalGamma("lambda", mdl)]
+    state = {
+        "y": y, "X": X, "beta": [0.0, 0.0], "P_tau": st.Diagonal(jnp.ones(N)), "tau": 1.0,
+        "P_lambda": st.Diagonal(jnp.ones(2)), "mu": [0.0, 0.0], "lambda": 0.01,
+        "a_tau": 1.0, "b_tau": 1.0, "a_lambda": 1.0, "b_lambda": 1.0,
+    }
+    m = MCMC(state, samplers, mdl, n_burn=4, n_iter=6, n_chains=8, seed=0)
+    runner = match_fused_engine(m)
+    assert runner is not None and runner.engine_name == "fused_linreg"
+    with pltpu.force_tpu_interpret_mode():
+        res = m.run(engine="auto")
+    assert "y_fitted" in res.store
+    beta = np.asarray(res.store["beta"])  # (chains, draws, 2, 1)
+    fitted = np.asarray(res.store["y_fitted"])  # (chains, draws, N, 1)
+    # generic-driver shape convention: same as per-iteration predictor output
+    m_gen = MCMC(dict(state), samplers, mdl, n_burn=4, n_iter=6, n_chains=8, seed=0)
+    res_gen = m_gen.run(engine="generic")
+    assert fitted.shape == res_gen.store["y_fitted"].shape
+    np.testing.assert_allclose(fitted, np.einsum("nk,cdko->cdno", X, beta), rtol=1e-5)
+
+    # a predictor depending on non-stored state cannot be reproduced -> no match
+    mdl_bad = Model(list(mdl.values()), response={"y": "mean"})
+    state_bad = dict(state)
+    m_bad = MCMC(state_bad, samplers, mdl_bad, n_burn=4, n_iter=6, n_chains=8, seed=0,
+                 store_names=["beta"])
+    # store_names filtering happens AFTER fitted computation, so this still matches;
+    # the unavailable case is a predictor input that is neither data nor sampled
+    assert match_fused_engine(m_bad) is not None
+
+
+def test_fused_thinning_matches_generic_semantics():
+    """Round-3: n_thin > 1 no longer blocks the fused match. Reference semantics
+    (mcmc.py:98): every iteration -- burn included -- runs n_thin sweeps and every
+    n_thin-th post-burn sweep is stored. Under the interpret stub the RW chain is
+    deterministic, so the thinned fused store must equal an exact numpy mirror."""
+    n_burn, n_iter, n_thin = 3, 4, 2
+    y = np.array([150.0, 155.0, 190.0, 160.0, 173.0])
+    mu, tau, lam, step, h0 = 160.0, 1.0 / 200.0, 1.0 / 100.0, 5.0, 200.0
+    mdl = Model([Normal("y", mean="h", precision="tau"), Normal("h", mean="mu", precision="lambda")])
+    state = {"y": y.reshape(1, -1), "h": h0, "tau": jnp.eye(1) * tau,
+             "mu": mu, "lambda": jnp.eye(1) * lam}
+    m = MCMC(state, [RandomWalk("h", mdl, step=step)], mdl,
+             n_burn=n_burn, n_iter=n_iter, n_thin=n_thin, n_chains=8, seed=0)
+    runner = match_fused_engine(m)
+    assert runner is not None and runner.engine_name == "fused_random_walk"
+    with pltpu.force_tpu_interpret_mode():
+        res = m.run(engine="auto")
+    assert res.store["h"].shape == (8, n_iter, 1, 1)
+    assert res.log_post.shape == (8, n_iter)
+    # counter window: (n_burn + n_iter) * n_thin sweeps, like the generic driver
+    assert int(np.asarray(res.stats["h"]["proposal"])[0]) == (n_burn + n_iter) * n_thin
+
+    # exact numpy mirror with the interpreter's constant "randomness"
+    U_HALF = 0.5 / 16777216.0
+    z0 = np.sqrt(-2.0 * np.log(U_HALF)) * np.cos(2.0 * np.pi * U_HALF)
+    log_u = np.log(U_HALF)
+    n, s1, s2 = len(y), y.sum(), (y**2).sum()
+    const = 0.5 * (n * np.log(tau) - n * np.log(2 * np.pi)) + 0.5 * (np.log(lam) - np.log(2 * np.pi))
+
+    def lp(h):
+        return const - 0.5 * tau * (s2 - 2 * h * s1 + n * h * h) - 0.5 * lam * (h - mu) ** 2
+
+    h, cur = h0, lp(h0)
+    draws = []
+    for it in range((n_burn + n_iter) * n_thin):
+        hp = h + step * z0
+        lpp = lp(hp)
+        if log_u < lpp - cur:
+            h, cur = hp, lpp
+        if it >= n_burn * n_thin and (it - n_burn * n_thin) % n_thin == n_thin - 1:
+            draws.append(h)
+    np.testing.assert_allclose(np.asarray(res.store["h"][0]).reshape(-1), np.asarray(draws), rtol=1e-4)
+
+
+def test_fused_mesh_sharded_runs_on_multiple_devices():
+    """Round-3: a chain-axis Mesh no longer blocks the fused match; the launch runs
+    as one independent kernel per device over its chain shard (shard_map, no
+    collectives), with per-shard PRNG seed offsets. Validated on a 4-device CPU
+    mesh under interpret mode (8 concurrently-interpreted kernels deadlock the
+    interpreter's semaphore threads on this 1-core box; 4 run in ~2 s); global
+    result arrays carry the chain sharding."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("chains",))
+    mdl = Model([Normal("y", mean="h", precision="tau"), Normal("h", mean="mu", precision="lambda")])
+    state = {
+        "y": np.array([[150.0, 155.0, 190.0, 160.0, 173.0]]),
+        "h": 200.0, "tau": jnp.eye(1) / 200.0, "mu": 160.0, "lambda": jnp.eye(1) / 100.0,
+    }
+    m = MCMC(state, [RandomWalk("h", mdl, step=5.0)], mdl,
+             n_burn=4, n_iter=6, n_chains=8, seed=0, mesh=mesh)
+    runner = match_fused_engine(m)
+    assert runner is not None and runner.engine_name == "fused_random_walk"
+    with pltpu.force_tpu_interpret_mode():
+        res = m.run(engine="auto")
+    assert res.engine == "fused_random_walk"
+    h = res.store["h"]
+    assert h.shape == (8, 6, 1, 1)
+    shard_sizes = {s.data.shape[0] for s in h.addressable_shards}
+    assert shard_sizes == {2}  # 8 chains over 4 devices
+    assert bool(np.isfinite(np.asarray(h)).all())
+    # per-shard results identical under the stubbed (deterministic) interpret PRNG:
+    # the seed offsets differ but the zero bit-stream makes every chain the same
+    np.testing.assert_allclose(np.asarray(h[0]), np.asarray(h[-1]))
+    assert np.asarray(res.stats["h"]["proposal"]).shape == (8,)
+
+    # unsharded run on the same config must produce the identical draws
+    m1 = MCMC(dict(state), [RandomWalk("h", mdl, step=5.0)], mdl,
+              n_burn=4, n_iter=6, n_chains=8, seed=0)
+    with pltpu.force_tpu_interpret_mode():
+        res1 = m1.run(engine="auto")
+    np.testing.assert_allclose(np.asarray(h), np.asarray(res1.store["h"]))

@@ -48,3 +48,50 @@ def test_fused_rw_matches_generic_and_analytic():
     assert abs(acc_fused - acc_generic) < 0.02
     np.testing.assert_allclose(float(out["log_post"].mean()),
                                float(np.asarray(res.log_post).mean()), rtol=0.005)
+
+
+def test_fused_rw_adapted_hits_target_acceptance():
+    """Robbins-Monro in-kernel adaptation: starting from a far-too-large step, the
+    burn-in must tune each chain's log-step so that sampling-phase acceptance lands
+    near the target, matching the generic adapted run."""
+    import jax.numpy as jnp
+
+    from openmcmc_tpu.distributions import Normal
+    from openmcmc_tpu.fused import run_fused_rw
+    from openmcmc_tpu.mcmc import MCMC
+    from openmcmc_tpu.model import Model
+    from openmcmc_tpu.samplers import RandomWalk
+
+    y = np.array([150.0, 155.0, 190.0, 160.0, 173.0])
+    mu, tau, lam = 160.0, 1.0 / 200.0, 1.0 / 100.0
+    out = run_fused_rw(3, y, n_burn=2000, n_iter=1000, n_chains=4096,
+                       mu=mu, tau=tau, lam=lam, step=60.0, h0=200.0,
+                       adapt_step=True, target_accept=0.44, adapt_rate=0.05)
+    # sampling-phase acceptance from the per-iteration accept indicator
+    acc = float(np.asarray(out["accept"]).mean())
+    assert abs(acc - 0.44) < 0.06, acc
+    # adapted step must have shrunk well below the bad initial value
+    step_final = float(np.exp(np.asarray(out["log_step"])).mean())
+    assert step_final < 25.0, step_final
+
+    # generic adapted run for cross-check (same config)
+    mdl = Model([
+        Normal("y", mean="h", precision="tau"),
+        Normal("h", mean="mu", precision="lambda"),
+    ])
+    state = {"y": y.reshape(1, -1), "h": 200.0, "tau": jnp.eye(1) * tau,
+             "mu": mu, "lambda": jnp.eye(1) * lam}
+    m = MCMC(state, [RandomWalk("h", mdl, step=60.0, adapt_step=True, target_accept=0.44)],
+             mdl, n_burn=2000, n_iter=1000, n_chains=2048, seed=1)
+    res = m.run(engine="auto")
+    assert res.engine == "fused_random_walk"
+    assert "log_step" in res.stats["h"]
+    m2 = MCMC(dict(state), [RandomWalk("h", mdl, step=60.0, adapt_step=True, target_accept=0.44)],
+              mdl, n_burn=2000, n_iter=1000, n_chains=2048, seed=2)
+    res2 = m2.run(engine="generic")
+    step_g = float(np.exp(np.asarray(res2.stats["h"]["log_step"])).mean())
+    step_f = float(np.exp(np.asarray(res.stats["h"]["log_step"])).mean())
+    assert abs(np.log(step_f) - np.log(step_g)) < 0.25, (step_f, step_g)
+    h_f = np.asarray(res.store["h"]).reshape(-1)
+    h_g = np.asarray(res2.store["h"]).reshape(-1)
+    assert abs(h_f.mean() - h_g.mean()) < 0.5

@@ -149,6 +149,46 @@ def test_fused_rw_interpret(interpret):
     np.testing.assert_allclose(np.asarray(out["h"][0]), np.asarray(draws), rtol=1e-4)
 
 
+def test_fused_rw_adapt_interpret(interpret):
+    """Robbins-Monro adaptation path of the RW engine: with the stubbed PRNG the
+    per-iteration acceptance probability and the log-step nudges are deterministic,
+    so the adapted chain (and the returned final log_step) must match an exact
+    numpy mirror of the burn-in-only adaptation recursion."""
+    from openmcmc_tpu.fused import run_fused_rw
+
+    y = np.array([150.0, 155.0, 190.0, 160.0, 173.0])
+    mu, tau, lam, step, h0 = 160.0, 1.0 / 200.0, 1.0 / 100.0, 5.0, 200.0
+    target, rate = 0.44, 0.1
+    n_burn, n_iter = 4, 5
+    out = run_fused_rw(9, y, n_burn=n_burn, n_iter=n_iter, n_chains=64,
+                       mu=mu, tau=tau, lam=lam, step=step, h0=h0,
+                       adapt_step=True, target_accept=target, adapt_rate=rate)
+
+    n, s1, s2 = len(y), y.sum(), (y**2).sum()
+    const = 0.5 * (n * np.log(tau) - n * np.log(2 * np.pi)) + 0.5 * (np.log(lam) - np.log(2 * np.pi))
+
+    def lp(h):
+        return const - 0.5 * tau * (s2 - 2 * h * s1 + n * h * h) - 0.5 * lam * (h - mu) ** 2
+
+    z0 = _box_muller(U_HALF, U_HALF)
+    log_u = np.log(U_HALF)
+    h, cur, log_step = h0, lp(h0), np.log(step)
+    draws, steps = [], []
+    for it in range(n_burn + n_iter):
+        hp = h + np.exp(log_step) * z0
+        lpp = lp(hp)
+        la = lpp - cur
+        if log_u < la:
+            h, cur = hp, lpp
+        if it < n_burn:  # burn-in-only Robbins-Monro nudge, after the accept test
+            log_step = log_step + rate * (np.exp(min(la, 0.0)) - target)
+        if it >= n_burn:
+            draws.append(h)
+            steps.append(log_step)
+    np.testing.assert_allclose(np.asarray(out["h"][0]), np.asarray(draws), rtol=1e-4)
+    np.testing.assert_allclose(float(out["log_step"][0]), steps[-1], rtol=1e-5)
+
+
 def test_fused_mmala_interpret(interpret, rng):
     """Whole-run mMALA engine executes end-to-end; deterministic draws finite."""
     from openmcmc_tpu.fused import run_fused_mmala
