@@ -392,7 +392,7 @@ def _match_rw(mcmc) -> Optional[Callable]:
     rw = mcmc.samplers[0]
     if not isinstance(rw, RandomWalk) or isinstance(rw, (RandomWalkLoop, ManifoldMALA)):
         return None
-    if rw.domain_limits is not None or rw.state_update_function is not None:
+    if rw.state_update_function is not None:
         return None
     if np.asarray(rw.step_size).size != 1:
         return None
@@ -441,6 +441,18 @@ def _match_rw(mcmc) -> Optional[Callable]:
     mu = np.broadcast_to(np.asarray(mu, np.float64).reshape(-1), (p,))
     h0 = np.broadcast_to(np.asarray(h0, np.float64).reshape(-1), (p,))
 
+    domain = None
+    if rw.domain_limits is not None:
+        dl = np.asarray(rw.domain_limits, np.float64).reshape(-1, 2)
+        if dl.shape[0] not in (1, p):
+            return None
+        dl = np.broadcast_to(dl, (p, 2))
+        domain = (dl[:, 0].copy(), dl[:, 1].copy())
+        # initial value must start inside the proposal box: the generic driver's
+        # first reverse-density evaluation is only meaningful from inside support
+        if np.any(h0 <= domain[0]) or np.any(h0 >= domain[1]):
+            return None
+
     from openmcmc_tpu.fused.random_walk import run_fused_rw
 
     def run(seed):
@@ -449,6 +461,7 @@ def _match_rw(mcmc) -> Optional[Callable]:
             n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
             mu=mu, tau=tau, lam=lam, step=float(np.asarray(rw.step_size).reshape(())), h0=h0,
             adapt_step=rw.adapt_step, target_accept=rw.target_accept, adapt_rate=rw.adapt_rate,
+            domain=domain,
         )
         hd = out["h"]
         store = {h: hd[..., None, None] if hd.ndim == 2 else hd[..., None]}

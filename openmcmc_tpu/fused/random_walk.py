@@ -29,15 +29,16 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI, normal, uniform
+from openmcmc_tpu.fused.prng import LOG_2PI, normal, truncnorm_draw, truncnorm_logpdf, uniform
 
 BLOCK_B = 2048
 MAX_P = 32
 
 
-def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows, adapt, target, rate):
+def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows, adapt, target, rate, trunc):
     def kernel(seed_ref, scal_ref, out_ref, stage_ref, sems):
-        # scal_ref (SMEM): [S1 (p) | S2 (p) | mu (p) | tau (p) | lam (p) | h0 (p)]
+        # scal_ref (SMEM): [S1 (p) | S2 (p) | mu (p) | tau (p) | lam (p) | h0 (p)
+        #                   | lo (p) | hi (p)  (truncated proposals only)]
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid)
 
@@ -59,6 +60,12 @@ def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows, adapt, target, rate):
         def h0(i):
             return scal_ref[5 * p + i]
 
+        def lo(i):
+            return scal_ref[6 * p + i]
+
+        def hi(i):
+            return scal_ref[7 * p + i]
+
         # joint log-density constants (match Model.log_p)
         const = 0.0
         for i in range(p):
@@ -78,10 +85,20 @@ def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows, adapt, target, rate):
             acc = carry[p + 1]
             log_step = carry[p + 2]
             step_val = jnp.exp(log_step) if adapt else step
-            z = normal((p, BLOCK_B))
-            h_prop = [h[i] + step_val * z[i : i + 1, :] for i in range(p)]
+            if trunc:
+                # truncated proposals need the asymmetric density correction
+                # (reference metropolis_hastings.py:249-257)
+                h_prop = [truncnorm_draw(h[i], step_val, lo(i), hi(i), (1, BLOCK_B)) for i in range(p)]
+                corr = 0.0
+                for i in range(p):
+                    corr = corr + truncnorm_logpdf(h[i], h_prop[i], step_val, lo(i), hi(i))
+                    corr = corr - truncnorm_logpdf(h_prop[i], h[i], step_val, lo(i), hi(i))
+            else:
+                z = normal((p, BLOCK_B))
+                h_prop = [h[i] + step_val * z[i : i + 1, :] for i in range(p)]
+                corr = 0.0
             lp_prop = log_post(h_prop)
-            log_accept = lp_prop - lp
+            log_accept = lp_prop - lp + corr
             accept = jnp.log(uniform((1, BLOCK_B))) < log_accept
             h_new = [jnp.where(accept, h_prop[i], h[i]) for i in range(p)]
             lp_new = jnp.where(accept, lp_prop, lp)
@@ -150,6 +167,7 @@ def run_fused_rw(
     adapt_step: bool = False,
     target_accept: float = 0.234,
     adapt_rate: float = 0.05,
+    domain=None,
 ):
     """Run the full random-walk MH chain for h | y in one fused kernel.
 
@@ -158,6 +176,9 @@ def run_fused_rw(
     ``adapt_step``: Robbins-Monro adaptation of log(step) toward ``target_accept``
     during burn-in, per chain, frozen once sampling starts (the generic driver's
     semantics); the final per-chain log-step is returned as ``log_step``.
+    ``domain``: optional (lower, upper) proposal truncation bounds (each broadcast
+    to (p,)); proposals are inverse-CDF truncated normals with the asymmetric
+    density correction (reference metropolis_hastings.py:249-257).
     Returns dict with h: (n_chains, n_iter) [scalar] or (n_chains, n_iter, p),
     log_post/accept: (n_chains, n_iter), and accept_total: (n_chains,) accept
     counts accumulated over burn-in AND sampling (the generic driver's counting
@@ -175,13 +196,16 @@ def run_fused_rw(
 
     s1 = jnp.sum(y, axis=1)
     s2 = jnp.sum(y * y, axis=1)
-    scal = jnp.concatenate([s1, s2, vec(mu), vec(tau), vec(lam), vec(h0)]).astype(jnp.float32)
+    pieces = [s1, s2, vec(mu), vec(tau), vec(lam), vec(h0)]
+    if domain is not None:
+        pieces += [vec(domain[0]), vec(domain[1])]
+    scal = jnp.concatenate(pieces).astype(jnp.float32)
 
     out_rows = p + 4 + ((-(p + 4)) % 8)
     b_total = n_chains + ((-n_chains) % BLOCK_B)
     kernel = _make_kernel(
         p, float(n_obs), float(step), n_burn, n_iter, out_rows,
-        bool(adapt_step), float(target_accept), float(adapt_rate),
+        bool(adapt_step), float(target_accept), float(adapt_rate), domain is not None,
     )
     (out,) = pl.pallas_call(
         kernel,

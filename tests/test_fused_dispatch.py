@@ -353,3 +353,32 @@ def test_fused_mesh_sharded_runs_on_multiple_devices():
     with pltpu.force_tpu_interpret_mode():
         res1 = m1.run(engine="auto")
     np.testing.assert_allclose(np.asarray(h), np.asarray(res1.store["h"]))
+
+
+def test_rw_truncated_matches_and_runs():
+    """Round-3: domain_limits no longer blocks the RW match; truncated proposals run
+    in-kernel with the asymmetric density correction. Out-of-box initial values
+    fall back to generic."""
+    from openmcmc_tpu.samplers import RandomWalk as RW
+
+    mdl = Model([Normal("y", mean="h", precision="tau"), Normal("h", mean="mu", precision="lambda")])
+    state = {
+        "y": np.array([[150.0, 155.0, 190.0, 160.0, 173.0]]),
+        "h": 175.0, "tau": jnp.eye(1) / 200.0, "mu": 160.0, "lambda": jnp.eye(1) / 100.0,
+    }
+    m = MCMC(state, [RW("h", mdl, step=8.0, domain_limits=[[120.0, 185.0]])], mdl,
+             n_burn=4, n_iter=6, n_chains=8, seed=0)
+    runner = match_fused_engine(m)
+    assert runner is not None and runner.engine_name == "fused_random_walk"
+    with pltpu.force_tpu_interpret_mode():
+        res = m.run(engine="auto")
+    h = np.asarray(res.store["h"])
+    assert h.shape == (8, 6, 1, 1)
+    assert float(h.min()) >= 120.0 and float(h.max()) <= 185.0
+
+    # initial value outside the box -> generic fallback
+    state2 = dict(state)
+    state2["h"] = 200.0
+    m2 = MCMC(state2, [RW("h", mdl, step=8.0, domain_limits=[[120.0, 185.0]])], mdl,
+              n_burn=4, n_iter=6, n_chains=8, seed=0)
+    assert match_fused_engine(m2) is None

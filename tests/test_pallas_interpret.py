@@ -189,6 +189,49 @@ def test_fused_rw_adapt_interpret(interpret):
     np.testing.assert_allclose(float(out["log_step"][0]), steps[-1], rtol=1e-5)
 
 
+def test_fused_rw_truncated_interpret(interpret):
+    """Truncated-proposal path of the RW engine: draws and the asymmetric density
+    correction must match a numpy mirror built from the SAME prng helper functions
+    evaluated on host with the interpreter's zero bit-stream."""
+    import jax.numpy as jnp
+
+    from openmcmc_tpu.fused import run_fused_rw
+    from openmcmc_tpu.fused import prng
+
+    def zero_bits(shape):
+        return jnp.zeros(shape, jnp.uint32)
+
+    y = np.array([150.0, 155.0, 190.0, 160.0, 173.0])
+    mu, tau, lam, step, h0 = 160.0, 1.0 / 200.0, 1.0 / 100.0, 8.0, 175.0
+    lo_b, hi_b = 120.0, 185.0
+    n_burn, n_iter = 3, 6
+    out = run_fused_rw(9, y, n_burn=n_burn, n_iter=n_iter, n_chains=64,
+                       mu=mu, tau=tau, lam=lam, step=step, h0=h0,
+                       domain=(np.array([lo_b]), np.array([hi_b])))
+
+    n, s1, s2 = len(y), y.sum(), (y**2).sum()
+    const = 0.5 * (n * np.log(tau) - n * np.log(2 * np.pi)) + 0.5 * (np.log(lam) - np.log(2 * np.pi))
+
+    def lp(h):
+        return const - 0.5 * tau * (s2 - 2 * h * s1 + n * h * h) - 0.5 * lam * (h - mu) ** 2
+
+    log_u = np.log(U_HALF)
+    h, cur = h0, lp(h0)
+    draws = []
+    for it in range(n_burn + n_iter):
+        hp = float(prng.truncnorm_draw(h, step, lo_b, hi_b, (1,), bit_source=zero_bits)[0])
+        corr = float(prng.truncnorm_logpdf(h, hp, step, lo_b, hi_b)) - float(
+            prng.truncnorm_logpdf(hp, h, step, lo_b, hi_b)
+        )
+        lpp = lp(hp)
+        if log_u < lpp - cur + corr:
+            h, cur = hp, lpp
+        if it >= n_burn:
+            draws.append(h)
+    assert lo_b <= min(draws) and max(draws) <= hi_b
+    np.testing.assert_allclose(np.asarray(out["h"][0]), np.asarray(draws), rtol=1e-4)
+
+
 def test_fused_mmala_interpret(interpret, rng):
     """Whole-run mMALA engine executes end-to-end; deterministic draws finite."""
     from openmcmc_tpu.fused import run_fused_mmala
