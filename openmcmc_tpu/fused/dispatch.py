@@ -394,7 +394,10 @@ def _match_rw(mcmc) -> Optional[Callable]:
         return None
     if rw.state_update_function is not None:
         return None
-    if np.asarray(rw.step_size).size != 1:
+    step_arr = np.asarray(rw.step_size, np.float64).reshape(-1)
+    if rw.adapt_step and step_arr.size != 1:
+        # the kernel adapts one log-scale per chain; per-dim adapted steps would
+        # need a (p,)-row log_step output the stats contract doesn't carry
         return None
     h = rw.param
     h_dist = mcmc.model.get(h)
@@ -412,6 +415,9 @@ def _match_rw(mcmc) -> Optional[Callable]:
     p = np.asarray(y).shape[0]
     if p > MAX_P:
         return None
+    if step_arr.size not in (1, p):
+        return None
+    step_vec = np.broadcast_to(step_arr, (p,))
     # exact model inventory: no extra distribution may be dropped (see _match_smoother)
     if set(mcmc.model.keys()) != {y_dist.response, h}:
         return None
@@ -459,7 +465,7 @@ def _match_rw(mcmc) -> Optional[Callable]:
         out = run_fused_rw(
             seed, jnp.asarray(y),
             n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
-            mu=mu, tau=tau, lam=lam, step=float(np.asarray(rw.step_size).reshape(())), h0=h0,
+            mu=mu, tau=tau, lam=lam, step=step_vec, h0=h0,
             adapt_step=rw.adapt_step, target_accept=rw.target_accept, adapt_rate=rw.adapt_rate,
             domain=domain,
         )

@@ -24,7 +24,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -35,10 +34,10 @@ BLOCK_B = 2048
 MAX_P = 32
 
 
-def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows, adapt, target, rate, trunc):
+def _make_kernel(p, n_obs, n_burn, n_keep, out_rows, adapt, target, rate, trunc):
     def kernel(seed_ref, scal_ref, out_ref, stage_ref, sems):
         # scal_ref (SMEM): [S1 (p) | S2 (p) | mu (p) | tau (p) | lam (p) | h0 (p)
-        #                   | lo (p) | hi (p)  (truncated proposals only)]
+        #                   | step (p) | lo (p) | hi (p)  (lo/hi: truncated only)]
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid)
 
@@ -60,11 +59,14 @@ def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows, adapt, target, rate, 
         def h0(i):
             return scal_ref[5 * p + i]
 
-        def lo(i):
+        def stp(i):
             return scal_ref[6 * p + i]
 
-        def hi(i):
+        def lo(i):
             return scal_ref[7 * p + i]
+
+        def hi(i):
+            return scal_ref[8 * p + i]
 
         # joint log-density constants (match Model.log_p)
         const = 0.0
@@ -83,19 +85,26 @@ def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows, adapt, target, rate, 
             h = carry[:p]
             lp = carry[p]
             acc = carry[p + 1]
-            log_step = carry[p + 2]
-            step_val = jnp.exp(log_step) if adapt else step
+            # per-chain log step-SCALE: the adapted multiplier on the (p,) base
+            # steps; ratios between dimensions stay fixed, like the generic
+            # driver's vector log_step nudged by one scalar alpha term
+            log_scale = carry[p + 2]
+            scale = jnp.exp(log_scale) if adapt else 1.0
+
+            def step_i(i):
+                return stp(i) * scale
+
             if trunc:
                 # truncated proposals need the asymmetric density correction
                 # (reference metropolis_hastings.py:249-257)
-                h_prop = [truncnorm_draw(h[i], step_val, lo(i), hi(i), (1, BLOCK_B)) for i in range(p)]
+                h_prop = [truncnorm_draw(h[i], step_i(i), lo(i), hi(i), (1, BLOCK_B)) for i in range(p)]
                 corr = 0.0
                 for i in range(p):
-                    corr = corr + truncnorm_logpdf(h[i], h_prop[i], step_val, lo(i), hi(i))
-                    corr = corr - truncnorm_logpdf(h_prop[i], h[i], step_val, lo(i), hi(i))
+                    corr = corr + truncnorm_logpdf(h[i], h_prop[i], step_i(i), lo(i), hi(i))
+                    corr = corr - truncnorm_logpdf(h_prop[i], h[i], step_i(i), lo(i), hi(i))
             else:
                 z = normal((p, BLOCK_B))
-                h_prop = [h[i] + step_val * z[i : i + 1, :] for i in range(p)]
+                h_prop = [h[i] + step_i(i) * z[i : i + 1, :] for i in range(p)]
                 corr = 0.0
             lp_prop = log_post(h_prop)
             log_accept = lp_prop - lp + corr
@@ -109,8 +118,8 @@ def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows, adapt, target, rate, 
                 # Robbins-Monro toward the target acceptance, burn-in only (the
                 # generic driver's adapt=True window); frozen once sampling starts
                 alpha = jnp.exp(jnp.minimum(log_accept, 0.0))
-                nudged = log_step + rate * (alpha - target)
-                log_step = jnp.where(it < n_burn, nudged, log_step)
+                nudged = log_scale + rate * (alpha - target)
+                log_scale = jnp.where(it < n_burn, nudged, log_scale)
 
             @pl.when(it >= n_burn)
             def _():
@@ -123,20 +132,22 @@ def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows, adapt, target, rate, 
                         stage_ref.at[slot], out_ref.at[idx - 2, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
                     ).wait()
 
-                rows = h_new + [lp_new, accept.astype(jnp.float32), acc_new, log_step]
+                # stored log_step = adapted scale applied to the FIRST base step
+                # (adapt is only matched with a scalar step, where stp(0) is it)
+                rows = h_new + [lp_new, accept.astype(jnp.float32), acc_new, log_scale + jnp.log(stp(0))]
                 rows += [jnp.zeros((1, BLOCK_B), jnp.float32)] * (out_rows - len(rows))
                 stage_ref[pl.ds(slot, 1)] = jnp.concatenate(rows, axis=0)[None, :, :]
                 pltpu.make_async_copy(
                     stage_ref.at[slot], out_ref.at[idx, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
                 ).start()
 
-            return tuple(h_new) + (lp_new, acc_new, log_step)
+            return tuple(h_new) + (lp_new, acc_new, log_scale)
 
         h_init = tuple(jnp.full((1, BLOCK_B), 0.0, jnp.float32) + h0(i) for i in range(p))
         carry0 = h_init + (
             log_post(list(h_init)),
             jnp.zeros((1, BLOCK_B), jnp.float32),
-            jnp.full((1, BLOCK_B), float(np.log(step)), jnp.float32),
+            jnp.zeros((1, BLOCK_B), jnp.float32),
         )
         lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
 
@@ -151,7 +162,7 @@ def _make_kernel(p, n_obs, step, n_burn, n_keep, out_rows, adapt, target, rate, 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_burn", "n_iter", "n_chains", "step", "adapt_step", "target_accept", "adapt_rate"),
+    static_argnames=("n_burn", "n_iter", "n_chains", "adapt_step", "target_accept", "adapt_rate"),
 )
 def run_fused_rw(
     seed: int,
@@ -172,7 +183,8 @@ def run_fused_rw(
     """Run the full random-walk MH chain for h | y in one fused kernel.
 
     y: (N,) observations for a scalar h, or (p, N) for a p-dimensional h (p <= 32,
-    independent dimensions, joint accept). mu/tau/lam/h0 broadcast to (p,).
+    independent dimensions, joint accept). mu/tau/lam/h0/step broadcast to (p,)
+    (per-dimension proposal scales, the generic driver's (p, 1) step broadcast).
     ``adapt_step``: Robbins-Monro adaptation of log(step) toward ``target_accept``
     during burn-in, per chain, frozen once sampling starts (the generic driver's
     semantics); the final per-chain log-step is returned as ``log_step``.
@@ -196,7 +208,7 @@ def run_fused_rw(
 
     s1 = jnp.sum(y, axis=1)
     s2 = jnp.sum(y * y, axis=1)
-    pieces = [s1, s2, vec(mu), vec(tau), vec(lam), vec(h0)]
+    pieces = [s1, s2, vec(mu), vec(tau), vec(lam), vec(h0), vec(step)]
     if domain is not None:
         pieces += [vec(domain[0]), vec(domain[1])]
     scal = jnp.concatenate(pieces).astype(jnp.float32)
@@ -204,7 +216,7 @@ def run_fused_rw(
     out_rows = p + 4 + ((-(p + 4)) % 8)
     b_total = n_chains + ((-n_chains) % BLOCK_B)
     kernel = _make_kernel(
-        p, float(n_obs), float(step), n_burn, n_iter, out_rows,
+        p, float(n_obs), n_burn, n_iter, out_rows,
         bool(adapt_step), float(target_accept), float(adapt_rate), domain is not None,
     )
     (out,) = pl.pallas_call(

@@ -382,3 +382,32 @@ def test_rw_truncated_matches_and_runs():
     m2 = MCMC(state2, [RW("h", mdl, step=8.0, domain_limits=[[120.0, 185.0]])], mdl,
               n_burn=4, n_iter=6, n_chains=8, seed=0)
     assert match_fused_engine(m2) is None
+
+
+def test_rw_vector_step_matches_and_runs():
+    """Per-dimension (p, 1) step sizes match fused_random_walk (generic broadcast
+    rules, reference metropolis_hastings.py:222-225); adapt + vector steps fall
+    back to generic (the stats contract carries one log_step per chain)."""
+    from openmcmc_tpu.samplers import RandomWalk as RW
+
+    p, n = 3, 6
+    rng = np.random.default_rng(1)
+    y = rng.normal(size=(p, n)) + np.array([[1.0], [2.0], [3.0]])
+    mdl = Model([Normal("y", mean="h", precision="tau"), Normal("h", mean="mu", precision="lambda")])
+    state = {
+        "y": y, "h": np.zeros((p, 1)),
+        "tau": jnp.eye(p) * jnp.asarray([0.5, 1.0, 2.0]), "mu": np.zeros((p, 1)),
+        "lambda": jnp.eye(p) * 0.01,
+    }
+    steps = np.array([[0.5], [0.8], [1.2]])
+    m = MCMC(state, [RW("h", mdl, step=steps)], mdl, n_burn=4, n_iter=6, n_chains=8, seed=0)
+    runner = match_fused_engine(m)
+    assert runner is not None and runner.engine_name == "fused_random_walk"
+    with pltpu.force_tpu_interpret_mode():
+        res = m.run(engine="auto")
+    assert res.store["h"].shape == (8, 6, p, 1)
+    assert bool(np.isfinite(np.asarray(res.store["h"])).all())
+
+    m2 = MCMC(dict(state), [RW("h", mdl, step=steps, adapt_step=True)], mdl,
+              n_burn=4, n_iter=6, n_chains=8, seed=0)
+    assert match_fused_engine(m2) is None

@@ -244,3 +244,45 @@ def test_fused_mmala_interpret(interpret, rng):
     assert out["beta"].shape == (32, 5, 3)
     for name in ("beta", "log_post", "accept"):
         assert bool(np.isfinite(np.asarray(out[name])).all()), name
+
+
+def test_fused_rw_vector_step_interpret(interpret):
+    """Per-dimension proposal steps: a p=2 chain with distinct steps and a joint
+    accept must match the coupled numpy recursion exactly."""
+    from openmcmc_tpu.fused import run_fused_rw
+
+    y = np.array([[1.0, 2.0, 0.5], [5.0, 4.0, 6.0]])
+    mu = np.array([0.0, 5.0])
+    tau = np.array([1.0, 0.5])
+    lam = np.array([0.1, 0.2])
+    steps = np.array([0.7, 2.5])
+    h0 = np.array([0.0, 3.0])
+    n_burn, n_iter = 2, 5
+    out = run_fused_rw(4, y, n_burn=n_burn, n_iter=n_iter, n_chains=64,
+                       mu=mu, tau=tau, lam=lam, step=steps, h0=h0)
+    assert out["h"].shape == (64, n_iter, 2)
+
+    n = y.shape[1]
+    s1, s2 = y.sum(1), (y**2).sum(1)
+    const = sum(0.5 * (n * np.log(tau[i]) - n * np.log(2 * np.pi))
+                + 0.5 * (np.log(lam[i]) - np.log(2 * np.pi)) for i in range(2))
+
+    def lp(h):
+        return const - sum(
+            0.5 * tau[i] * (s2[i] - 2 * h[i] * s1[i] + n * h[i] ** 2)
+            + 0.5 * lam[i] * (h[i] - mu[i]) ** 2
+            for i in range(2)
+        )
+
+    z0 = _box_muller(U_HALF, U_HALF)
+    log_u = np.log(U_HALF)
+    h, cur = h0.copy(), lp(h0)
+    draws = []
+    for it in range(n_burn + n_iter):
+        hp = h + steps * z0
+        lpp = lp(hp)
+        if log_u < lpp - cur:
+            h, cur = hp.copy(), lpp
+        if it >= n_burn:
+            draws.append(h.copy())
+    np.testing.assert_allclose(np.asarray(out["h"][0]), np.asarray(draws), rtol=1e-4)
