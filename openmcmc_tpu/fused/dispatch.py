@@ -610,10 +610,20 @@ def _match_rj(mcmc) -> Optional[Callable]:
     n_max = int(rj.n_max)
     if n_max > 32 or np.asarray(init[theta]).size != n_max:
         return None
-    # the kernel streams out count + log_post only; a store request for anything
-    # else (beta/theta/omega draws) needs the generic driver
-    if not set(mcmc.store_names) <= {count}:
+    # the kernel always streams count + log_post; the padded beta/theta/omega
+    # draws stream as 3*n_max extra output rows when the store requests them.
+    # B (the basis matrix) is derived state the kernel never materializes
+    # per-draw -- requesting it needs the generic driver.
+    if not set(mcmc.store_names) <= {count, beta, theta, omega}:
         return None
+    stream = bool(set(mcmc.store_names) & {beta, theta, omega})
+    if stream:
+        from openmcmc_tpu.fused.rj import BLOCK_B as _RJ_B, OUT_ROWS as _RJ_ROWS
+
+        padded = mcmc.n_chains + ((-mcmc.n_chains) % _RJ_B)
+        hbm = 4 * mcmc.n_iter * mcmc.n_thin * (_RJ_ROWS + 3 * n_max) * padded
+        if hbm > 4 << 30:  # streamed-draw buffer cap: fall back to generic
+            return None
 
     from openmcmc_tpu.fused.rj import run_fused_rj
 
@@ -630,8 +640,14 @@ def _match_rj(mcmc) -> Optional[Callable]:
             step_mmala=float(np.asarray(mala.step_size).reshape(())),
             step_theta=float(np.asarray(rw_th.step_size).reshape(())),
             step_omega=float(np.asarray(rw_om.step_size).reshape(())),
+            stream_params=stream,
         )
         store = {count: out["n_basis"][..., None, None].astype(jnp.int32)}
+        if stream:
+            # state-shape conventions: beta (n_max, 1); theta/omega (1, n_max)
+            store[beta] = out["beta"][..., None]
+            store[theta] = out["theta"][:, :, None, :]
+            store[omega] = out["omega"][:, :, None, :]
         n_prop = jnp.full((mcmc.n_chains,), mcmc.n_burn + mcmc.n_iter, jnp.int32)
         stats = {
             beta: {"accept": out["accept_mmala"].astype(jnp.int32), "proposal": n_prop},

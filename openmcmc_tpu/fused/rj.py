@@ -72,6 +72,7 @@ from openmcmc_tpu.fused.prng import (
 
 BLOCK_B = 1024
 OUT_ROWS = 8  # [k, log_post, acc_mmala, acc_theta, acc_omega, acc_rj, prop_cols_theta, prop_cols_omega]
+# streaming mode appends rows(beta) + rows(theta) + rows(omega): OUT_ROWS + 3p total
 
 _SQRT2 = 1.4142135623730951
 _INV_SQRT2 = 0.7071067811865476
@@ -79,7 +80,7 @@ _SQRT_2PI = 2.5066282746310002
 _RIDGE = 1e-6
 
 
-def _make_kernel(p, n_data, n_burn, n_keep, cfg):
+def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows):
     rho = cfg["rho"]
     mu_b = cfg["mu_beta"]
     tau_b = cfg["tau_beta"]
@@ -381,6 +382,10 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg):
                     ).wait()
 
                 rows_out = [kf, log_post, acc_m, acc_t, acc_o, acc_r, prop_t, prop_o]
+                if n_rows > OUT_ROWS:
+                    # stream the padded parameter draws (store_names request);
+                    # padding columns are exact zeros, like the generic state
+                    rows_out = rows_out + rows(beta) + rows(theta) + rows(omega)
                 stage_ref[pl.ds(slot, 1)] = jnp.concatenate(rows_out, axis=0)[None, :, :]
                 pltpu.make_async_copy(
                     stage_ref.at[slot], out_ref.at[idx, :, pl.ds(pid * B, B)], sems.at[slot]
@@ -395,8 +400,8 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg):
         # zero (iota * 0) constant-folds back to a splat. A store/load round-trip
         # through VMEM scratch is opaque to folding and loads always carry
         # materialized layouts. stage_ref is free this early (no DMA in flight).
-        stage_ref[pl.ds(0, 1)] = jnp.zeros((1, OUT_ROWS, BLOCK_B), jnp.float32)
-        zr = stage_ref[0]  # (OUT_ROWS, B) concrete zeros
+        stage_ref[pl.ds(0, 1)] = jnp.zeros((1, n_rows, BLOCK_B), jnp.float32)
+        zr = stage_ref[0]  # (n_rows, B) concrete zeros
         nz = zr[0:1, :]
         beta0 = jnp.broadcast_to(x_ref[n_data : n_data + p, :], (p, BLOCK_B)) + nz
         theta0 = jnp.broadcast_to(x_ref[n_data + p : n_data + 2 * p, :], (p, BLOCK_B)) + nz
@@ -420,7 +425,9 @@ def _run_fused_rj_jit(seed, packed, n_burn, n_iter, n_chains, cfg_static):
     p = cfg.pop("n_max")
     n_data = cfg.pop("n_data")
     b_total = n_chains + ((-n_chains) % BLOCK_B)
-    kernel = _make_kernel(p, n_data, n_burn, n_iter, cfg)
+    stream = cfg.pop("stream_params")
+    n_rows = OUT_ROWS + (3 * p if stream else 0)
+    kernel = _make_kernel(p, n_data, n_burn, n_iter, cfg, n_rows)
     (out,) = pl.pallas_call(
         kernel,
         grid=(b_total // BLOCK_B,),
@@ -429,9 +436,9 @@ def _run_fused_rj_jit(seed, packed, n_burn, n_iter, n_chains, cfg_static):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
-        out_shape=(jax.ShapeDtypeStruct((n_iter, OUT_ROWS, b_total), jnp.float32),),
+        out_shape=(jax.ShapeDtypeStruct((n_iter, n_rows, b_total), jnp.float32),),
         scratch_shapes=[
-            pltpu.VMEM((2, OUT_ROWS, BLOCK_B), jnp.float32),
+            pltpu.VMEM((2, n_rows, BLOCK_B), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -465,13 +472,16 @@ def run_fused_rj(
     step_mmala: float = 0.5,
     step_theta: float = 0.1,
     step_omega: float = 0.1,
+    stream_params: bool = False,
 ):
     """Run the full prior-recovery RJ stack in one fused kernel.
 
     X: (n_data,) basis evaluation points. State is padded to ``n_max``; initial
     values broadcast to all chains. Returns dict with n_basis/log_post:
     (chains, iters) plus acceptance/proposal counters accumulated over
-    burn + sampling (the generic driver's counting window)."""
+    burn + sampling (the generic driver's counting window). ``stream_params``
+    additionally streams the padded beta/theta/omega draws, (chains, iters, n_max)
+    each (3 * n_max extra output rows; padding entries are exact zeros)."""
     X = np.asarray(X, np.float32).reshape(-1)
     n_data = X.shape[0]
     p = int(n_max)
@@ -493,12 +503,13 @@ def run_fused_rj(
         ("match_limits", (float(match_limits[0]), float(match_limits[1]))),
         ("match_scale", float(match_scale)), ("step_mmala", float(step_mmala)),
         ("step_theta", float(step_theta)), ("step_omega", float(step_omega)),
+        ("stream_params", bool(stream_params)),
     )
     draws = _run_fused_rj_jit(
         seed, jnp.asarray(packed), n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
         cfg_static=cfg_static,
     )
-    return {
+    out = {
         "n_basis": draws[:, :, 0],
         "log_post": draws[:, :, 1],
         "accept_mmala": draws[:, -1, 2],
@@ -509,3 +520,8 @@ def run_fused_rj(
         "proposal_omega": draws[:, -1, 7],
         "n_proposals": float(n_burn + n_iter),
     }
+    if stream_params:
+        out["beta"] = draws[:, :, 8 : 8 + p]
+        out["theta"] = draws[:, :, 8 + p : 8 + 2 * p]
+        out["omega"] = draws[:, :, 8 + 2 * p : 8 + 3 * p]
+    return out

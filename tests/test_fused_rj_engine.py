@@ -95,11 +95,44 @@ def test_no_match_with_plain_function_hooks():
     assert match_fused_engine(m) is None
 
 
-def test_no_match_when_storing_more_than_count():
-    """The kernel only streams the count; storing theta requires the generic driver."""
+def test_store_names_gating():
+    """Round-3: beta/theta/omega draws stream from the kernel (3*n_max extra rows);
+    derived state (the basis matrix B) still requires the generic driver, as does a
+    streamed-buffer footprint above the HBM cap."""
     m = build_rj_mcmc()
     m.store_names = ["n_basis", "theta"]
+    assert match_fused_engine(m) is not None
+    m.store_names = ["n_basis", "B"]
     assert match_fused_engine(m) is None
+    m.store_names = ["n_basis", "beta", "theta", "omega"]
+    m.n_iter = 100000  # past the 4 GiB streamed-draw cap at 1024-padded chains
+    assert match_fused_engine(m) is None
+
+
+def test_interpret_streamed_params():
+    """Streaming mode: padded beta/theta/omega draws come back with the generic
+    state-shape conventions, padding entries exactly zero beyond each chain's
+    count, and the count column identical to a non-streamed run."""
+    m = build_rj_mcmc(n_chains=64, n_iter=6, n_burn=2)
+    m.store_names = ["n_basis", "beta", "theta", "omega"]
+    with pltpu.force_tpu_interpret_mode():
+        res = m.run(engine="auto")
+    assert res.engine == "fused_rj"
+    assert res.store["beta"].shape == (64, 6, N_MAX, 1)
+    assert res.store["theta"].shape == (64, 6, 1, N_MAX)
+    assert res.store["omega"].shape == (64, 6, 1, N_MAX)
+    nb = np.asarray(res.store["n_basis"]).reshape(64, 6)
+    for name, arr in (("beta", np.asarray(res.store["beta"]).reshape(64, 6, N_MAX)),
+                      ("theta", np.asarray(res.store["theta"]).reshape(64, 6, N_MAX)),
+                      ("omega", np.asarray(res.store["omega"]).reshape(64, 6, N_MAX))):
+        assert np.isfinite(arr).all(), name
+        idx = np.arange(N_MAX)[None, None, :]
+        assert np.all(arr[idx >= nb[..., None]] == 0.0), name
+
+    m2 = build_rj_mcmc(n_chains=64, n_iter=6, n_burn=2)
+    with pltpu.force_tpu_interpret_mode():
+        res2 = m2.run(engine="auto")
+    np.testing.assert_array_equal(np.asarray(res.store["n_basis"]), np.asarray(res2.store["n_basis"]))
 
 
 def test_no_match_with_mismatched_rw_limits():
