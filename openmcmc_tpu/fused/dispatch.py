@@ -826,7 +826,7 @@ def _match_mmala(mcmc) -> Optional[Callable]:
     if len(mcmc.samplers) != 1:
         return None
     mm = mcmc.samplers[0]
-    if not isinstance(mm, ManifoldMALA) or mm.active_count is not None or mm.adapt_step:
+    if not isinstance(mm, ManifoldMALA) or mm.active_count is not None:
         return None
     if np.asarray(mm.step_size).size != 1:
         return None
@@ -870,6 +870,8 @@ def _match_mmala(mcmc) -> Optional[Callable]:
     p = np.asarray(X).shape[1]
     if p > SPECTRAL_MAX_P:
         return None
+    if mm.adapt_step and p > MAX_P:
+        return None  # the spectral engine has no in-kernel adaptation
     beta0 = mcmc.initial_chain_state.get(latent)
 
     if p <= MAX_P:
@@ -882,6 +884,9 @@ def _match_mmala(mcmc) -> Optional[Callable]:
         engine_name = "fused_mmala_spectral"
 
     def run(seed):
+        extra = {}
+        if mm.adapt_step:
+            extra = dict(adapt_step=True, target_accept=mm.target_accept, adapt_rate=mm.adapt_rate)
         out = run_fused_mmala(
             seed, jnp.asarray(X), jnp.asarray(y).reshape(-1),
             n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
@@ -889,6 +894,7 @@ def _match_mmala(mcmc) -> Optional[Callable]:
             ptau_diag=ptau.diag_, plam_diag=plam.diag_,
             mu0=jnp.asarray(mu0).reshape(-1),
             beta0=None if beta0 is None else jnp.asarray(beta0).reshape(-1),
+            **extra,
         )
         store = {latent: out["beta"][..., None]}
         n_prop = mcmc.n_burn + mcmc.n_iter  # generic counting window: burn + sampling
@@ -898,6 +904,9 @@ def _match_mmala(mcmc) -> Optional[Callable]:
                 "proposal": jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
             }
         }
+        if mm.adapt_step:
+            # generic init_stats carries log_step with the step's (1, 1) shape
+            stats[latent]["log_step"] = out["log_step"].reshape(mcmc.n_chains, 1, 1)
         return store, out["log_post"], stats
 
     run.engine_name = engine_name

@@ -39,7 +39,7 @@ BLOCK_B = 2048
 MAX_P = 16
 
 
-def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows):
+def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows, adapt, target, rate):
     s2 = step * step
 
     def kernel(seed_ref, scal_ref, out_ref, stage_ref, sems):
@@ -82,7 +82,7 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows):
                     quad = quad + A(i, j) * b[i] * b[j]
             return lik_const + pri_const - 0.5 * (quad + yPy) + lin
 
-        def prop_logq(b_to, mu_rows):
+        def prop_logq(b_to, mu_rows, s2v):
             # log N(b_to; mu, s^2 A^{-1}) = logdetL - p/2 log(2 pi s^2) - ||L'(b-mu)||^2/(2 s^2)
             ssq = jnp.zeros_like(b_to[0])
             for j in range(p):
@@ -90,14 +90,18 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows):
                 for i in range(j, p):  # (L^T r)_j = sum_i L[i, j] r_i
                     w = w + L(i, j) * (b_to[i] - mu_rows[i])
                 ssq = ssq + w * w
-            return logdetL - 0.5 * p * (LOG_2PI + np.log(s2)) - 0.5 * ssq / s2
+            log_s2 = jnp.log(s2v) if adapt else np.log(s2)
+            return logdetL - 0.5 * p * (LOG_2PI + log_s2) - 0.5 * ssq / s2v
 
         def iteration(it, carry):
             b = carry[:p]
             lp = carry[p]
             acc = carry[p + 1]
+            log_step = carry[p + 2]
+            step_v = jnp.exp(log_step) if adapt else step
+            s2v = step_v * step_v
             z = normal((p, BLOCK_B))
-            mu_cur = [(1.0 - 0.5 * s2) * b[i] + 0.5 * s2 * c(i) for i in range(p)]
+            mu_cur = [(1.0 - 0.5 * s2v) * b[i] + 0.5 * s2v * c(i) for i in range(p)]
             # draw: b' = mu + step * L^{-T} z (backward substitution, unrolled)
             eps = [None] * p
             for i in range(p - 1, -1, -1):
@@ -105,15 +109,20 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows):
                 for k in range(i + 1, p):
                     w = w - L(k, i) * eps[k]
                 eps[i] = w / L(i, i)
-            b_prop = [mu_cur[i] + step * eps[i] for i in range(p)]
+            b_prop = [mu_cur[i] + step_v * eps[i] for i in range(p)]
             lp_prop = log_target(b_prop)
-            mu_prop = [(1.0 - 0.5 * s2) * b_prop[i] + 0.5 * s2 * c(i) for i in range(p)]
-            log_accept = lp_prop - lp + prop_logq(b, mu_prop) - prop_logq(b_prop, mu_cur)
+            mu_prop = [(1.0 - 0.5 * s2v) * b_prop[i] + 0.5 * s2v * c(i) for i in range(p)]
+            log_accept = lp_prop - lp + prop_logq(b, mu_prop, s2v) - prop_logq(b_prop, mu_cur, s2v)
             accept = jnp.log(uniform((1, BLOCK_B))) < log_accept
             b_new = [jnp.where(accept, b_prop[i], b[i]) for i in range(p)]
             lp_new = jnp.where(accept, lp_prop, lp)
             # running accept count over burn + sampling (generic counting window)
             acc_new = acc + accept.astype(jnp.float32)
+            if adapt:
+                # Robbins-Monro toward the target acceptance, burn-in only
+                alpha = jnp.exp(jnp.minimum(log_accept, 0.0))
+                nudged = log_step + rate * (alpha - target)
+                log_step = jnp.where(it < n_burn, nudged, log_step)
 
             @pl.when(it >= n_burn)
             def _():
@@ -126,17 +135,21 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows):
                         stage_ref.at[slot], out_ref.at[idx - 2, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
                     ).wait()
 
-                rows = b_new + [lp_new, accept.astype(jnp.float32), acc_new]
+                rows = b_new + [lp_new, accept.astype(jnp.float32), acc_new, log_step]
                 rows += [jnp.zeros((1, BLOCK_B), jnp.float32)] * (out_rows - len(rows))
                 stage_ref[pl.ds(slot, 1)] = jnp.concatenate(rows, axis=0)[None, :, :]
                 pltpu.make_async_copy(
                     stage_ref.at[slot], out_ref.at[idx, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
                 ).start()
 
-            return tuple(b_new) + (lp_new, acc_new)
+            return tuple(b_new) + (lp_new, acc_new, log_step)
 
         b_init = tuple(jnp.full((1, BLOCK_B), 0.0, jnp.float32) + b0(i) for i in range(p))
-        carry0 = b_init + (log_target(list(b_init)), jnp.zeros((1, BLOCK_B), jnp.float32))
+        carry0 = b_init + (
+            log_target(list(b_init)),
+            jnp.zeros((1, BLOCK_B), jnp.float32),
+            jnp.full((1, BLOCK_B), float(np.log(step)), jnp.float32),
+        )
         lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
@@ -148,7 +161,10 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_burn", "n_iter", "n_chains", "tau", "lam", "step"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_burn", "n_iter", "n_chains", "tau", "lam", "step", "adapt_step", "target_accept", "adapt_rate"),
+)
 def run_fused_mmala(
     seed: int,
     X: jnp.ndarray,
@@ -163,13 +179,18 @@ def run_fused_mmala(
     plam_diag=None,
     mu0=None,
     beta0=None,
+    adapt_step: bool = False,
+    target_accept: float = 0.574,
+    adapt_rate: float = 0.05,
 ):
     """Run the full manifold-MALA chain for beta | y in one fused kernel.
 
     X: (N, p) design (p <= 16), y: (N,). Model: y ~ N(X beta, (tau diag(ptau))^{-1}),
     beta ~ N(mu0, (lam diag(plam))^{-1}). Returns dict with beta: (chains, iters, p),
     log_post/accept: (chains, iters), accept_total: (chains,) counted over burn +
-    sampling (generic-driver counting window)."""
+    sampling (generic-driver counting window). ``adapt_step``: per-chain burn-in
+    Robbins-Monro adaptation of log(step) toward ``target_accept`` (MALA-optimal
+    0.574 default), frozen at sampling; final log_step returned."""
     X = jnp.asarray(X, jnp.float32)
     y = jnp.asarray(y, jnp.float32).reshape(-1)
     n_obs, p = X.shape
@@ -196,9 +217,12 @@ def run_fused_mmala(
         [A.reshape(-1), L.reshape(-1), v, c, beta0, yPy, logdet_tauP, logdet_lamPlam, logdetL]
     ).astype(jnp.float32)
 
-    out_rows = p + 3 + ((-(p + 3)) % 8)
+    out_rows = p + 4 + ((-(p + 4)) % 8)
     b_total = n_chains + ((-n_chains) % BLOCK_B)
-    kernel = _make_kernel(p, float(n_obs), float(tau), float(lam), float(step), n_burn, n_iter, out_rows)
+    kernel = _make_kernel(
+        p, float(n_obs), float(tau), float(lam), float(step), n_burn, n_iter, out_rows,
+        bool(adapt_step), float(target_accept), float(adapt_rate),
+    )
     (out,) = pl.pallas_call(
         kernel,
         grid=(b_total // BLOCK_B,),
@@ -218,4 +242,5 @@ def run_fused_mmala(
         "log_post": draws[:, :, p],
         "accept": draws[:, :, p + 1],
         "accept_total": draws[:, -1, p + 2],
+        "log_step": draws[:, -1, p + 3],
     }

@@ -411,3 +411,32 @@ def test_rw_vector_step_matches_and_runs():
     m2 = MCMC(dict(state), [RW("h", mdl, step=steps, adapt_step=True)], mdl,
               n_burn=4, n_iter=6, n_chains=8, seed=0)
     assert match_fused_engine(m2) is None
+
+
+def test_mmala_adapt_matches_and_runs(rng):
+    """Round-3: adapt_step no longer blocks the mMALA match (unrolled kernel only;
+    the spectral large-p engine has no in-kernel adaptation)."""
+    from openmcmc_tpu.samplers import ManifoldMALA
+
+    N, d = 20, 3
+    X = rng.normal(size=(N, d))
+    y = X @ rng.normal(size=d)
+    mdl = Model(
+        [
+            Normal("y", mean=LinearCombination(form={"beta": "X"}), precision=ScaledMatrix("P", "tau")),
+            Normal("beta", mean="mu0", precision=ScaledMatrix("P0", "one")),
+        ]
+    )
+    state = {
+        "y": y.reshape(-1, 1), "X": X, "beta": np.zeros((d, 1)), "P": st.Diagonal(jnp.ones(N)),
+        "tau": 1.0, "P0": st.Diagonal(jnp.ones(d)), "mu0": np.zeros((d, 1)), "one": 1.0,
+    }
+    m = MCMC(state, [ManifoldMALA("beta", mdl, step=1.0, adapt_step=True)], mdl,
+             n_burn=3, n_iter=4, n_chains=8, seed=0)
+    runner = match_fused_engine(m)
+    assert runner is not None and runner.engine_name == "fused_mmala"
+    with pltpu.force_tpu_interpret_mode():
+        res = m.run(engine="auto")
+    assert "log_step" in res.stats["beta"]
+    assert res.stats["beta"]["log_step"].shape == (8, 1, 1)
+    assert bool(np.isfinite(np.asarray(res.store["beta"])).all())

@@ -80,3 +80,21 @@ def test_fused_mmala_matches_generic_and_analytic(rng):
     res = m.run()
     np.testing.assert_allclose(float(out["log_post"].mean()),
                                float(np.asarray(res.log_post).mean()), rtol=0.005)
+
+
+def test_fused_mmala_adapted_hits_target_acceptance():
+    """In-kernel Robbins-Monro adaptation: from a far-too-large step, burn-in must
+    land the sampling-phase acceptance near the MALA-optimal 0.574 target."""
+    rng = np.random.default_rng(0)
+    N, d = 20, 3
+    X = rng.normal(size=(N, d))
+    y = X @ rng.normal(size=d) + 0.1 * rng.normal(size=N)
+
+    from openmcmc_tpu.fused import run_fused_mmala
+
+    out = run_fused_mmala(7, X, y, n_burn=1500, n_iter=1000, n_chains=4096, step=8.0,
+                          adapt_step=True, target_accept=0.574, adapt_rate=0.05)
+    acc = float(np.asarray(out["accept"]).mean())
+    assert abs(acc - 0.574) < 0.06, acc
+    step_final = float(np.exp(np.asarray(out["log_step"])).mean())
+    assert step_final < 4.0, step_final

