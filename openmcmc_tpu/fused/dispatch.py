@@ -12,13 +12,16 @@ the constants the kernels assume (e.g. identity noise penalty, zero prior mean).
 A failed match returns None and the driver falls back to the generic path, so
 ``engine="auto"`` is always safe.
 
-Engine results reproduce store/log_post/acceptance; they do NOT support exact
-``run(resume=...)`` continuation (the kernels use the on-chip PRNG, whose state
-cannot be re-imported into the threefry stream).
+Engine results reproduce store/log_post/acceptance. ``run(resume=...)`` works
+for engines whose kernels take per-chain warm-start inputs (currently the random
+walk); the continuation freshly seeds the on-chip PRNG stream -- a valid Markov
+continuation, though not a bit-identical extension of the original threefry
+stream. Other engines fall back to the generic resume path.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax.numpy as jnp
@@ -65,8 +68,14 @@ def _scaled_precision(dist):
     return None
 
 
-def match_fused_engine(mcmc) -> Optional[Callable]:
-    """Return a zero-arg callable running the MCMC as a fused kernel, or None."""
+def match_fused_engine(mcmc, resume=None) -> Optional[Callable]:
+    """Return a zero-arg callable running the MCMC as a fused kernel, or None.
+
+    ``resume``: an MCMCResult to continue from. Only engines whose kernels take
+    per-chain warm-start inputs support it (currently the random walk); others
+    return None so the driver falls back to the generic resume path. A fused
+    resume freshly seeds the on-chip PRNG stream -- a valid Markov continuation,
+    not a bit-identical extension of the original threefry stream."""
     import jax
 
     if mcmc.mesh is not None:
@@ -97,9 +106,19 @@ def match_fused_engine(mcmc) -> Optional[Callable]:
             predictor = getattr(dist, predictor_name, None)
             if predictor is None or not set(predictor.get_param_list()) <= available:
                 return None
+    if resume is not None and mcmc.mesh is not None:
+        # resume arrays would need per-shard slicing through shard_map; generic
+        # handles the mesh-resume combination
+        return None
     for matcher in (_match_smoother, _match_linreg, _match_rw, _match_mmala, _match_rj, _match_mixture):
         runner = matcher(mcmc)
         if runner is not None:
+            if resume is not None:
+                if not getattr(runner, "supports_resume", False):
+                    return None
+                bound = functools.partial(runner, resume=resume)
+                bound.engine_name = runner.engine_name
+                runner = bound
             return _sharded(_thinned(runner, mcmc), mcmc)
     return None
 
@@ -461,21 +480,35 @@ def _match_rw(mcmc) -> Optional[Callable]:
 
     from openmcmc_tpu.fused.random_walk import run_fused_rw
 
-    def run(seed):
+    def run(seed, resume=None):
+        init = None
+        n_burn = mcmc.n_burn
+        prop0 = 0
+        if resume is not None:
+            # generic resume contract: continue from the final carry, no re-burn,
+            # counters keep accumulating on top of the resumed stats
+            init = {"h": jnp.asarray(resume.final_state[h]).reshape(mcmc.n_chains, p)}
+            rstats = resume.stats.get(h, {})
+            if "log_step" in rstats:
+                init["log_step"] = jnp.asarray(rstats["log_step"]).reshape(-1)
+            if "accept" in rstats:
+                init["acc"] = jnp.asarray(rstats["accept"]).astype(jnp.float32).reshape(-1)
+                prop0 = rstats["proposal"]
+            n_burn = 0
         out = run_fused_rw(
             seed, jnp.asarray(y),
-            n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
             mu=mu, tau=tau, lam=lam, step=step_vec, h0=h0,
             adapt_step=rw.adapt_step, target_accept=rw.target_accept, adapt_rate=rw.adapt_rate,
-            domain=domain,
+            domain=domain, init=init,
         )
         hd = out["h"]
         store = {h: hd[..., None, None] if hd.ndim == 2 else hd[..., None]}
-        n_prop = mcmc.n_burn + mcmc.n_iter  # generic counting window: burn + sampling
+        n_prop = n_burn + mcmc.n_iter  # generic counting window: burn + sampling
         stats = {
             h: {
                 "accept": out["accept_total"].astype(jnp.int32),
-                "proposal": jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
+                "proposal": prop0 + jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
             }
         }
         if rw.adapt_step:
@@ -484,6 +517,7 @@ def _match_rw(mcmc) -> Optional[Callable]:
         return store, out["log_post"], stats
 
     run.engine_name = "fused_random_walk"
+    run.supports_resume = True
     return run
 
 

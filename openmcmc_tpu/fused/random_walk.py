@@ -34,8 +34,12 @@ BLOCK_B = 2048
 MAX_P = 32
 
 
-def _make_kernel(p, n_obs, n_burn, n_keep, out_rows, adapt, target, rate, trunc):
-    def kernel(seed_ref, scal_ref, out_ref, stage_ref, sems):
+def _make_kernel(p, n_obs, n_burn, n_keep, out_rows, adapt, target, rate, trunc, warm):
+    def kernel(seed_ref, scal_ref, *refs):
+        if warm:
+            init_ref, out_ref, stage_ref, sems = refs
+        else:
+            out_ref, stage_ref, sems = refs
         # scal_ref (SMEM): [S1 (p) | S2 (p) | mu (p) | tau (p) | lam (p) | h0 (p)
         #                   | step (p) | lo (p) | hi (p)  (lo/hi: truncated only)]
         pid = pl.program_id(0)
@@ -143,12 +147,17 @@ def _make_kernel(p, n_obs, n_burn, n_keep, out_rows, adapt, target, rate, trunc)
 
             return tuple(h_new) + (lp_new, acc_new, log_scale)
 
-        h_init = tuple(jnp.full((1, BLOCK_B), 0.0, jnp.float32) + h0(i) for i in range(p))
-        carry0 = h_init + (
-            log_post(list(h_init)),
-            jnp.zeros((1, BLOCK_B), jnp.float32),
-            jnp.zeros((1, BLOCK_B), jnp.float32),
-        )
+        if warm:
+            # per-chain warm start (resume): rows [h (p) | log_scale | acc];
+            # init_ref is this program's (p + 2, BLOCK_B) block (index-mapped)
+            h_init = tuple(init_ref[i : i + 1, :] for i in range(p))
+            scale0 = init_ref[p : p + 1, :]
+            acc0 = init_ref[p + 1 : p + 2, :]
+        else:
+            h_init = tuple(jnp.full((1, BLOCK_B), 0.0, jnp.float32) + h0(i) for i in range(p))
+            scale0 = jnp.zeros((1, BLOCK_B), jnp.float32)
+            acc0 = jnp.zeros((1, BLOCK_B), jnp.float32)
+        carry0 = h_init + (log_post(list(h_init)), acc0, scale0)
         lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
@@ -179,6 +188,7 @@ def run_fused_rw(
     target_accept: float = 0.234,
     adapt_rate: float = 0.05,
     domain=None,
+    init=None,
 ):
     """Run the full random-walk MH chain for h | y in one fused kernel.
 
@@ -191,6 +201,12 @@ def run_fused_rw(
     ``domain``: optional (lower, upper) proposal truncation bounds (each broadcast
     to (p,)); proposals are inverse-CDF truncated normals with the asymmetric
     density correction (reference metropolis_hastings.py:249-257).
+    ``init``: optional warm start (resume) -- a dict with per-chain arrays
+    "h" (n_chains, p), and optionally "log_step" (n_chains,) and "acc"
+    (n_chains,) to continue the adapted scale and the running accept count;
+    pass n_burn=0 to continue without re-burning (the generic resume contract).
+    The PRNG stream is freshly seeded (a valid Markov continuation, not a
+    bit-identical extension of a longer run).
     Returns dict with h: (n_chains, n_iter) [scalar] or (n_chains, n_iter, p),
     log_post/accept: (n_chains, n_iter), and accept_total: (n_chains,) accept
     counts accumulated over burn-in AND sampling (the generic driver's counting
@@ -218,11 +234,27 @@ def run_fused_rw(
     kernel = _make_kernel(
         p, float(n_obs), n_burn, n_iter, out_rows,
         bool(adapt_step), float(target_accept), float(adapt_rate), domain is not None,
+        init is not None,
     )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+    args = [jnp.asarray([seed], jnp.int32), scal]
+    if init is not None:
+        h_in = jnp.asarray(init["h"], jnp.float32).reshape(n_chains, p)
+        ls_in = jnp.asarray(init.get("log_step", jnp.log(vec(step)[0])), jnp.float32).reshape(-1)
+        ls_in = jnp.broadcast_to(ls_in, (n_chains,))
+        # kernel carry holds the log step-SCALE (multiplier on the base step)
+        scale_in = ls_in - jnp.log(vec(step)[0])
+        acc_in = jnp.broadcast_to(
+            jnp.asarray(init.get("acc", 0.0), jnp.float32).reshape(-1), (n_chains,)
+        )
+        rows_in = jnp.concatenate([h_in.T, scale_in[None, :], acc_in[None, :]], axis=0)
+        rows_in = jnp.pad(rows_in, ((0, 0), (0, b_total - n_chains)))
+        in_specs.append(pl.BlockSpec((p + 2, BLOCK_B), lambda i: (0, i)))
+        args.append(rows_in)
     (out,) = pl.pallas_call(
         kernel,
         grid=(b_total // BLOCK_B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
         out_shape=(jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32),),
         scratch_shapes=[
@@ -230,7 +262,7 @@ def run_fused_rw(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(jnp.asarray([seed], jnp.int32), scal)
+    )(*args)
 
     draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
     h = draws[:, :, 0] if scalar_out else draws[:, :, :p]

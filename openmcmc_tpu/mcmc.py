@@ -295,10 +295,12 @@ class MCMC:
         counted over burn + sampling), Robbins-Monro ``adapt_step`` with the same
         burn-in window, ``n_thin`` (the launch runs n_thin-scaled sweeps and the
         draw axis is strided), and chain-axis Mesh sharding (one independent kernel
-        per device over its chain shard). They do not support ``resume``
-        continuation (the kernels use the on-chip PRNG, whose state cannot be
-        re-imported into the threefry stream) -- combining engine="fused" with
-        resume raises; engine="auto" with resume runs generic."""
+        per device over its chain shard). ``resume`` works for engines whose
+        kernels take per-chain warm-start inputs (currently the random walk): the
+        continuation freshly seeds the on-chip PRNG stream -- a valid Markov
+        continuation, though not a bit-identical extension of the original
+        threefry stream. Other engines fall back to the generic resume path
+        under "auto"; engine="fused" raises for them."""
         if engine not in ("generic", "auto", "fused"):
             raise ValueError("engine must be 'generic', 'auto' or 'fused'")
         if self.mesh is not None and "seq" in self.mesh.axis_names:
@@ -325,18 +327,20 @@ class MCMC:
                 store=store, log_post=log_post, stats=stats, final_state=final_state,
                 final_key=jax.random.split(self.key, self.n_chains), engine=runner.engine_name,
             )
-        if engine == "fused" and resume is not None:
-            raise ValueError(
-                "engine='fused' cannot continue from resume (fused engines use the "
-                "on-chip PRNG stream); use engine='generic' or 'auto' to resume"
-            )
-        if engine in ("auto", "fused") and resume is None:
+        if engine in ("auto", "fused"):
             from openmcmc_tpu.fused.dispatch import match_fused_engine
 
-            runner = match_fused_engine(self)
+            runner = match_fused_engine(self, resume=resume)
             if runner is not None:
                 return self._run_fused(runner)
             if engine == "fused":
+                if resume is not None:
+                    raise ValueError(
+                        "engine='fused': no fused engine supports resume for this "
+                        "configuration (only kernels with per-chain warm-start "
+                        "inputs can continue a run); use engine='generic' or "
+                        "'auto' to resume"
+                    )
                 raise ValueError(
                     "engine='fused': no fused engine matches this model/sampler configuration"
                 )
@@ -441,6 +445,7 @@ class MCMC:
         n_chunks: int,
         checkpoint_path: Optional[str] = None,
         progress: bool = True,
+        engine: str = "generic",
     ) -> MCMCResult:
         """Run n_iter iterations as ``n_chunks`` device programs with host visibility.
 
@@ -452,6 +457,9 @@ class MCMC:
         from the carried per-chain keys, which is an equally valid PRNG stream.
 
         n_iter must be divisible by n_chunks. Burn-in runs inside the first chunk.
+        ``engine``: forwarded to :meth:`run` -- "auto" lets resume-capable fused
+        engines (random walk) execute each chunk as one kernel launch, bounding
+        single-program runtime (long fused runs can exceed device watchdogs).
         """
         import time as _time
 
@@ -465,7 +473,7 @@ class MCMC:
         try:
             t0 = _time.perf_counter()
             for chunk in range(n_chunks):
-                result = self.run(resume=result)
+                result = self.run(resume=result, engine=engine)
                 stores.append(result.store)
                 log_posts.append(result.log_post)
                 if checkpoint_path is not None:
@@ -493,4 +501,5 @@ class MCMC:
             stats=result.stats,
             final_state=result.final_state,
             final_key=result.final_key,
+            engine=result.engine,
         )

@@ -440,3 +440,38 @@ def test_mmala_adapt_matches_and_runs(rng):
     assert "log_step" in res.stats["beta"]
     assert res.stats["beta"]["log_step"].shape == (8, 1, 1)
     assert bool(np.isfinite(np.asarray(res.store["beta"])).all())
+
+
+def test_fused_rw_resume_continues_exactly():
+    """Round-3: resume works for the RW engine (per-chain warm-start inputs).
+    Under the deterministic interpret stub, a full run must equal a half run
+    plus a resumed half EXACTLY -- state, adapted step, accept/proposal counters
+    all carry across the boundary; non-resumable engines still raise for
+    engine='fused' and run generic for 'auto'."""
+    from openmcmc_tpu.samplers import RandomWalk as RW
+
+    mdl = Model([Normal("y", mean="h", precision="tau"), Normal("h", mean="mu", precision="lambda")])
+    state = {
+        "y": np.array([[150.0, 155.0, 190.0, 160.0, 173.0]]),
+        "h": 200.0, "tau": jnp.eye(1) / 200.0, "mu": 160.0, "lambda": jnp.eye(1) / 100.0,
+    }
+
+    def make(n_iter, seed):
+        return MCMC(dict(state), [RW("h", mdl, step=40.0, adapt_step=True, adapt_rate=0.1)],
+                    mdl, n_burn=3, n_iter=n_iter, n_chains=8, seed=seed)
+
+    with pltpu.force_tpu_interpret_mode():
+        full = make(6, 0).run(engine="auto")
+        seg1 = make(3, 1).run(engine="auto")
+        m2 = make(3, 2)
+        seg2 = m2.run(engine="fused", resume=seg1)
+    assert seg2.engine == "fused_random_walk"
+    h_cat = np.concatenate([np.asarray(seg1.store["h"]), np.asarray(seg2.store["h"])], axis=1)
+    np.testing.assert_allclose(np.asarray(full.store["h"]), h_cat, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(full.stats["h"]["log_step"]),
+                               np.asarray(seg2.stats["h"]["log_step"]), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(full.stats["h"]["accept"]),
+                                  np.asarray(seg2.stats["h"]["accept"]))
+    # proposal window accumulates: (3 burn + 3) + 3 resumed
+    assert int(np.asarray(seg2.stats["h"]["proposal"])[0]) == 9
+    assert int(np.asarray(full.stats["h"]["proposal"])[0]) == 9
