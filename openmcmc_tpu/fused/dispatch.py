@@ -284,6 +284,18 @@ def _match_smoother(mcmc) -> Optional[Callable]:
         # sampler param, exactly like the generic driver's init_stats()
         return store, out["log_post"], {latent: {}, lam_name: {}, tau_name: {}}
 
+    def _resume_init(resume):
+        """Per-chain (lam, tau) warm start -- the conjugate kernels' whole carry:
+        the latent redraws from its full conditional each sweep, so continuing
+        from the final scales IS the generic continuation semantics."""
+        if resume is None:
+            return None, mcmc.n_burn
+        init = {
+            "lam": jnp.asarray(resume.final_state[lam_name]).reshape(-1),
+            "tau": jnp.asarray(resume.final_state[tau_name]).reshape(-1),
+        }
+        return init, 0
+
     if spectral:
         from openmcmc_tpu.fused.spectral import run_spectral_smoother
 
@@ -293,14 +305,15 @@ def _match_smoother(mcmc) -> Optional[Callable]:
         # pseudo-constant than the eigenvalue product -- pass the generic value
         logdet_p0 = float(2.0 * np.sum(np.log(np.asarray(st.diag(st.cholesky(plam))))))
 
-        def run(seed):
+        def run(seed, resume=None):
+            init, n_burn = _resume_init(resume)
             out = run_spectral_smoother(
                 seed, np.asarray(jnp.asarray(y).reshape(-1)), np.asarray(st.to_dense(plam)),
-                n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+                n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
                 a_lam=hyp_lam[0], b_lam=hyp_lam[1], a_tau=hyp_tau[0], b_tau=hyp_tau[1],
                 lam0=lam0, tau0=tau0,
                 noise_diag=np.asarray(ptau.diag_), mu0=np.asarray(jnp.asarray(mu).reshape(-1)),
-                logdet_p0=logdet_p0,
+                logdet_p0=logdet_p0, init=init,
             )
             return _package(out)
 
@@ -308,17 +321,19 @@ def _match_smoother(mcmc) -> Optional[Callable]:
     else:
         from openmcmc_tpu.fused.gmrf_smoother import run_fused_smoother
 
-        def run(seed):
+        def run(seed, resume=None):
+            init, n_burn = _resume_init(resume)
             out = run_fused_smoother(
                 seed, jnp.asarray(y).reshape(-1), None,
-                n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+                n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
                 a_lam=hyp_lam[0], b_lam=hyp_lam[1], a_tau=hyp_tau[0], b_tau=hyp_tau[1],
                 lam0=lam0, tau0=tau0, P0_bands=plam.bands,
-                noise_diag=ptau.diag_, mu0=jnp.asarray(mu).reshape(-1),
+                noise_diag=ptau.diag_, mu0=jnp.asarray(mu).reshape(-1), init=init,
             )
             return _package(out)
 
         run.engine_name = "fused_gmrf_smoother"
+    run.supports_resume = True
     return run
 
 
@@ -384,13 +399,22 @@ def _match_linreg(mcmc) -> Optional[Callable]:
 
         engine_name = "fused_linreg_spectral"
 
-    def run(seed):
+    def run(seed, resume=None):
+        init, n_burn = None, mcmc.n_burn
+        if resume is not None:
+            # the kernels' whole carry is (lam, tau): see _match_smoother
+            init = {
+                "lam": jnp.asarray(resume.final_state[lam_name]).reshape(-1),
+                "tau": jnp.asarray(resume.final_state[tau_name]).reshape(-1),
+            }
+            n_burn = 0
         out = _runner(
             seed, jnp.asarray(X), jnp.asarray(y).reshape(-1),
-            n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
             a_tau=hyp_tau[0], b_tau=hyp_tau[1], a_lam=hyp_lam[0], b_lam=hyp_lam[1],
             lam0=lam0, tau0=tau0,
             mu=jnp.asarray(mu).reshape(-1), plam_diag=plam.diag_, ptau_diag=ptau.diag_,
+            init=init,
         )
         store = {
             latent: out["beta"][..., None],
@@ -400,6 +424,7 @@ def _match_linreg(mcmc) -> Optional[Callable]:
         return store, out["log_post"], {latent: {}, lam_name: {}, tau_name: {}}
 
     run.engine_name = engine_name
+    run.supports_resume = True
     return run
 
 

@@ -52,7 +52,7 @@ def _block_b(p_pad: int) -> int:
 CHUNK = 8
 
 
-def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau0, block_b):
+def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau0, block_b, warm=False):
     n_chunks = p_pad // CHUNK
     half_p = 0.5 * p_real
     a_lam_star = a_lam + half_p
@@ -64,7 +64,13 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
     lgam_tau = float(a_tau * np.log(b_tau) - gammaln(a_tau))
 
     def kernel(seed_ref, logdet_ref, p0d_ref, p0c_ref, p0cprev_ref, y_ref, mask_ref, d_ref, mu_ref,
-               p0mu_ref, out_b_ref, out_s_ref, ld_ref, u_ref, x_ref, stage_ref, small_ref, sems, small_sems):
+               p0mu_ref, *refs):
+        if warm:
+            (init_ref, out_b_ref, out_s_ref, ld_ref, u_ref, x_ref,
+             stage_ref, small_ref, sems, small_sems) = refs
+        else:
+            (out_b_ref, out_s_ref, ld_ref, u_ref, x_ref,
+             stage_ref, small_ref, sems, small_sems) = refs
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid)
         ones_row = jnp.ones((1, block_b), jnp.float32)
@@ -185,8 +191,13 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
 
             return lam_new, tau_new
 
-        lam0_row = jnp.full((1, block_b), lam0, jnp.float32)
-        tau0_row = jnp.full((1, block_b), tau0, jnp.float32)
+        if warm:
+            # per-chain warm start (resume): rows [lam | tau] (index-mapped block)
+            lam0_row = init_ref[0:1, :]
+            tau0_row = init_ref[1:2, :]
+        else:
+            lam0_row = jnp.full((1, block_b), lam0, jnp.float32)
+            tau0_row = jnp.full((1, block_b), tau0, jnp.float32)
         lax.fori_loop(0, n_burn + n_keep, iteration, (lam0_row, tau0_row))
 
         # drain the (up to two) in-flight copies; n_keep is static
@@ -223,6 +234,7 @@ def run_fused_smoother(
     P0_bands: Optional[jnp.ndarray] = None,
     noise_diag: Optional[jnp.ndarray] = None,
     mu0: Optional[jnp.ndarray] = None,
+    init=None,
 ):
     """Run the full GMRF smoother MCMC in one fused kernel.
 
@@ -267,13 +279,23 @@ def run_fused_smoother(
     b_total = n_chains + ((-n_chains) % block_b)
     kernel = _make_kernel(
         p_pad, float(p_real), n_burn, n_iter, float(a_lam), float(b_lam), float(a_tau), float(b_tau),
-        float(lam0), float(tau0), block_b,
+        float(lam0), float(tau0), block_b, warm=init is not None,
     )
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 8
+    args = [jnp.asarray([seed], jnp.int32), logdets, p0d, p0c, p0cprev, yv, mask, dv, muv, p0muv]
+    if init is not None:
+        rows_in = jnp.stack([
+            jnp.asarray(init["lam"], jnp.float32).reshape(-1),
+            jnp.asarray(init["tau"], jnp.float32).reshape(-1),
+        ])
+        rows_in = jnp.pad(rows_in, ((0, 0), (0, b_total - n_chains)))
+        in_specs.append(pl.BlockSpec((2, block_b), lambda i: (0, i)))
+        args.append(rows_in)
     out_b, out_s = pl.pallas_call(
         kernel,
         grid=(b_total // block_b,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 8,
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -298,7 +320,7 @@ def run_fused_smoother(
             # conservative, v5e has 128 MB
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(jnp.asarray([seed], jnp.int32), logdets, p0d, p0c, p0cprev, yv, mask, dv, muv, p0muv)
+    )(*args)
 
     b_draws = jnp.transpose(out_b[:, :p_real, :n_chains], (2, 0, 1))  # (chains, iters, p)
     small = jnp.transpose(out_s[:, :, :n_chains], (2, 0, 1))  # (chains, iters, 8)

@@ -40,7 +40,7 @@ BLOCK_B = 2048
 MAX_P = 16
 
 
-def _make_kernel(p, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau0, out_rows):
+def _make_kernel(p, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau0, out_rows, warm=False):
     a_tau_star = a_tau + 0.5 * n_obs
     a_lam_star = a_lam + 0.5 * p
     from scipy.special import gammaln
@@ -48,7 +48,11 @@ def _make_kernel(p, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau
     lgam_lam = float(a_lam * np.log(b_lam) - gammaln(a_lam))
     lgam_tau = float(a_tau * np.log(b_tau) - gammaln(a_tau))
 
-    def kernel(seed_ref, scal_ref, out_ref, stage_ref, sems):
+    def kernel(seed_ref, scal_ref, *refs):
+        if warm:
+            init_ref, out_ref, stage_ref, sems = refs
+        else:
+            out_ref, stage_ref, sems = refs
         # scal_ref (SMEM): [G (p*p) | c (p) | plam (p) | mu (p) | yPy | logdet_plam | logdet_ptau]
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid)
@@ -146,8 +150,13 @@ def _make_kernel(p, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau
 
             return lam_new, tau_new
 
-        lam0_row = jnp.full((1, BLOCK_B), lam0, jnp.float32)
-        tau0_row = jnp.full((1, BLOCK_B), tau0, jnp.float32)
+        if warm:
+            # per-chain warm start (resume): rows [lam | tau] (index-mapped block)
+            lam0_row = init_ref[0:1, :]
+            tau0_row = init_ref[1:2, :]
+        else:
+            lam0_row = jnp.full((1, BLOCK_B), lam0, jnp.float32)
+            tau0_row = jnp.full((1, BLOCK_B), tau0, jnp.float32)
         lax.fori_loop(0, n_burn + n_keep, iteration, (lam0_row, tau0_row))
 
         for last in range(max(0, n_keep - 2), n_keep):
@@ -181,6 +190,7 @@ def run_fused_linreg(
     mu=None,
     plam_diag=None,
     ptau_diag=None,
+    init=None,
 ):
     """Run the full Bayesian linear regression MCMC in one fused kernel.
 
@@ -211,12 +221,22 @@ def run_fused_linreg(
     b_total = n_chains + ((-n_chains) % BLOCK_B)
     kernel = _make_kernel(
         p, float(n_obs), n_burn, n_iter, float(a_lam), float(b_lam), float(a_tau), float(b_tau),
-        float(lam0), float(tau0), out_rows,
+        float(lam0), float(tau0), out_rows, warm=init is not None,
     )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+    args = [jnp.asarray([seed], jnp.int32), scal]
+    if init is not None:
+        rows_in = jnp.stack([
+            jnp.asarray(init["lam"], jnp.float32).reshape(-1),
+            jnp.asarray(init["tau"], jnp.float32).reshape(-1),
+        ])
+        rows_in = jnp.pad(rows_in, ((0, 0), (0, b_total - n_chains)))
+        in_specs.append(pl.BlockSpec((2, BLOCK_B), lambda i: (0, i)))
+        args.append(rows_in)
     (out,) = pl.pallas_call(
         kernel,
         grid=(b_total // BLOCK_B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
         out_shape=(jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32),),
         scratch_shapes=[
@@ -224,7 +244,7 @@ def run_fused_linreg(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(jnp.asarray([seed], jnp.int32), scal)
+    )(*args)
 
     draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))  # (chains, iters, rows)
     return {

@@ -76,7 +76,7 @@ def _eigenbasis(G: np.ndarray, plam: np.ndarray):
 
 
 def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau,
-                        lam0, tau0, block_b):
+                        lam0, tau0, block_b, warm=False):
     a_tau_star = a_tau + 0.5 * n_obs
     a_lam_star = a_lam + 0.5 * p_real
     from scipy.special import gammaln
@@ -85,7 +85,11 @@ def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_ta
     lgam_tau = float(a_tau * np.log(b_tau) - gammaln(a_tau))
 
     def kernel(seed_ref, scal_ref, V_ref, svec_ref, wmu_ref, cv_ref, mask_ref,
-               out_ref, stage_ref, sems):
+               *refs):
+        if warm:
+            init_ref, out_ref, stage_ref, sems = refs
+        else:
+            out_ref, stage_ref, sems = refs
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid)
         yPy = scal_ref[0]
@@ -145,8 +149,13 @@ def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_ta
 
             return lam_new, tau_new
 
-        lam0_row = jnp.full((1, block_b), lam0, jnp.float32)
-        tau0_row = jnp.full((1, block_b), tau0, jnp.float32)
+        if warm:
+            # per-chain warm start (resume): rows [lam | tau] (index-mapped block)
+            lam0_row = init_ref[0:1, :]
+            tau0_row = init_ref[1:2, :]
+        else:
+            lam0_row = jnp.full((1, block_b), lam0, jnp.float32)
+            tau0_row = jnp.full((1, block_b), tau0, jnp.float32)
         lax.fori_loop(0, n_burn + n_keep, iteration, (lam0_row, tau0_row))
 
         for last in range(max(0, n_keep - 2), n_keep):
@@ -164,7 +173,7 @@ def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_ta
 )
 def _run_spectral_linreg_jit(seed, V, svec, wmu, cv, yPy, logdet_plam, logdet_ptau,
                              n_burn, n_iter, n_chains, a_lam, b_lam, a_tau, b_tau, lam0, tau0,
-                             n_obs, p_real):
+                             n_obs, p_real, init=None):
     p_pad = V.shape[0]
     block_b = _block_b(p_pad)
     b_total = n_chains + ((-n_chains) % block_b)
@@ -173,13 +182,24 @@ def _run_spectral_linreg_jit(seed, V, svec, wmu, cv, yPy, logdet_plam, logdet_pt
     kernel = _make_linreg_kernel(
         p_pad, float(p_real), float(n_obs), n_burn, n_iter,
         float(a_lam), float(b_lam), float(a_tau), float(b_tau), float(lam0), float(tau0), block_b,
+        warm=init is not None,
     )
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
     scal = jnp.stack([yPy, logdet_plam, logdet_ptau]).astype(jnp.float32)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 5
+    args = [jnp.asarray([seed], jnp.int32), scal, V, svec, wmu, cv, mask]
+    if init is not None:
+        rows_in = jnp.stack([
+            jnp.asarray(init["lam"], jnp.float32).reshape(-1),
+            jnp.asarray(init["tau"], jnp.float32).reshape(-1),
+        ])
+        rows_in = jnp.pad(rows_in, ((0, 0), (0, b_total - n_chains)))
+        in_specs.append(pl.BlockSpec((2, block_b), lambda i: (0, i)))
+        args.append(rows_in)
     (out,) = pl.pallas_call(
         kernel,
         grid=(b_total // block_b,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 5,
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
         out_shape=(jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32),),
         scratch_shapes=[
@@ -187,7 +207,7 @@ def _run_spectral_linreg_jit(seed, V, svec, wmu, cv, yPy, logdet_plam, logdet_pt
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(jnp.asarray([seed], jnp.int32), scal, V, svec, wmu, cv, mask)
+    )(*args)
     draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
     return {
         "beta": draws[:, :, :p_real],
@@ -200,7 +220,7 @@ def _run_spectral_linreg_jit(seed, V, svec, wmu, cv, yPy, logdet_plam, logdet_pt
 def run_spectral_linreg(
     seed, X, y, n_burn, n_iter, n_chains,
     a_tau=1e-3, b_tau=1e-3, a_lam=1e-3, b_lam=1e-3, lam0=0.01, tau0=1.0,
-    mu=None, plam_diag=None, ptau_diag=None,
+    mu=None, plam_diag=None, ptau_diag=None, init=None,
 ):
     """Bayesian linear regression, whole run in one launch, p <= 256.
 
@@ -239,7 +259,7 @@ def run_spectral_linreg(
         jnp.asarray(np.sum(np.log(ptau)), jnp.float32),
         n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
         a_lam=float(a_lam), b_lam=float(b_lam), a_tau=float(a_tau), b_tau=float(b_tau),
-        lam0=float(lam0), tau0=float(tau0), n_obs=n_obs, p_real=p,
+        lam0=float(lam0), tau0=float(tau0), n_obs=n_obs, p_real=p, init=init,
     )
 
 
@@ -249,7 +269,7 @@ def run_spectral_linreg(
 
 
 def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau,
-                          lam0, tau0, block_b):
+                          lam0, tau0, block_b, warm=False):
     a_lam_star = a_lam + 0.5 * p_real
     a_tau_star = a_tau + 0.5 * p_real
     from scipy.special import gammaln
@@ -258,7 +278,11 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
     lgam_tau = float(a_tau * np.log(b_tau) - gammaln(a_tau))
 
     def kernel(seed_ref, scal_ref, W_ref, svec_ref, wy_ref, wmu_ref, mask_ref,
-               out_ref, stage_ref, sems):
+               *refs):
+        if warm:
+            init_ref, out_ref, stage_ref, sems = refs
+        else:
+            out_ref, stage_ref, sems = refs
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid)
         logdet_p0 = scal_ref[0]
@@ -318,8 +342,13 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
 
             return lam_new, tau_new
 
-        lam0_row = jnp.full((1, block_b), lam0, jnp.float32)
-        tau0_row = jnp.full((1, block_b), tau0, jnp.float32)
+        if warm:
+            # per-chain warm start (resume): rows [lam | tau] (index-mapped block)
+            lam0_row = init_ref[0:1, :]
+            tau0_row = init_ref[1:2, :]
+        else:
+            lam0_row = jnp.full((1, block_b), lam0, jnp.float32)
+            tau0_row = jnp.full((1, block_b), tau0, jnp.float32)
         lax.fori_loop(0, n_burn + n_keep, iteration, (lam0_row, tau0_row))
 
         for last in range(max(0, n_keep - 2), n_keep):
@@ -337,7 +366,7 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
 )
 def _run_spectral_smoother_jit(seed, W, svec, wy, wmu, logdet_p0, logdet_d,
                                n_burn, n_iter, n_chains, a_lam, b_lam, a_tau, b_tau,
-                               lam0, tau0, p_real):
+                               lam0, tau0, p_real, init=None):
     p_pad = W.shape[0]
     block_b = _block_b(p_pad)
     b_total = n_chains + ((-n_chains) % block_b)
@@ -346,13 +375,24 @@ def _run_spectral_smoother_jit(seed, W, svec, wy, wmu, logdet_p0, logdet_d,
     kernel = _make_smoother_kernel(
         p_pad, float(p_real), n_burn, n_iter,
         float(a_lam), float(b_lam), float(a_tau), float(b_tau), float(lam0), float(tau0), block_b,
+        warm=init is not None,
     )
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
     scal = jnp.stack([logdet_p0, logdet_d]).astype(jnp.float32)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 5
+    args = [jnp.asarray([seed], jnp.int32), scal, W, svec, wy, wmu, mask]
+    if init is not None:
+        rows_in = jnp.stack([
+            jnp.asarray(init["lam"], jnp.float32).reshape(-1),
+            jnp.asarray(init["tau"], jnp.float32).reshape(-1),
+        ])
+        rows_in = jnp.pad(rows_in, ((0, 0), (0, b_total - n_chains)))
+        in_specs.append(pl.BlockSpec((2, block_b), lambda i: (0, i)))
+        args.append(rows_in)
     (out,) = pl.pallas_call(
         kernel,
         grid=(b_total // block_b,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 5,
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
         out_shape=(jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32),),
         scratch_shapes=[
@@ -360,7 +400,7 @@ def _run_spectral_smoother_jit(seed, W, svec, wy, wmu, logdet_p0, logdet_d,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(jnp.asarray([seed], jnp.int32), scal, W, svec, wy, wmu, mask)
+    )(*args)
     draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
     return {
         "b": draws[:, :, :p_real],
@@ -373,7 +413,7 @@ def _run_spectral_smoother_jit(seed, W, svec, wy, wmu, logdet_p0, logdet_d,
 def run_spectral_smoother(
     seed, y, P0, n_burn, n_iter, n_chains,
     a_lam=10.0, b_lam=1.0, a_tau=1.0, b_tau=1.0, lam0=100.0, tau0=1.0,
-    noise_diag=None, mu0=None, logdet_p0=None,
+    noise_diag=None, mu0=None, logdet_p0=None, init=None,
 ):
     """GMRF smoother with ARBITRARY symmetric prior precision, one launch, p <= 1024.
 
@@ -423,7 +463,7 @@ def run_spectral_smoother(
         jnp.asarray(logdet_p0, jnp.float32), jnp.asarray(logdet_d, jnp.float32),
         n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
         a_lam=float(a_lam), b_lam=float(b_lam), a_tau=float(a_tau), b_tau=float(b_tau),
-        lam0=float(lam0), tau0=float(tau0), p_real=p,
+        lam0=float(lam0), tau0=float(tau0), p_real=p, init=init,
     )
 
 

@@ -163,11 +163,35 @@ def test_extra_likelihood_blocks_match(rng):
     assert match_fused_engine(m2) is None
 
 
-def test_fused_resume_raises(rng):
-    m = _smoother_mcmc(rng)
-    res = m.run()
+def test_fused_resume_support_and_raises(rng):
+    """Round-3: the conjugate engines' whole carry is (lam, tau), so resume works
+    -- under the deterministic stub a full smoother run equals two chained half
+    runs exactly. Resume + mesh is not shardable and engine='fused' raises."""
+    from jax.sharding import Mesh
+
+    def fresh():
+        return _smoother_mcmc(np.random.default_rng(42), n_chains=8)
+
+    with pltpu.force_tpu_interpret_mode():
+        full = fresh().run(engine="auto")
+        m1 = fresh()
+        m1.n_iter = 3
+        seg1 = m1.run(engine="auto")
+        m2 = fresh()
+        m2.n_iter = 3
+        seg2 = m2.run(engine="fused", resume=seg1)
+    assert seg2.engine == "fused_smoother_spectral"
+    b_cat = np.concatenate([np.asarray(seg1.store["b"]), np.asarray(seg2.store["b"])], axis=1)
+    np.testing.assert_allclose(np.asarray(full.store["b"]), b_cat, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(full.store["tau"]),
+                               np.concatenate([np.asarray(seg1.store["tau"]),
+                                               np.asarray(seg2.store["tau"])], axis=1), rtol=1e-5)
+
+    # resume + mesh: per-shard resume slicing is not implemented -> fused raises
+    m = _smoother_mcmc(np.random.default_rng(42), n_chains=8,
+                       mesh=Mesh(np.array(jax.devices()[:4]), ("chains",)))
     with pytest.raises(ValueError, match="resume"):
-        m.run(engine="fused", resume=res)
+        m.run(engine="fused", resume=full)
 
 
 def test_x64_blocks_match(rng):
