@@ -13,10 +13,11 @@ A failed match returns None and the driver falls back to the generic path, so
 ``engine="auto"`` is always safe.
 
 Engine results reproduce store/log_post/acceptance. ``run(resume=...)`` works
-for engines whose kernels take per-chain warm-start inputs (currently the random
-walk); the continuation freshly seeds the on-chip PRNG stream -- a valid Markov
-continuation, though not a bit-identical extension of the original threefry
-stream. Other engines fall back to the generic resume path.
+across the fused families (per-chain warm-start kernel inputs); the continuation
+freshly seeds the on-chip PRNG stream -- a valid Markov continuation, though not
+a bit-identical extension of the original threefry stream. Non-resumable cases
+(spectral mMALA, count-only RJ results, resume + mesh) fall back to the generic
+resume path.
 """
 
 from __future__ import annotations
@@ -71,11 +72,12 @@ def _scaled_precision(dist):
 def match_fused_engine(mcmc, resume=None) -> Optional[Callable]:
     """Return a zero-arg callable running the MCMC as a fused kernel, or None.
 
-    ``resume``: an MCMCResult to continue from. Only engines whose kernels take
-    per-chain warm-start inputs support it (currently the random walk); others
-    return None so the driver falls back to the generic resume path. A fused
-    resume freshly seeds the on-chip PRNG stream -- a valid Markov continuation,
-    not a bit-identical extension of the original threefry stream."""
+    ``resume``: an MCMCResult to continue from. Every fused family's kernel
+    takes per-chain warm-start inputs; non-resumable cases (spectral mMALA,
+    count-only RJ results, resume + mesh) return None so the driver falls back
+    to the generic resume path. A fused resume freshly seeds the on-chip PRNG
+    stream -- a valid Markov continuation, not a bit-identical extension of the
+    original threefry stream."""
     import jax
 
     if mcmc.mesh is not None:
@@ -115,6 +117,9 @@ def match_fused_engine(mcmc, resume=None) -> Optional[Callable]:
         if runner is not None:
             if resume is not None:
                 if not getattr(runner, "supports_resume", False):
+                    return None
+                resume_ok = getattr(runner, "resume_ok", None)
+                if resume_ok is not None and not resume_ok(resume):
                     return None
                 bound = functools.partial(runner, resume=resume)
                 bound.engine_name = runner.engine_name
@@ -686,10 +691,31 @@ def _match_rj(mcmc) -> Optional[Callable]:
 
     from openmcmc_tpu.fused.rj import run_fused_rj
 
-    def run(seed):
+    def run(seed, resume=None):
+        warm, n_burn, prop0 = None, mcmc.n_burn, 0
+        if resume is not None:
+            fs, rstats = resume.final_state, resume.stats
+            warm = {
+                "beta": jnp.asarray(fs[beta]).reshape(mcmc.n_chains, n_max),
+                "theta": jnp.asarray(fs[theta]).reshape(mcmc.n_chains, n_max),
+                "omega": jnp.asarray(fs[omega]).reshape(mcmc.n_chains, n_max),
+                "k": jnp.asarray(fs[count]).astype(jnp.float32).reshape(-1),
+                # carry counter order: acc_mmala, acc_theta, acc_omega, acc_rj,
+                # prop_theta, prop_omega
+                "counters": jnp.stack([
+                    jnp.asarray(rstats[beta]["accept"]).astype(jnp.float32).reshape(-1),
+                    jnp.asarray(rstats[theta]["accept"]).astype(jnp.float32).reshape(-1),
+                    jnp.asarray(rstats[omega]["accept"]).astype(jnp.float32).reshape(-1),
+                    jnp.asarray(rstats[count]["accept"]).astype(jnp.float32).reshape(-1),
+                    jnp.asarray(rstats[theta]["proposal"]).astype(jnp.float32).reshape(-1),
+                    jnp.asarray(rstats[omega]["proposal"]).astype(jnp.float32).reshape(-1),
+                ]),
+            }
+            prop0 = jnp.asarray(rstats[count]["proposal"]).reshape(-1)
+            n_burn = 0
         out = run_fused_rj(
             seed, np.asarray(X).reshape(-1),
-            n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains, n_max=n_max,
+            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains, n_max=n_max,
             beta0=np.asarray(init[beta]), theta0=np.asarray(init[theta]),
             omega0=np.asarray(init[omega]), k0=float(np.asarray(init[count]).reshape(())),
             rho=rho, mu_beta=mu_b, tau_beta=tau_b, a_omega=hyp_om[0], b_omega=hyp_om[1],
@@ -699,7 +725,7 @@ def _match_rj(mcmc) -> Optional[Callable]:
             step_mmala=float(np.asarray(mala.step_size).reshape(())),
             step_theta=float(np.asarray(rw_th.step_size).reshape(())),
             step_omega=float(np.asarray(rw_om.step_size).reshape(())),
-            stream_params=stream,
+            stream_params=stream, init=warm,
         )
         store = {count: out["n_basis"][..., None, None].astype(jnp.int32)}
         if stream:
@@ -707,7 +733,7 @@ def _match_rj(mcmc) -> Optional[Callable]:
             store[beta] = out["beta"][..., None]
             store[theta] = out["theta"][:, :, None, :]
             store[omega] = out["omega"][:, :, None, :]
-        n_prop = jnp.full((mcmc.n_chains,), mcmc.n_burn + mcmc.n_iter, jnp.int32)
+        n_prop = prop0 + jnp.full((mcmc.n_chains,), n_burn + mcmc.n_iter, jnp.int32)
         stats = {
             beta: {"accept": out["accept_mmala"].astype(jnp.int32), "proposal": n_prop},
             theta: {
@@ -723,6 +749,17 @@ def _match_rj(mcmc) -> Optional[Callable]:
         return store, out["log_post"], stats
 
     run.engine_name = "fused_rj"
+    run.supports_resume = True
+
+    def _resume_ok(resume):
+        # per-chain warm start needs the padded parameter finals: present after a
+        # generic run or a streamed fused run, absent after a count-only fused run
+        return all(name in resume.final_state for name in (beta, theta, omega, count)) and all(
+            name in resume.stats and "accept" in resume.stats[name]
+            for name in (beta, theta, omega, count)
+        )
+
+    run.resume_ok = _resume_ok
     return run
 
 
@@ -852,29 +889,43 @@ def _match_mixture(mcmc) -> Optional[Callable]:
 
     from openmcmc_tpu.fused.mixture import run_fused_mixture
 
-    def run(seed):
+    def run(seed, resume=None):
+        init, n_burn, prop0 = None, mcmc.n_burn, 0
+        if resume is not None:
+            # the kernel carry is (mu rows, lam rows, accept count); Z redraws
+            # from its full conditional each sweep
+            init = {
+                "mu": jnp.asarray(resume.final_state[mu_name]).reshape(mcmc.n_chains, k_comp),
+                "lam": jnp.asarray(resume.final_state[lam_name]).reshape(mcmc.n_chains, k_comp),
+            }
+            rstats = resume.stats.get(mu_name, {})
+            if "accept" in rstats:
+                init["acc"] = jnp.asarray(rstats["accept"]).astype(jnp.float32).reshape(-1)
+                prop0 = rstats["proposal"]
+            n_burn = 0
         out = run_fused_mixture(
             seed, yv.reshape(-1), prior,
-            n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
             mu0=mu0v, p0=p0, a0=a0, b0=b0, mu_init=mu_i, lam_init=lam_i,
-            step=float(np.asarray(rwl.step_size).reshape(())), domain=domain,
+            step=float(np.asarray(rwl.step_size).reshape(())), domain=domain, init=init,
         )
         store = {
             mu_name: out["means"][..., None],
             lam_name: out["lams"][..., None],
         }
-        n_prop = mcmc.n_burn + mcmc.n_iter  # one active column per sweep
+        n_prop = n_burn + mcmc.n_iter  # one active column per sweep
         stats = {
             z_name: {},
             mu_name: {
                 "accept": out["accept_total"].astype(jnp.int32),
-                "proposal": jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
+                "proposal": prop0 + jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
             },
             lam_name: {},
         }
         return store, out["log_post"], stats
 
     run.engine_name = "fused_mixture"
+    run.supports_resume = True
     return run
 
 
@@ -942,13 +993,27 @@ def _match_mmala(mcmc) -> Optional[Callable]:
 
         engine_name = "fused_mmala_spectral"
 
-    def run(seed):
+    unrolled = engine_name == "fused_mmala"
+
+    def run(seed, resume=None):
         extra = {}
         if mm.adapt_step:
             extra = dict(adapt_step=True, target_accept=mm.target_accept, adapt_rate=mm.adapt_rate)
+        n_burn = mcmc.n_burn
+        prop0 = 0
+        if resume is not None:
+            init = {"beta": jnp.asarray(resume.final_state[latent]).reshape(mcmc.n_chains, p)}
+            rstats = resume.stats.get(latent, {})
+            if "log_step" in rstats:
+                init["log_step"] = jnp.asarray(rstats["log_step"]).reshape(-1)
+            if "accept" in rstats:
+                init["acc"] = jnp.asarray(rstats["accept"]).astype(jnp.float32).reshape(-1)
+                prop0 = rstats["proposal"]
+            extra["init"] = init
+            n_burn = 0
         out = run_fused_mmala(
             seed, jnp.asarray(X), jnp.asarray(y).reshape(-1),
-            n_burn=mcmc.n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
             tau=tau, lam=lam, step=float(np.asarray(mm.step_size).reshape(())),
             ptau_diag=ptau.diag_, plam_diag=plam.diag_,
             mu0=jnp.asarray(mu0).reshape(-1),
@@ -956,11 +1021,11 @@ def _match_mmala(mcmc) -> Optional[Callable]:
             **extra,
         )
         store = {latent: out["beta"][..., None]}
-        n_prop = mcmc.n_burn + mcmc.n_iter  # generic counting window: burn + sampling
+        n_prop = n_burn + mcmc.n_iter  # generic counting window: burn + sampling
         stats = {
             latent: {
                 "accept": out["accept_total"].astype(jnp.int32),
-                "proposal": jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
+                "proposal": prop0 + jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
             }
         }
         if mm.adapt_step:
@@ -969,4 +1034,5 @@ def _match_mmala(mcmc) -> Optional[Callable]:
         return store, out["log_post"], stats
 
     run.engine_name = engine_name
+    run.supports_resume = unrolled  # the spectral engine has no warm-start inputs
     return run

@@ -62,8 +62,12 @@ def _block_b(n_pad: int) -> int:
     return 256
 
 
-def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, block_b):
-    def kernel(seed_ref, scal_ref, y_ref, lp_ref, mask_ref, out_ref, stage_ref, sems):
+def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, block_b, warm=False):
+    def kernel(seed_ref, scal_ref, y_ref, lp_ref, mask_ref, *refs):
+        if warm:
+            init_ref, out_ref, stage_ref, sems = refs
+        else:
+            out_ref, stage_ref, sems = refs
         # scal_ref (SMEM): [mu0 K | p0 K | a0 K | b0 K | mu_init K | lam_init K |
         #                   lb K | ub K | lgam K]   (lgam = a0 log b0 - gammaln(a0))
         pid = pl.program_id(0)
@@ -184,9 +188,16 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
 
             return tuple(mu_new) + tuple(lam_new) + (acc_new,)
 
-        mu_init = tuple(jnp.full((1, block_b), 0.0, jnp.float32) + scal_ref[4 * k_comp + k] for k in range(k_comp))
-        lam_init = tuple(jnp.full((1, block_b), 0.0, jnp.float32) + scal_ref[5 * k_comp + k] for k in range(k_comp))
-        carry0 = mu_init + lam_init + (jnp.zeros((1, block_b), jnp.float32),)
+        if warm:
+            # per-chain warm start (resume): rows [mu (K) | lam (K) | acc]
+            mu_init = tuple(init_ref[k : k + 1, :] for k in range(k_comp))
+            lam_init = tuple(init_ref[k_comp + k : k_comp + k + 1, :] for k in range(k_comp))
+            acc0 = init_ref[2 * k_comp : 2 * k_comp + 1, :]
+        else:
+            mu_init = tuple(jnp.full((1, block_b), 0.0, jnp.float32) + scal_ref[4 * k_comp + k] for k in range(k_comp))
+            lam_init = tuple(jnp.full((1, block_b), 0.0, jnp.float32) + scal_ref[5 * k_comp + k] for k in range(k_comp))
+            acc0 = jnp.zeros((1, block_b), jnp.float32)
+        carry0 = mu_init + lam_init + (acc0,)
         lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
@@ -202,17 +213,30 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
     jax.jit,
     static_argnames=("n_burn", "n_iter", "n_chains", "step", "has_domain"),
 )
-def _run_fused_mixture_jit(seed, scal, y_col, lp, mask, n_burn, n_iter, n_chains, step, has_domain):
+def _run_fused_mixture_jit(seed, scal, y_col, lp, mask, n_burn, n_iter, n_chains, step, has_domain,
+                           init=None):
     n_pad, k_comp = lp.shape
     block_b = _block_b(n_pad)
     b_total = n_chains + ((-n_chains) % block_b)
     out_rows = 2 * k_comp + 2 + ((-(2 * k_comp + 2)) % PAD)
-    kernel = _make_kernel(n_pad, k_comp, float(step), has_domain, n_burn, n_iter, out_rows, block_b)
+    kernel = _make_kernel(n_pad, k_comp, float(step), has_domain, n_burn, n_iter, out_rows, block_b,
+                          warm=init is not None)
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 3
+    args = [jnp.asarray([seed], jnp.int32), scal, y_col, lp, mask]
+    if init is not None:
+        rows_in = jnp.concatenate([
+            jnp.asarray(init["mu"], jnp.float32).reshape(n_chains, k_comp).T,
+            jnp.asarray(init["lam"], jnp.float32).reshape(n_chains, k_comp).T,
+            jnp.asarray(init.get("acc", jnp.zeros(n_chains)), jnp.float32).reshape(1, n_chains),
+        ], axis=0)
+        rows_in = jnp.pad(rows_in, ((0, 0), (0, b_total - n_chains)))
+        in_specs.append(pl.BlockSpec((2 * k_comp + 1, block_b), lambda i: (0, i)))
+        args.append(rows_in)
     (out,) = pl.pallas_call(
         kernel,
         grid=(b_total // block_b,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 3,
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
         out_shape=(jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32),),
         scratch_shapes=[
@@ -220,7 +244,7 @@ def _run_fused_mixture_jit(seed, scal, y_col, lp, mask, n_burn, n_iter, n_chains
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(jnp.asarray([seed], jnp.int32), scal, y_col, lp, mask)
+    )(*args)
     draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
     return {
         "means": draws[:, :, :k_comp],
@@ -245,6 +269,7 @@ def run_fused_mixture(
     lam_init,
     step=0.2,
     domain=None,
+    init=None,
 ):
     """Run the full K-component Gaussian-mixture Gibbs chain in one fused kernel.
 
@@ -297,5 +322,5 @@ def run_fused_mixture(
     return _run_fused_mixture_jit(
         seed, scal, y_col, lp, mask,
         n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
-        step=float(step), has_domain=domain is not None,
+        step=float(step), has_domain=domain is not None, init=init,
     )

@@ -39,10 +39,14 @@ BLOCK_B = 2048
 MAX_P = 16
 
 
-def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows, adapt, target, rate):
+def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows, adapt, target, rate, warm):
     s2 = step * step
 
-    def kernel(seed_ref, scal_ref, out_ref, stage_ref, sems):
+    def kernel(seed_ref, scal_ref, *refs):
+        if warm:
+            init_ref, out_ref, stage_ref, sems = refs
+        else:
+            out_ref, stage_ref, sems = refs
         # scal_ref (SMEM): [A (p*p) | L (p*p) | v (p) | c (p) | beta0 (p) |
         #                   yPy | logdet_tauP | logdet_lamPlam | logdetL]
         pid = pl.program_id(0)
@@ -144,12 +148,16 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows, adapt, targ
 
             return tuple(b_new) + (lp_new, acc_new, log_step)
 
-        b_init = tuple(jnp.full((1, BLOCK_B), 0.0, jnp.float32) + b0(i) for i in range(p))
-        carry0 = b_init + (
-            log_target(list(b_init)),
-            jnp.zeros((1, BLOCK_B), jnp.float32),
-            jnp.full((1, BLOCK_B), float(np.log(step)), jnp.float32),
-        )
+        if warm:
+            # per-chain warm start (resume): rows [b (p) | log_step | acc]
+            b_init = tuple(init_ref[i : i + 1, :] for i in range(p))
+            ls0 = init_ref[p : p + 1, :]
+            acc0 = init_ref[p + 1 : p + 2, :]
+        else:
+            b_init = tuple(jnp.full((1, BLOCK_B), 0.0, jnp.float32) + b0(i) for i in range(p))
+            ls0 = jnp.full((1, BLOCK_B), float(np.log(step)), jnp.float32)
+            acc0 = jnp.zeros((1, BLOCK_B), jnp.float32)
+        carry0 = b_init + (log_target(list(b_init)), acc0, ls0)
         lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
@@ -182,6 +190,7 @@ def run_fused_mmala(
     adapt_step: bool = False,
     target_accept: float = 0.574,
     adapt_rate: float = 0.05,
+    init=None,
 ):
     """Run the full manifold-MALA chain for beta | y in one fused kernel.
 
@@ -221,12 +230,26 @@ def run_fused_mmala(
     b_total = n_chains + ((-n_chains) % BLOCK_B)
     kernel = _make_kernel(
         p, float(n_obs), float(tau), float(lam), float(step), n_burn, n_iter, out_rows,
-        bool(adapt_step), float(target_accept), float(adapt_rate),
+        bool(adapt_step), float(target_accept), float(adapt_rate), init is not None,
     )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+    args = [jnp.asarray([seed], jnp.int32), scal]
+    if init is not None:
+        b_in = jnp.asarray(init["beta"], jnp.float32).reshape(n_chains, p)
+        ls_in = jnp.broadcast_to(
+            jnp.asarray(init.get("log_step", np.log(step)), jnp.float32).reshape(-1), (n_chains,)
+        )
+        acc_in = jnp.broadcast_to(
+            jnp.asarray(init.get("acc", 0.0), jnp.float32).reshape(-1), (n_chains,)
+        )
+        rows_in = jnp.concatenate([b_in.T, ls_in[None, :], acc_in[None, :]], axis=0)
+        rows_in = jnp.pad(rows_in, ((0, 0), (0, b_total - n_chains)))
+        in_specs.append(pl.BlockSpec((p + 2, BLOCK_B), lambda i: (0, i)))
+        args.append(rows_in)
     (out,) = pl.pallas_call(
         kernel,
         grid=(b_total // BLOCK_B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
         out_shape=(jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32),),
         scratch_shapes=[
@@ -234,7 +257,7 @@ def run_fused_mmala(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(jnp.asarray([seed], jnp.int32), scal)
+    )(*args)
 
     draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
     return {

@@ -80,7 +80,7 @@ _SQRT_2PI = 2.5066282746310002
 _RIDGE = 1e-6
 
 
-def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows):
+def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, warm=False):
     rho = cfg["rho"]
     mu_b = cfg["mu_beta"]
     tau_b = cfg["tau_beta"]
@@ -101,7 +101,11 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows):
     log_tau_term = float(0.5 * (np.log(tau_b) - LOG_2PI))
     log_ints = [float(np.log(i)) for i in range(1, p + 1)]
 
-    def kernel(seed_ref, x_ref, out_ref, stage_ref, sems):
+    def kernel(seed_ref, x_ref, *refs):
+        if warm:
+            init_ref, out_ref, stage_ref, sems = refs
+        else:
+            out_ref, stage_ref, sems = refs
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid)
         B = BLOCK_B
@@ -403,11 +407,23 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows):
         stage_ref[pl.ds(0, 1)] = jnp.zeros((1, n_rows, BLOCK_B), jnp.float32)
         zr = stage_ref[0]  # (n_rows, B) concrete zeros
         nz = zr[0:1, :]
-        beta0 = jnp.broadcast_to(x_ref[n_data : n_data + p, :], (p, BLOCK_B)) + nz
-        theta0 = jnp.broadcast_to(x_ref[n_data + p : n_data + 2 * p, :], (p, BLOCK_B)) + nz
-        omega0 = jnp.broadcast_to(x_ref[n_data + 2 * p : n_data + 3 * p, :], (p, BLOCK_B)) + nz
-        k0 = jnp.broadcast_to(x_ref[n_data + 3 * p : n_data + 3 * p + 1, :], (1, BLOCK_B)) + nz
-        carry0 = (beta0, theta0, omega0, k0) + tuple(zr[i : i + 1, :] for i in range(1, 7))
+        if warm:
+            # per-chain warm start (resume): rows [beta (p) | theta (p) |
+            # omega (p) | k | acc_m | acc_t | acc_o | acc_r | prop_t | prop_o];
+            # VMEM loads carry materialized lane layouts, so no zr trick needed
+            beta0 = init_ref[0:p, :]
+            theta0 = init_ref[p : 2 * p, :]
+            omega0 = init_ref[2 * p : 3 * p, :]
+            k0 = init_ref[3 * p : 3 * p + 1, :]
+            carry0 = (beta0, theta0, omega0, k0) + tuple(
+                init_ref[3 * p + 1 + i : 3 * p + 2 + i, :] for i in range(6)
+            )
+        else:
+            beta0 = jnp.broadcast_to(x_ref[n_data : n_data + p, :], (p, BLOCK_B)) + nz
+            theta0 = jnp.broadcast_to(x_ref[n_data + p : n_data + 2 * p, :], (p, BLOCK_B)) + nz
+            omega0 = jnp.broadcast_to(x_ref[n_data + 2 * p : n_data + 3 * p, :], (p, BLOCK_B)) + nz
+            k0 = jnp.broadcast_to(x_ref[n_data + 3 * p : n_data + 3 * p + 1, :], (1, BLOCK_B)) + nz
+            carry0 = (beta0, theta0, omega0, k0) + tuple(zr[i : i + 1, :] for i in range(1, 7))
         lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
@@ -420,21 +436,34 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows):
 
 
 @functools.partial(jax.jit, static_argnames=("n_burn", "n_iter", "n_chains", "cfg_static"))
-def _run_fused_rj_jit(seed, packed, n_burn, n_iter, n_chains, cfg_static):
+def _run_fused_rj_jit(seed, packed, n_burn, n_iter, n_chains, cfg_static, init=None):
     cfg = dict(cfg_static)
     p = cfg.pop("n_max")
     n_data = cfg.pop("n_data")
     b_total = n_chains + ((-n_chains) % BLOCK_B)
     stream = cfg.pop("stream_params")
     n_rows = OUT_ROWS + (3 * p if stream else 0)
-    kernel = _make_kernel(p, n_data, n_burn, n_iter, cfg, n_rows)
+    kernel = _make_kernel(p, n_data, n_burn, n_iter, cfg, n_rows, warm=init is not None)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray([seed], jnp.int32), packed]
+    if init is not None:
+        rows_in = jnp.concatenate([
+            jnp.asarray(init["beta"], jnp.float32).reshape(n_chains, p).T,
+            jnp.asarray(init["theta"], jnp.float32).reshape(n_chains, p).T,
+            jnp.asarray(init["omega"], jnp.float32).reshape(n_chains, p).T,
+            jnp.asarray(init["k"], jnp.float32).reshape(1, n_chains),
+            jnp.asarray(init.get("counters", jnp.zeros((6, n_chains))), jnp.float32).reshape(6, n_chains),
+        ], axis=0)
+        rows_in = jnp.pad(rows_in, ((0, 0), (0, b_total - n_chains)))
+        in_specs.append(pl.BlockSpec((3 * p + 7, BLOCK_B), lambda i: (0, i)))
+        args.append(rows_in)
     (out,) = pl.pallas_call(
         kernel,
         grid=(b_total // BLOCK_B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
         out_shape=(jax.ShapeDtypeStruct((n_iter, n_rows, b_total), jnp.float32),),
         scratch_shapes=[
@@ -448,7 +477,7 @@ def _run_fused_rj_jit(seed, packed, n_burn, n_iter, n_chains, cfg_static):
             # conservative, v5e has 128 MB
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(jnp.asarray([seed], jnp.int32), packed)
+    )(*args)
     return jnp.transpose(out[:, :, :n_chains], (2, 0, 1))  # (chains, iters, rows)
 
 
@@ -473,6 +502,7 @@ def run_fused_rj(
     step_theta: float = 0.1,
     step_omega: float = 0.1,
     stream_params: bool = False,
+    init=None,
 ):
     """Run the full prior-recovery RJ stack in one fused kernel.
 
@@ -507,7 +537,7 @@ def run_fused_rj(
     )
     draws = _run_fused_rj_jit(
         seed, jnp.asarray(packed), n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
-        cfg_static=cfg_static,
+        cfg_static=cfg_static, init=init,
     )
     out = {
         "n_basis": draws[:, :, 0],

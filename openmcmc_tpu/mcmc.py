@@ -295,12 +295,15 @@ class MCMC:
         counted over burn + sampling), Robbins-Monro ``adapt_step`` with the same
         burn-in window, ``n_thin`` (the launch runs n_thin-scaled sweeps and the
         draw axis is strided), and chain-axis Mesh sharding (one independent kernel
-        per device over its chain shard). ``resume`` works for engines whose
-        kernels take per-chain warm-start inputs (currently the random walk): the
-        continuation freshly seeds the on-chip PRNG stream -- a valid Markov
-        continuation, though not a bit-identical extension of the original
-        threefry stream. Other engines fall back to the generic resume path
-        under "auto"; engine="fused" raises for them."""
+        per device over its chain shard). ``resume`` works across the fused
+        families -- every kernel takes per-chain warm-start inputs (RW: state +
+        adapted step + counters; conjugates: the (lam, tau) carry; mMALA
+        unrolled; mixture; RJ when the padded parameter finals were stored) --
+        and freshly seeds the on-chip PRNG stream: a valid Markov continuation,
+        though not a bit-identical extension of the original threefry stream.
+        Non-resumable cases (spectral mMALA, count-only RJ results, resume +
+        mesh) fall back to the generic resume path under "auto"; engine="fused"
+        raises for them."""
         if engine not in ("generic", "auto", "fused"):
             raise ValueError("engine must be 'generic', 'auto' or 'fused'")
         if self.mesh is not None and "seq" in self.mesh.axis_names:

@@ -499,3 +499,37 @@ def test_fused_rw_resume_continues_exactly():
     # proposal window accumulates: (3 burn + 3) + 3 resumed
     assert int(np.asarray(seg2.stats["h"]["proposal"])[0]) == 9
     assert int(np.asarray(full.stats["h"]["proposal"])[0]) == 9
+
+
+def test_fused_mmala_resume_continues_exactly(rng):
+    """mMALA resume: full == half + resumed half under the deterministic stub."""
+    from openmcmc_tpu.samplers import ManifoldMALA
+
+    N, d = 20, 3
+    X = rng.normal(size=(N, d))
+    y = X @ rng.normal(size=d)
+    mdl = Model(
+        [
+            Normal("y", mean=LinearCombination(form={"beta": "X"}), precision=ScaledMatrix("P", "tau")),
+            Normal("beta", mean="mu0", precision=ScaledMatrix("P0", "one")),
+        ]
+    )
+    state = {
+        "y": y.reshape(-1, 1), "X": X, "beta": np.zeros((d, 1)), "P": st.Diagonal(jnp.ones(N)),
+        "tau": 1.0, "P0": st.Diagonal(jnp.ones(d)), "mu0": np.zeros((d, 1)), "one": 1.0,
+    }
+
+    def make(n_iter, seed):
+        return MCMC(dict(state), [ManifoldMALA("beta", mdl, step=0.9, adapt_step=True, adapt_rate=0.1)],
+                    mdl, n_burn=3, n_iter=n_iter, n_chains=8, seed=seed)
+
+    with pltpu.force_tpu_interpret_mode():
+        full = make(6, 0).run(engine="auto")
+        seg1 = make(3, 1).run(engine="auto")
+        seg2 = make(3, 2).run(engine="fused", resume=seg1)
+    assert seg2.engine == "fused_mmala"
+    cat = np.concatenate([np.asarray(seg1.store["beta"]), np.asarray(seg2.store["beta"])], axis=1)
+    np.testing.assert_allclose(np.asarray(full.store["beta"]), cat, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(full.stats["beta"]["accept"]),
+                                  np.asarray(seg2.stats["beta"]["accept"]))
+    assert int(np.asarray(seg2.stats["beta"]["proposal"])[0]) == 9

@@ -187,3 +187,20 @@ def test_fused_mixture_tpu_matches_generic(rng):
         res2.stats["means"]["proposal"]
     ).mean()
     assert abs(acc_f - acc_g) < 0.05, (acc_f, acc_g)
+
+
+def test_fused_mixture_resume_continues_exactly(interpret, rng):
+    """Resume: under the deterministic stub the chained halves equal the full run
+    exactly (the kernel carry is mu/lam rows + the accept counter)."""
+    y, prior = _mixture_data(rng)
+
+    with pltpu.force_tpu_interpret_mode():
+        full = _build_mcmc(y, prior, 2, 6, 16, seed=0).run(engine="auto")
+        seg1 = _build_mcmc(y, prior, 2, 3, 16, seed=1).run(engine="auto")
+        seg2 = _build_mcmc(y, prior, 2, 3, 16, seed=2).run(engine="fused", resume=seg1)
+    assert seg2.engine == "fused_mixture"
+    for name in ("means", "lams"):
+        cat = np.concatenate([np.asarray(seg1.store[name]), np.asarray(seg2.store[name])], axis=1)
+        np.testing.assert_allclose(np.asarray(full.store[name]), cat, rtol=1e-5, err_msg=name)
+    np.testing.assert_array_equal(np.asarray(full.stats["means"]["accept"]),
+                                  np.asarray(seg2.stats["means"]["accept"]))

@@ -184,3 +184,33 @@ def test_fused_rj_prior_recovery_tpu():
     # generous MC + mixing tolerance; catches gross distribution errors
     assert abs(mean - exact_mean) < 0.25, (mean, exact_mean)
     assert abs(nb.std() - exact_sd) < 0.35, (nb.std(), exact_sd)
+
+
+def test_fused_rj_resume_continues_exactly():
+    """Resume from a streamed fused run: under the deterministic stub the chained
+    halves equal the full run exactly (state, counters); a count-only fused result
+    lacks the padded parameter finals and falls back to generic."""
+    def make(n_iter, seed):
+        m = build_rj_mcmc(n_chains=32, n_iter=n_iter, n_burn=2, seed=seed)
+        m.store_names = ["n_basis", "beta", "theta", "omega"]
+        return m
+
+    with pltpu.force_tpu_interpret_mode():
+        full = make(6, 0).run(engine="auto")
+        seg1 = make(3, 1).run(engine="auto")
+        seg2 = make(3, 2).run(engine="fused", resume=seg1)
+    assert seg2.engine == "fused_rj"
+    for name in ("n_basis", "beta", "theta", "omega"):
+        cat = np.concatenate([np.asarray(seg1.store[name]), np.asarray(seg2.store[name])], axis=1)
+        np.testing.assert_allclose(np.asarray(full.store[name]), cat, rtol=1e-5, err_msg=name)
+    for name in ("beta", "theta", "omega", "n_basis"):
+        np.testing.assert_array_equal(np.asarray(full.stats[name]["accept"]),
+                                      np.asarray(seg2.stats[name]["accept"]), err_msg=name)
+
+    # count-only result: no padded finals -> fused resume impossible
+    m = build_rj_mcmc(n_chains=32, n_iter=3, n_burn=2)
+    with pltpu.force_tpu_interpret_mode():
+        count_only = m.run(engine="auto")
+    m2 = build_rj_mcmc(n_chains=32, n_iter=3, n_burn=2)
+    from openmcmc_tpu.fused.dispatch import match_fused_engine as mfe
+    assert mfe(m2, resume=count_only) is None
