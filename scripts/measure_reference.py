@@ -39,6 +39,13 @@ def measure(name, build_and_run):
     t0 = time.perf_counter()
     draws, iters = build_and_run()
     wall = time.perf_counter() - t0
+    if name == "mixture":
+        # ESS on the identified quantity (component means sorted per draw) — the
+        # mixture posterior is label-permutation invariant; the TPU side applies the
+        # same transform in bench_all.py. For a single non-switching chain this is a
+        # no-op; if the chain does switch labels mid-run it RAISES the reference ESS,
+        # so the comparison never flatters the TPU side.
+        draws = np.sort(draws, axis=0)
     ess = ess_of(draws)
     RESULTS[name] = {
         "wall_s": round(wall, 3),
