@@ -67,6 +67,25 @@ class NormalNormal(Sampler):
                     # (reference takes this via grad_log_p -> dense; structured here).
                     Q_dist = st.scale(float(n_obs), Q_rsp)
                     b = b + st.matvec(Q_rsp, jnp.sum(state[key_r], axis=1, keepdims=True))
+                elif isinstance(dist.mean, MixtureParameterVector) and dist.mean.param == param:
+                    # Conjugate update of mixture COMPONENT MEANS. Beyond the
+                    # reference: its NormalNormal assumes the likelihood mean is
+                    # Identity or a LinearCombination (sampler.py:188-192), so
+                    # mixture means there can only move by RandomWalkLoop. The
+                    # design matrix is the one-hot allocation A (n x m);
+                    # A' W A is m x m (Diagonal when W is), so the conditional
+                    # precision stays structured. One-hot contraction, not a
+                    # gather/segment_sum: per-chain traced indices serialize
+                    # vmapped scatters on TPU (see NormalGamma above).
+                    alloc = state[dist.mean.allocation].reshape(-1).astype(jnp.int32)
+                    m_comp = state[param].shape[0]
+                    onehot = (alloc[:, None] == jnp.arange(m_comp)[None, :]).astype(b.dtype)
+                    WA = st.matvec(Q_rsp, onehot)  # (n_y, m)
+                    if isinstance(Q_rsp, st.Diagonal):
+                        Q_dist = st.Diagonal(jnp.sum(WA * onehot, axis=0) * float(n_obs))
+                    else:
+                        Q_dist = st.Dense(mm(onehot.T, WA) * float(n_obs))
+                    b = b + mm(WA.T, jnp.sum(state[key_r], axis=1, keepdims=True))
                 else:
                     _, Q_dense = dist.grad_log_p(state, param)
                     Q_dist = st.Dense(Q_dense)
