@@ -381,6 +381,14 @@ def fused_workloads(ref):
             domain=(np.full(2, -20.0), np.full(2, 20.0)),
         )
 
+    def go_mixture_conj():
+        # conjugate-means kernel variant (mixture_conjugate's fused counterpart)
+        return run_fused_mixture(
+            3, y_mix, np.full((200, 2), 0.5), n_burn=500, n_iter=1000, n_chains=4096,
+            mu0=np.zeros(2), p0=np.full(2, 0.01), a0=np.full(2, 2.0), b0=np.ones(2),
+            mu_init=np.array([-1.0, 1.0]), lam_init=np.ones(2), conjugate_means=True,
+        )
+
     REPS = 10
     for name, go, draw_key, iters, n_chains, ref_name in [
         ("linreg_gibbs_fused", go_linreg, "beta", 2000, 4096, "linreg_gibbs"),
@@ -389,6 +397,7 @@ def fused_workloads(ref):
         ("mmala_fused", go_mmala, "beta", 1200, 4096, "mmala"),
         ("reversible_jump_fused", go_rj, "n_basis", 5000, 2048, "reversible_jump"),
         ("mixture_fused", go_mixture, "means", 1500, 4096, "mixture"),
+        ("mixture_conjugate_fused", go_mixture_conj, "means", 1500, 4096, "mixture"),
     ]:
         out = go()  # compile + warm
         float(jnp.max(out[draw_key]))  # true barrier
@@ -401,7 +410,7 @@ def fused_workloads(ref):
         wall = max((t1 - t0 - (time.perf_counter() - t1)) / REPS, 1e-9)
         draws = out[draw_key]
         draws = draws.reshape(draws.shape[0], draws.shape[1], -1)
-        if name == "mixture_fused":
+        if name.startswith("mixture"):
             draws = jnp.sort(draws, axis=-1)  # identified means; see main()
         ess = float(jnp.mean(ess_per_param(draws, chunk_size=16)))
         entry = {

@@ -770,10 +770,12 @@ def _match_mixture(mcmc) -> Optional[Callable]:
         y_i ~ N(mu_{Z_i}, 1/lam_{Z_i}),  Z_i ~ Categorical(w_i.),
         mu ~ N(mu0, diag(p0)^-1),  lam_k ~ Gamma(a0_k, b0_k)
 
-    with the sweep [MixtureAllocation(Z), RandomWalkLoop(mu), NormalGamma(lam)]
-    in that order. Requires constant weights/hyperparameters, single-replicate
-    data, K <= 8, n <= 2048, every a0_k >= 1 (elementwise in-kernel Gamma), and
-    store_names within {mu, lam} (the kernel does not stream the n-sized Z)."""
+    with the sweep [MixtureAllocation(Z), RandomWalkLoop(mu) OR NormalNormal(mu),
+    NormalGamma(lam)] in that order (NormalNormal = the conjugate mixture-means
+    path; the kernel then draws the means in closed form). Requires constant
+    weights/hyperparameters, single-replicate data, K <= 8, n <= 2048, every
+    a0_k >= 1 (elementwise in-kernel Gamma), and store_names within {mu, lam}
+    (the kernel does not stream the n-sized Z)."""
     from openmcmc_tpu.distributions.univariate import Categorical
     from openmcmc_tpu.parameters import MixtureParameterMatrix, MixtureParameterVector
     from openmcmc_tpu.samplers.conjugate import MixtureAllocation
@@ -781,16 +783,18 @@ def _match_mixture(mcmc) -> Optional[Callable]:
     if len(mcmc.samplers) != 3:
         return None
     alloc, rwl, ng = mcmc.samplers
+    conjugate = isinstance(rwl, NormalNormal)
     if (
         not isinstance(alloc, MixtureAllocation)
-        or not isinstance(rwl, RandomWalkLoop)
+        or not (conjugate or isinstance(rwl, RandomWalkLoop))
         or not isinstance(ng, NormalGamma)
     ):
         return None
-    if rwl.adapt_step or rwl.state_update_function is not None or rwl.active_count is not None:
-        return None
-    if np.asarray(rwl.step_size).size != 1:
-        return None
+    if not conjugate:
+        if rwl.adapt_step or rwl.state_update_function is not None or rwl.active_count is not None:
+            return None
+        if np.asarray(rwl.step_size).size != 1:
+            return None
     z_name, mu_name, lam_name, y_name = alloc.param, rwl.param, ng.param, alloc.response_param
     if set(mcmc.model.keys()) != {y_name, z_name, mu_name, lam_name}:
         return None
@@ -873,7 +877,7 @@ def _match_mixture(mcmc) -> Optional[Callable]:
         return None
 
     domain = None
-    if rwl.domain_limits is not None:
+    if not conjugate and rwl.domain_limits is not None:
         dl = np.asarray(rwl.domain_limits, np.float64)
         if dl.shape != (k_comp, 2):
             return None
@@ -907,7 +911,8 @@ def _match_mixture(mcmc) -> Optional[Callable]:
             seed, yv.reshape(-1), prior,
             n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
             mu0=mu0v, p0=p0, a0=a0, b0=b0, mu_init=mu_i, lam_init=lam_i,
-            step=float(np.asarray(rwl.step_size).reshape(())), domain=domain, init=init,
+            step=0.2 if conjugate else float(np.asarray(rwl.step_size).reshape(())),
+            domain=domain, init=init, conjugate_means=conjugate,
         )
         store = {
             mu_name: out["means"][..., None],
@@ -916,7 +921,8 @@ def _match_mixture(mcmc) -> Optional[Callable]:
         n_prop = n_burn + mcmc.n_iter  # one active column per sweep
         stats = {
             z_name: {},
-            mu_name: {
+            # conjugate NormalNormal means carry no MH counters (generic parity)
+            mu_name: {} if conjugate else {
                 "accept": out["accept_total"].astype(jnp.int32),
                 "proposal": prop0 + jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
             },
@@ -924,7 +930,7 @@ def _match_mixture(mcmc) -> Optional[Callable]:
         }
         return store, out["log_post"], stats
 
-    run.engine_name = "fused_mixture"
+    run.engine_name = "fused_mixture_conjugate" if conjugate else "fused_mixture"
     run.supports_resume = True
     return run
 

@@ -7,7 +7,9 @@ mcmc.py:87):
 
     y_i ~ N(mu_{Z_i}, 1 / lam_{Z_i})      i = 1..n
     Z_i ~ Categorical(w_i.)               K components, constant (n, K) weights
-    mu  ~ N(mu0, diag(p0)^-1)             joint truncated-RW MH update
+    mu  ~ N(mu0, diag(p0)^-1)             joint truncated-RW MH update, or the
+                                          conjugate NormalNormal draw
+                                          (``conjugate_means=True``)
     lam_k ~ Gamma(a0_k, b0_k)             conjugate update
 
 The key structural observation making one launch cheap: given the allocation
@@ -62,7 +64,8 @@ def _block_b(n_pad: int) -> int:
     return 256
 
 
-def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, block_b, warm=False):
+def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, block_b, warm=False,
+                 conjugate=False):
     def kernel(seed_ref, scal_ref, y_ref, lp_ref, mask_ref, *refs):
         if warm:
             init_ref, out_ref, stage_ref, sems = refs
@@ -127,28 +130,39 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
                 s2.append(jnp.sum(ind * (y * y), axis=0, keepdims=True))
                 s3.append(jnp.sum(ind * lp_ref[:, k : k + 1], axis=0, keepdims=True))
 
-            # ---- RandomWalkLoop over the single replicate column of mu: one
-            # joint (truncated) proposal, one accept decision; the conditional
-            # model is exactly {likelihood, mu prior} and the likelihood enters
-            # through the sufficient statistics
-            delta = jnp.zeros((1, block_b), jnp.float32)
-            prop = []
-            for k in range(k_comp):
-                if has_domain:
-                    z = truncnorm_draw(mu[k], step, lb(k), ub(k), (1, block_b))
-                    delta = delta + truncnorm_logpdf(mu[k], z, step, lb(k), ub(k))
-                    delta = delta - truncnorm_logpdf(z, mu[k], step, lb(k), ub(k))
-                else:
-                    z = mu[k] + step * normal((1, block_b))
-                prop.append(z)
-                quad_cur = s2[k] - 2.0 * mu[k] * s1[k] + s0[k] * mu[k] * mu[k]
-                quad_prop = s2[k] - 2.0 * z * s1[k] + s0[k] * z * z
-                delta = delta + 0.5 * lam[k] * (quad_cur - quad_prop)
-                delta = delta + 0.5 * p0(k) * ((mu[k] - mu0(k)) ** 2 - (z - mu0(k)) ** 2)
-            accept = jnp.log(uniform((1, block_b))) < delta
-            mu_new = [jnp.where(accept, prop[k], mu[k]) for k in range(k_comp)]
-            # accept counted over burn + sampling (the generic driver's window)
-            acc_new = acc + accept.astype(jnp.float32)
+            if conjugate:
+                # ---- conjugate NormalNormal over the component means (the
+                # generic driver's mixture-means path in samplers/conjugate.py):
+                # q_k = p0_k + lam_k S0_k, mean_k = (p0_k mu0_k + lam_k S1_k)/q_k
+                mu_new = []
+                for k in range(k_comp):
+                    q = p0(k) + lam[k] * s0[k]
+                    post_mean = (p0(k) * mu0(k) + lam[k] * s1[k]) / q
+                    mu_new.append(post_mean + normal((1, block_b)) * lax.rsqrt(q))
+                acc_new = acc  # no MH step: accept counters stay zero
+            else:
+                # ---- RandomWalkLoop over the single replicate column of mu: one
+                # joint (truncated) proposal, one accept decision; the conditional
+                # model is exactly {likelihood, mu prior} and the likelihood enters
+                # through the sufficient statistics
+                delta = jnp.zeros((1, block_b), jnp.float32)
+                prop = []
+                for k in range(k_comp):
+                    if has_domain:
+                        z = truncnorm_draw(mu[k], step, lb(k), ub(k), (1, block_b))
+                        delta = delta + truncnorm_logpdf(mu[k], z, step, lb(k), ub(k))
+                        delta = delta - truncnorm_logpdf(z, mu[k], step, lb(k), ub(k))
+                    else:
+                        z = mu[k] + step * normal((1, block_b))
+                    prop.append(z)
+                    quad_cur = s2[k] - 2.0 * mu[k] * s1[k] + s0[k] * mu[k] * mu[k]
+                    quad_prop = s2[k] - 2.0 * z * s1[k] + s0[k] * z * z
+                    delta = delta + 0.5 * lam[k] * (quad_cur - quad_prop)
+                    delta = delta + 0.5 * p0(k) * ((mu[k] - mu0(k)) ** 2 - (z - mu0(k)) ** 2)
+                accept = jnp.log(uniform((1, block_b))) < delta
+                mu_new = [jnp.where(accept, prop[k], mu[k]) for k in range(k_comp)]
+                # accept counted over burn + sampling (the generic driver's window)
+                acc_new = acc + accept.astype(jnp.float32)
 
             # ---- NormalGamma per component: a* = a0 + S0/2, b* = b0 + quad/2
             # (quad at the post-accept means; S stats are mean-independent)
@@ -211,16 +225,16 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_burn", "n_iter", "n_chains", "step", "has_domain"),
+    static_argnames=("n_burn", "n_iter", "n_chains", "step", "has_domain", "conjugate"),
 )
 def _run_fused_mixture_jit(seed, scal, y_col, lp, mask, n_burn, n_iter, n_chains, step, has_domain,
-                           init=None):
+                           init=None, conjugate=False):
     n_pad, k_comp = lp.shape
     block_b = _block_b(n_pad)
     b_total = n_chains + ((-n_chains) % block_b)
     out_rows = 2 * k_comp + 2 + ((-(2 * k_comp + 2)) % PAD)
     kernel = _make_kernel(n_pad, k_comp, float(step), has_domain, n_burn, n_iter, out_rows, block_b,
-                          warm=init is not None)
+                          warm=init is not None, conjugate=conjugate)
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 3
     args = [jnp.asarray([seed], jnp.int32), scal, y_col, lp, mask]
@@ -270,6 +284,7 @@ def run_fused_mixture(
     step=0.2,
     domain=None,
     init=None,
+    conjugate_means=False,
 ):
     """Run the full K-component Gaussian-mixture Gibbs chain in one fused kernel.
 
@@ -280,6 +295,10 @@ def run_fused_mixture(
     (every a0_k must be >= 1: the in-kernel elementwise Marsaglia-Tsang draw has
     no shape<1 boost); mu_init/lam_init: per-chain-identical initial values;
     domain: optional (lb, ub) arrays truncating the means' RW proposals.
+
+    ``conjugate_means=True`` replaces the means' MH step with the closed-form
+    conjugate NormalNormal draw (the generic driver's mixture-means path in
+    samplers/conjugate.py); step/domain are then ignored and accept_total stays 0.
 
     Returns dict with means/lams: (n_chains, n_iter, K), log_post: (n_chains,
     n_iter), accept_total: (n_chains,) means-update accept counts over burn +
@@ -322,5 +341,6 @@ def run_fused_mixture(
     return _run_fused_mixture_jit(
         seed, scal, y_col, lp, mask,
         n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
-        step=float(step), has_domain=domain is not None, init=init,
+        step=float(step), has_domain=domain is not None and not conjugate_means,
+        init=init, conjugate=bool(conjugate_means),
     )

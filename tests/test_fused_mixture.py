@@ -13,7 +13,7 @@ from openmcmc_tpu.linalg import structured as st
 from openmcmc_tpu.mcmc import MCMC
 from openmcmc_tpu.model import Model
 from openmcmc_tpu.parameters import MixtureParameterMatrix, MixtureParameterVector
-from openmcmc_tpu.samplers import MixtureAllocation, NormalGamma, RandomWalkLoop
+from openmcmc_tpu.samplers import MixtureAllocation, NormalGamma, NormalNormal, RandomWalkLoop
 
 
 @pytest.fixture
@@ -30,7 +30,7 @@ def _mixture_data(rng, n=60, k=3):
     return y, prior
 
 
-def _build_mcmc(y, prior, n_burn, n_iter, n_chains, domain=True, seed=0):
+def _build_mcmc(y, prior, n_burn, n_iter, n_chains, domain=True, seed=0, conjugate=False):
     n, k = prior.shape
     mdl = Model(
         [
@@ -45,9 +45,14 @@ def _build_mcmc(y, prior, n_burn, n_iter, n_chains, domain=True, seed=0):
         ]
     )
     limits = np.tile(np.asarray([[-20.0, 20.0]]), (k, 1)) if domain else None
+    means_sampler = (
+        NormalNormal("means", mdl)
+        if conjugate
+        else RandomWalkLoop("means", mdl, step=0.3, domain_limits=limits)
+    )
     samplers = [
         MixtureAllocation("Z", mdl, response_param="y"),
-        RandomWalkLoop("means", mdl, step=0.3, domain_limits=limits),
+        means_sampler,
         NormalGamma("lams", mdl),
     ]
     state = {
@@ -66,22 +71,27 @@ def _build_mcmc(y, prior, n_burn, n_iter, n_chains, domain=True, seed=0):
     return m
 
 
-def test_dispatch_routes_mixture(rng):
+@pytest.mark.parametrize("conjugate", [False, True])
+def test_dispatch_routes_mixture(rng, conjugate):
     from openmcmc_tpu.fused.dispatch import match_fused_engine
 
     y, prior = _mixture_data(rng)
-    m = _build_mcmc(y, prior, n_burn=2, n_iter=4, n_chains=8)
+    m = _build_mcmc(y, prior, n_burn=2, n_iter=4, n_chains=8, conjugate=conjugate)
+    want_engine = "fused_mixture_conjugate" if conjugate else "fused_mixture"
     runner = match_fused_engine(m)
-    assert runner is not None and runner.engine_name == "fused_mixture"
+    assert runner is not None and runner.engine_name == want_engine
     with pltpu.force_tpu_interpret_mode():
         res = m.run(engine="auto")
-    assert res.engine == "fused_mixture"
+    assert res.engine == want_engine
     assert set(res.store.keys()) == {"means", "lams"}
     assert res.store["means"].shape == (8, 4, 3, 1)
     assert res.store["lams"].shape == (8, 4, 3, 1)
     assert np.isfinite(np.asarray(res.log_post)).all()
     assert set(res.stats.keys()) == {"Z", "means", "lams"}
-    assert res.stats["means"]["proposal"].shape == (8,)
+    if conjugate:
+        assert res.stats["means"] == {}  # no MH counters: generic NormalNormal parity
+    else:
+        assert res.stats["means"]["proposal"].shape == (8,)
 
 
 def test_dispatch_rejects_near_misses(rng):
@@ -104,7 +114,8 @@ def test_dispatch_rejects_near_misses(rng):
     assert match_fused_engine(m) is None
 
 
-def test_interpret_log_post_matches_model(interpret, rng):
+@pytest.mark.parametrize("conjugate_means", [False, True])
+def test_interpret_log_post_matches_model(interpret, rng, conjugate_means):
     """Kernel log_post must equal Model.log_p at the stored draws.
 
     The interpret-mode PRNG stub makes every uniform identical, so the Gumbel
@@ -118,6 +129,7 @@ def test_interpret_log_post_matches_model(interpret, rng):
         mu0=np.zeros(k), p0=np.full(k, 0.01), a0=np.full(k, 2.0), b0=np.ones(k),
         mu_init=np.linspace(-1.0, 1.0, k), lam_init=np.ones(k),
         step=0.3, domain=(np.full(k, -20.0), np.full(k, 20.0)),
+        conjugate_means=conjugate_means,
     )
     mdl = Model(
         [
@@ -189,18 +201,54 @@ def test_fused_mixture_tpu_matches_generic(rng):
     assert abs(acc_f - acc_g) < 0.05, (acc_f, acc_g)
 
 
-def test_fused_mixture_resume_continues_exactly(interpret, rng):
+@pytest.mark.parametrize("conjugate", [False, True])
+def test_fused_mixture_resume_continues_exactly(interpret, rng, conjugate):
     """Resume: under the deterministic stub the chained halves equal the full run
     exactly (the kernel carry is mu/lam rows + the accept counter)."""
     y, prior = _mixture_data(rng)
 
     with pltpu.force_tpu_interpret_mode():
-        full = _build_mcmc(y, prior, 2, 6, 16, seed=0).run(engine="auto")
-        seg1 = _build_mcmc(y, prior, 2, 3, 16, seed=1).run(engine="auto")
-        seg2 = _build_mcmc(y, prior, 2, 3, 16, seed=2).run(engine="fused", resume=seg1)
-    assert seg2.engine == "fused_mixture"
+        full = _build_mcmc(y, prior, 2, 6, 16, seed=0, conjugate=conjugate).run(engine="auto")
+        seg1 = _build_mcmc(y, prior, 2, 3, 16, seed=1, conjugate=conjugate).run(engine="auto")
+        seg2 = _build_mcmc(y, prior, 2, 3, 16, seed=2, conjugate=conjugate).run(
+            engine="fused", resume=seg1
+        )
+    assert seg2.engine == ("fused_mixture_conjugate" if conjugate else "fused_mixture")
     for name in ("means", "lams"):
         cat = np.concatenate([np.asarray(seg1.store[name]), np.asarray(seg2.store[name])], axis=1)
         np.testing.assert_allclose(np.asarray(full.store[name]), cat, rtol=1e-5, err_msg=name)
-    np.testing.assert_array_equal(np.asarray(full.stats["means"]["accept"]),
-                                  np.asarray(seg2.stats["means"]["accept"]))
+    if not conjugate:
+        np.testing.assert_array_equal(np.asarray(full.stats["means"]["accept"]),
+                                      np.asarray(seg2.stats["means"]["accept"]))
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
+)
+def test_fused_mixture_conjugate_tpu_matches_generic(rng):
+    """Conjugate-means kernel variant: posterior parity with the generic driver's
+    NormalNormal mixture-means path (samplers/conjugate.py) within MC error."""
+    rng2 = np.random.default_rng(11)
+    k = 2
+    true_mu = np.array([-2.0, 3.0])
+    true_lam = np.array([4.0, 1.0])
+    alloc = rng2.integers(0, k, 200)
+    y = rng2.normal(true_mu[alloc], 1 / np.sqrt(true_lam[alloc]))
+    prior = np.full((200, k), 0.5)
+
+    m = _build_mcmc(y, prior, n_burn=500, n_iter=1000, n_chains=512, seed=1, conjugate=True)
+    res = m.run(engine="fused")
+    assert res.engine == "fused_mixture_conjugate"
+    m2 = _build_mcmc(y, prior, n_burn=500, n_iter=1000, n_chains=512, seed=2, conjugate=True)
+    res2 = m2.run(engine="generic")
+
+    mu_f = np.asarray(res.store["means"]).reshape(512, 1000, k).mean(axis=(0, 1))
+    mu_g = np.asarray(res2.store["means"]).reshape(512, 1000, k).mean(axis=(0, 1))
+    assert np.max(np.abs(np.sort(mu_f) - np.sort(mu_g))) < 0.05, (mu_f, mu_g)
+    lam_f = np.asarray(res.store["lams"]).reshape(512, 1000, k).mean(axis=(0, 1))
+    lam_g = np.asarray(res2.store["lams"]).reshape(512, 1000, k).mean(axis=(0, 1))
+    assert np.max(np.abs(np.log(np.sort(lam_f)) - np.log(np.sort(lam_g)))) < 0.1, (lam_f, lam_g)
+    # posterior SDs must also agree (the conjugate draw's variance term)
+    sd_f = np.sort(np.asarray(res.store["means"]).reshape(512, 1000, k).std(axis=(0, 1)))
+    sd_g = np.sort(np.asarray(res2.store["means"]).reshape(512, 1000, k).std(axis=(0, 1)))
+    assert np.max(np.abs(sd_f - sd_g) / sd_g) < 0.1, (sd_f, sd_g)
