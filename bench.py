@@ -96,18 +96,23 @@ def main():
 
     out = go()
     sync(out)
-    # median of 3 timed repetitions of the warmed executable, minus the measured cost
-    # of the barrier itself (one dispatch + host fetch over the tunnel)
+    # steady-state throughput (bench_all.py methodology): median of 3 rounds of
+    # REPS back-to-back runs ended by ONE true barrier, with the barrier's own
+    # tunnel round-trip measured and subtracted -- per-dispatch tunnel jitter
+    # (10-40 ms) otherwise swamps a ~40 ms device program
+    REPS = 5
     walls = []
     walls_raw = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = go()
+        for _ in range(REPS):
+            out = go()
         sync(out)
         t1 = time.perf_counter()
         sync(out)
-        walls_raw.append(t1 - t0)
-        walls.append(max(t1 - t0 - (time.perf_counter() - t1), 1e-9))
+        barrier = time.perf_counter() - t1
+        walls_raw.append((t1 - t0) / REPS)
+        walls.append(max((t1 - t0 - barrier) / REPS, 1e-9))
     wall = sorted(walls)[1]
     wall_incl_barrier = sorted(walls_raw)[1]
 

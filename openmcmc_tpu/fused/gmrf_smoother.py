@@ -32,8 +32,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from openmcmc_tpu.fused.prng import LOG_2PI as _LOG_2PI
+from openmcmc_tpu.fused.layout import chain_slice
 from openmcmc_tpu.fused.prng import gamma_mt as _gamma_mt
-from openmcmc_tpu.fused.prng import normal as _normal
+from openmcmc_tpu.fused.prng import normal_pair as _normal
 from openmcmc_tpu.linalg import gmrf
 from openmcmc_tpu.linalg import structured as st
 
@@ -322,8 +323,8 @@ def run_fused_smoother(
         ),
     )(*args)
 
-    b_draws = jnp.transpose(out_b[:, :p_real, :n_chains], (2, 0, 1))  # (chains, iters, p)
-    small = jnp.transpose(out_s[:, :, :n_chains], (2, 0, 1))  # (chains, iters, 8)
+    b_draws = jnp.transpose(chain_slice(out_b[:, :p_real, :], n_chains), (2, 0, 1))  # (chains, iters, p)
+    small = jnp.transpose(chain_slice(out_s, n_chains), (2, 0, 1))  # (chains, iters, 8)
     return {
         "b": b_draws,
         "lam": small[:, :, 0],

@@ -34,7 +34,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt, normal
+from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt, normal, normal_pair
+from openmcmc_tpu.fused.layout import chain_slice
 
 BLOCK_B = 2048
 MAX_P = 16
@@ -77,7 +78,7 @@ def _make_kernel(p, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau
             lam, tau = carry  # (1, BLOCK_B) rows
 
             # ---- NormalNormal: beta | y, tau, lam (unrolled p x p Cholesky) ----
-            z = normal((p, BLOCK_B))
+            z = normal_pair((p, BLOCK_B))
             L = [[None] * p for _ in range(p)]
             rhs = []
             for i in range(p):
@@ -246,7 +247,7 @@ def run_fused_linreg(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(*args)
 
-    draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))  # (chains, iters, rows)
+    draws = jnp.transpose(chain_slice(out, n_chains), (2, 0, 1))  # (chains, iters, rows)
     return {
         "beta": draws[:, :, :p],
         "lam": draws[:, :, p],

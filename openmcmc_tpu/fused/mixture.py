@@ -47,6 +47,7 @@ from openmcmc_tpu.fused.prng import (
     truncnorm_logpdf,
     uniform,
 )
+from openmcmc_tpu.fused.layout import chain_slice
 
 MAX_K = 8
 MAX_N = 2048
@@ -259,7 +260,7 @@ def _run_fused_mixture_jit(seed, scal, y_col, lp, mask, n_burn, n_iter, n_chains
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(*args)
-    draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
+    draws = jnp.transpose(chain_slice(out, n_chains), (2, 0, 1))
     return {
         "means": draws[:, :, :k_comp],
         "lams": draws[:, :, k_comp : 2 * k_comp],

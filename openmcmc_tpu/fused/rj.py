@@ -61,6 +61,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from openmcmc_tpu.fused.prng import (
+    normal_pair,
     LOG_2PI,
     gamma_mt,
     normal,
@@ -69,6 +70,7 @@ from openmcmc_tpu.fused.prng import (
     truncnorm_draw as _truncnorm_draw,
     truncnorm_logpdf as _truncnorm_logpdf,
 )
+from openmcmc_tpu.fused.layout import chain_slice
 
 BLOCK_B = 1024
 OUT_ROWS = 8  # [k, log_post, acc_mmala, acc_theta, acc_omega, acc_rj, prop_cols_theta, prop_cols_omega]
@@ -190,7 +192,7 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, warm=False):
             m_arr = (iota_c < kf).astype(jnp.float32)  # (p, B)
 
             # ==== 1. manifold MALA on beta (diagonal constant metric) =========
-            z = normal((p, B))
+            z = normal_pair((p, B))
             drift = 1.0 - 0.5 * s_mmala * s_mmala
             mu_f = drift * beta + (1.0 - drift) * mu_b
             sigma = s_mmala / float(np.sqrt(tau_b))
@@ -478,7 +480,7 @@ def _run_fused_rj_jit(seed, packed, n_burn, n_iter, n_chains, cfg_static, init=N
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(*args)
-    return jnp.transpose(out[:, :, :n_chains], (2, 0, 1))  # (chains, iters, rows)
+    return jnp.transpose(chain_slice(out, n_chains), (2, 0, 1))  # (chains, iters, rows)
 
 
 def run_fused_rj(

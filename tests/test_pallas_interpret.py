@@ -37,6 +37,14 @@ def _box_muller(u1, u2):
     return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
 
 
+def _box_muller_pair(u1, u2):
+    """Both Box-Muller channels, as produced by prng.normal_pair: for an even
+    leading dimension the first half of the rows take the cos channel and the
+    second half the sin channel."""
+    r = np.sqrt(-2.0 * np.log(u1))
+    return r * np.cos(2.0 * np.pi * u2), r * np.sin(2.0 * np.pi * u2)
+
+
 def _tridiag_q(p, scale=20.0):
     P = gmrf.precision_irregular(jnp.arange(p, dtype=jnp.float32))
     return st.add(st.scale(scale, st.Banded(P.bands.at[0, 0].add(0.01))), st.Diagonal(jnp.ones(p)))
@@ -274,7 +282,9 @@ def test_fused_rw_vector_step_interpret(interpret):
             for i in range(2)
         )
 
-    z0 = _box_muller(U_HALF, U_HALF)
+    # p = 2 is even: the kernel's normal_pair gives row 0 the cos channel and
+    # row 1 the sin channel of one Box-Muller radius
+    z0 = np.asarray(_box_muller_pair(U_HALF, U_HALF))
     log_u = np.log(U_HALF)
     h, cur = h0.copy(), lp(h0)
     draws = []
