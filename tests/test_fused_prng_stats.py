@@ -110,3 +110,42 @@ def test_truncnorm_draw_distribution(key):
     got = np.asarray(prng.truncnorm_logpdf(jnp.asarray(grid, jnp.float32), mu, scale, lo, hi))
     want = sps.truncnorm.logpdf(grid, a, b, mu, scale)
     assert np.max(np.abs(got - want)) < 5e-4, np.max(np.abs(got - want))
+
+
+def test_normal_pair_distribution(key):
+    """normal_pair: both Box-Muller channels (cos rows then sin rows) must be
+    iid N(0,1), and the paired elements (same radius) must be uncorrelated."""
+    m = N // 2
+    z = np.asarray(prng.normal_pair((2 * m, 1), _host_bits(key))).reshape(2 * m)
+    cos_half, sin_half = z[:m], z[m:]
+    for half, name in ((cos_half, "cos"), (sin_half, "sin")):
+        assert abs(half.mean()) < 5 / np.sqrt(m), name
+        assert abs(half.var() - 1.0) < 5 * np.sqrt(2 / m), name
+        _, p = sps.kstest(half[:20000], "norm")
+        assert p > 1e-4, (name, p)
+    # exact independence of the two channels of one Box-Muller pair
+    corr = np.corrcoef(cos_half, sin_half)[0, 1]
+    assert abs(corr) < 5 / np.sqrt(m), corr
+    # odd leading dimension must fall back to plain normal (no shape error)
+    z_odd = np.asarray(prng.normal_pair((3, 101), _host_bits(key)))
+    assert z_odd.shape == (3, 101) and np.isfinite(z_odd).all()
+
+
+@pytest.mark.parametrize("a1,a2", [(1.0, 2.0), (4.5, 16.0), (51.0, 60.0)])
+def test_gamma_mt2_distribution(key, a1, a2):
+    """gamma_mt2: the stacked two-shape draw (incl. the shape-adaptive squeeze
+    round counts) must produce the right marginal Gamma for BOTH rows, and the
+    rows must be independent."""
+    m = N // 2
+    r1 = jnp.full((1, m), 2.0, jnp.float32)
+    r2 = jnp.full((1, m), 0.5, jnp.float32)
+    g1, g2 = prng.gamma_mt2(a1, a2, r1, r2, _host_bits(key))
+    g1 = np.asarray(g1).reshape(m)
+    g2 = np.asarray(g2).reshape(m)
+    for g, a, rate in ((g1, a1, 2.0), (g2, a2, 0.5)):
+        mean, var = a / rate, a / rate**2
+        assert abs(g.mean() - mean) < 6 * np.sqrt(var / m) + 1e-3, (a, rate)
+        _, p = sps.kstest(g[:20000], "gamma", args=(a, 0.0, 1.0 / rate))
+        assert p > 1e-4, (a, rate, p)
+    corr = np.corrcoef(g1, g2)[0, 1]
+    assert abs(corr) < 5 / np.sqrt(m), corr
