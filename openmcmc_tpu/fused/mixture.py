@@ -106,22 +106,29 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
             lam = list(carry[k_comp : 2 * k_comp])
             acc = carry[2 * k_comp]
 
-            # ---- MixtureAllocation: Z ~ Categorical(log w + loglike), Gumbel
-            # argmax over components (== jax.random.categorical); Z is only ever
-            # needed through the per-component sufficient statistics
-            g = []
-            for k in range(k_comp):
-                ll = lp_ref[:, k : k + 1] + 0.5 * (
+            # ---- MixtureAllocation: Z ~ Categorical(log w + loglike); Z is only
+            # ever needed through the per-component sufficient statistics
+            ll = [
+                lp_ref[:, k : k + 1] + 0.5 * (
                     jnp.log(lam[k]) - LOG_2PI - lam[k] * (y - mu[k]) ** 2
                 )  # (n_pad, B)
+                for k in range(k_comp)
+            ]
+            if k_comp == 2:
+                # exact 2-component form: the difference of two Gumbels is
+                # logistic, so ONE uniform + logit replaces two Gumbel channels
+                # (halves the allocation pass's bits and transcendentals)
                 u = uniform((n_pad, block_b))
-                g.append(ll - jnp.log(-jnp.log(u)))
-            best = g[0]
-            zidx = jnp.zeros((n_pad, block_b), jnp.float32)
-            for k in range(1, k_comp):
-                upd = g[k] > best
-                best = jnp.where(upd, g[k], best)
-                zidx = jnp.where(upd, float(k), zidx)
+                zidx = (ll[1] - ll[0] > jnp.log(u) - jnp.log1p(-u)).astype(jnp.float32)
+            else:
+                # Gumbel argmax over components (== jax.random.categorical)
+                g = [ll[k] - jnp.log(-jnp.log(uniform((n_pad, block_b)))) for k in range(k_comp)]
+                best = g[0]
+                zidx = jnp.zeros((n_pad, block_b), jnp.float32)
+                for k in range(1, k_comp):
+                    upd = g[k] > best
+                    best = jnp.where(upd, g[k], best)
+                    zidx = jnp.where(upd, float(k), zidx)
 
             s0, s1, s2, s3 = [], [], [], []
             for k in range(k_comp):
@@ -166,12 +173,22 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
                 acc_new = acc + accept.astype(jnp.float32)
 
             # ---- NormalGamma per component: a* = a0 + S0/2, b* = b0 + quad/2
-            # (quad at the post-accept means; S stats are mean-independent)
-            lam_new, quad_new = [], []
-            for k in range(k_comp):
-                q = s2[k] - 2.0 * mu_new[k] * s1[k] + s0[k] * mu_new[k] * mu_new[k]
-                quad_new.append(q)
-                lam_new.append(gamma_mt_elem(a0(k) + 0.5 * s0[k], b0(k) + 0.5 * q))
+            # (quad at the post-accept means; S stats are mean-independent).
+            # All K draws STACKED into one (K, B) gamma call: K separate (1, B)
+            # calls would each burn a full 8-sublane register tile per squeeze
+            # round (see fused/prng.py gamma_mt2).
+            quad_new = [
+                s2[k] - 2.0 * mu_new[k] * s1[k] + s0[k] * mu_new[k] * mu_new[k]
+                for k in range(k_comp)
+            ]
+            a_stack = jnp.concatenate(
+                [a0(k) + 0.5 * s0[k] for k in range(k_comp)], axis=0
+            )
+            rate_stack = jnp.concatenate(
+                [b0(k) + 0.5 * quad_new[k] for k in range(k_comp)], axis=0
+            )
+            lam_stack = gamma_mt_elem(a_stack, rate_stack)  # (K, B)
+            lam_new = [lam_stack[k : k + 1, :] for k in range(k_comp)]
 
             # ---- full-model log posterior at the end-of-sweep state (the value
             # the generic driver stores, Model.log_p convention)

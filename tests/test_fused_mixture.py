@@ -118,10 +118,11 @@ def test_dispatch_rejects_near_misses(rng):
 def test_interpret_log_post_matches_model(interpret, rng, conjugate_means):
     """Kernel log_post must equal Model.log_p at the stored draws.
 
-    The interpret-mode PRNG stub makes every uniform identical, so the Gumbel
-    noise is the same for all components and the kernel's allocation reduces to
-    argmax_k of the logits at the PREVIOUS iteration's (means, lams) -- which the
-    stored draws let us reconstruct exactly."""
+    The interpret-mode PRNG stub makes every uniform identical: for K > 2 the
+    Gumbel noise cancels and the kernel's allocation reduces to argmax_k of the
+    logits at the PREVIOUS iteration's (means, lams); for K = 2 the kernel uses
+    the exact logistic form, so Z = (logit diff > logit(u_stub)). The stored
+    draws let us reconstruct either exactly."""
     y, prior = _mixture_data(rng, n=30, k=2)
     n, k = prior.shape
     out = mixture.run_fused_mixture(
@@ -157,7 +158,8 @@ def test_interpret_log_post_matches_model(interpret, rng, conjugate_means):
                 - np.log(2 * np.pi)
                 - lam_prev[None, :] * (y[:, None] - mu_prev[None, :]) ** 2
             )
-            z = np.argmax(logits, axis=1)
+            u_stub = 0.5 / 16777216.0  # interpret stub uniform (zero bits)
+            z = (logits[:, 1] - logits[:, 0] > np.log(u_stub) - np.log1p(-u_stub)).astype(int)
             state = dict(base)
             state["Z"] = jnp.asarray(z).reshape(n, 1)
             state["means"] = jnp.asarray(out["means"][c, t]).reshape(k, 1)
