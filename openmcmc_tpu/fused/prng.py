@@ -112,6 +112,23 @@ def gamma_mt_elem(a_star, rate, bit_source=_tpu_bits):
     return value / rate
 
 
+def normal_icdf(shape, bit_source=_tpu_bits):
+    """N(0, 1) via the Giles (2012) inverse-erf polynomial: z = sqrt(2) erfinv(2u-1).
+
+    ~2.7x cheaper per element than paired Box-Muller on TPU (one log + ~12 FMA
+    vs log + sqrt + trig): measured 15 -> 5.5 ms for the spectral smoother's
+    (p, lanes) draw. The clamp bounds |z| at ~5.2 sigma -- 2u-1 rounds to
+    exactly +-1.0 in f32 for u within 6e-8 of the ends (f32 spacing at 1 is
+    1.2e-7), which would give erfinv(+-1) = inf; Box-Muller's own truncation is
+    5.9 sigma, and the clipped mass (~1e-7) is far below statistical resolution
+    at any chain count in use. Used by the spectral engines; the unrolled
+    engines keep Box-Muller, whose exact interpret-mode streams their numpy
+    mirror tests encode."""
+    u = uniform(shape, bit_source)
+    t = jnp.clip(2.0 * u - 1.0, -1.0 + 1.2e-7, 1.0 - 1.2e-7)
+    return _SQRT2 * erfinv_poly(t)
+
+
 def gamma_mt2(a1: float, a2: float, rate1, rate2, bit_source=_tpu_bits):
     """Two independent Gamma draws (static shapes a1, a2 >= 1) sharing round ops.
 

@@ -37,7 +37,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt, gamma_mt2, normal, normal_pair, uniform
+from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt, gamma_mt2, normal, normal_icdf, normal_pair, uniform
 from openmcmc_tpu.fused.layout import chain_slice
 
 MAX_P = 256
@@ -107,7 +107,7 @@ def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_ta
             lam, tau = carry  # (1, block_b)
 
             # ---- beta | y, tau, lam: diagonal in eigencoordinates -----------
-            z = normal_pair((p_pad, block_b))
+            z = normal_icdf((p_pad, block_b))
             d = lam * mask + tau * svec + (1.0 - mask)  # unit rows on the padding
             w = ((lam * wmu + tau * cv) / d + z * jax.lax.rsqrt(d)) * mask
 
@@ -313,7 +313,7 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
             # ---- NormalNormal: b | y, lam, tau is DIAGONAL in w = V^{-1} b --
             # Q = lam P0 + tau D = V^{-T} (lam S + tau I) V^{-1}; canonical mean
             # rhs = tau D y + lam P0 mu0 => V' rhs = tau wy + lam S wmu
-            z = normal_pair((p_pad, block_b))
+            z = normal_icdf((p_pad, block_b))
             d = (lam * svec + tau) * mask + (1.0 - mask)
             w = ((tau * wy + lam * svec * wmu) / d + z * jax.lax.rsqrt(d)) * mask
 
@@ -559,7 +559,7 @@ def _make_mmala_kernel(p_pad, p_real, n_obs, step, n_burn, n_keep, block_b):
 
         def iteration(it, carry):
             w, lp, acc = carry
-            z = normal_pair((p_pad, block_b))
+            z = normal_icdf((p_pad, block_b))
             mu_cur = drift(w)
             w_prop = (mu_cur + step * z * jax.lax.rsqrt(dvec)) * mask
             lp_prop = log_target(w_prop)

@@ -149,3 +149,15 @@ def test_gamma_mt2_distribution(key, a1, a2):
         assert p > 1e-4, (a, rate, p)
     corr = np.corrcoef(g1, g2)[0, 1]
     assert abs(corr) < 5 / np.sqrt(m), corr
+
+
+def test_normal_icdf_distribution(key):
+    """normal_icdf (Giles inverse-erf polynomial): N(0,1) to KS tolerance; the
+    ~5.2-sigma clamp only removes ~1e-7 tail mass."""
+    z = np.asarray(prng.normal_icdf((N,), _host_bits(key)))
+    assert abs(z.mean()) < 5 / np.sqrt(N)
+    assert abs(z.var() - 1.0) < 5 * np.sqrt(2 / N)
+    assert np.abs(z).max() < 5.5
+    _, p = sps.kstest(z[:20000], "norm")
+    assert p > 1e-4, p
+    assert abs(sps.kurtosis(z)) < 0.06
