@@ -99,7 +99,7 @@ def gamma_mt_elem(a_star, rate, bit_source=_tpu_bits):
     value = d
     accepted = jnp.zeros(jnp.shape(rate), jnp.bool_)
     for _ in range(GAMMA_ROUNDS):
-        x = normal(jnp.shape(rate), bit_source)
+        x = normal_icdf(jnp.shape(rate), bit_source)
         v = (1.0 + c * x) ** 3
         u = uniform(jnp.shape(rate), bit_source)
         ok = jnp.logical_and(
@@ -121,9 +121,10 @@ def normal_icdf(shape, bit_source=_tpu_bits):
     exactly +-1.0 in f32 for u within 6e-8 of the ends (f32 spacing at 1 is
     1.2e-7), which would give erfinv(+-1) = inf; Box-Muller's own truncation is
     5.9 sigma, and the clipped mass (~1e-7) is far below statistical resolution
-    at any chain count in use. Used by the spectral engines; the unrolled
-    engines keep Box-Muller, whose exact interpret-mode streams their numpy
-    mirror tests encode."""
+    at any chain count in use. Used by the spectral engines' draws and as the
+    candidate normal inside every Marsaglia-Tsang gamma round; the unrolled
+    engines' direct normal draws keep Box-Muller, whose exact interpret-mode
+    streams their numpy mirror tests encode."""
     u = uniform(shape, bit_source)
     t = jnp.clip(2.0 * u - 1.0, -1.0 + 1.2e-7, 1.0 - 1.2e-7)
     return _SQRT2 * erfinv_poly(t)
@@ -148,7 +149,7 @@ def gamma_mt2(a1: float, a2: float, rate1, rate2, bit_source=_tpu_bits):
     value = d
     accepted = jnp.zeros(rate.shape, jnp.bool_)
     for _ in range(max(_mt_rounds(a1), _mt_rounds(a2))):
-        x = normal_pair(rate.shape, bit_source)
+        x = normal_icdf(rate.shape, bit_source)
         v = (1.0 + c * x) ** 3
         u = uniform(rate.shape, bit_source)
         ok = jnp.logical_and(
@@ -246,7 +247,7 @@ def gamma_mt(a_star: float, rate, bit_source=_tpu_bits):
     value = jnp.full(rate.shape, d, jnp.float32)
     accepted = jnp.zeros(rate.shape, jnp.bool_)
     for _ in range(_mt_rounds(a_star)):
-        x = normal(rate.shape, bit_source)
+        x = normal_icdf(rate.shape, bit_source)
         v = (1.0 + c * x) ** 3
         u = uniform(rate.shape, bit_source)
         ok = jnp.logical_and(
