@@ -12,7 +12,7 @@ from openmcmc_tpu.diagnostics import summary
 from openmcmc_tpu.distributions import Normal
 from openmcmc_tpu.mcmc import MCMC
 from openmcmc_tpu.model import Model
-from openmcmc_tpu.samplers import NormalNormal, RandomWalk
+from openmcmc_tpu.samplers import HMC, NormalNormal, RandomWalk
 
 
 def main():
@@ -38,6 +38,9 @@ def main():
 
     for name, sampler in [
         ("RandomWalk", RandomWalk("h", model=mdl, step=5.0)),
+        # HMC (beyond the reference): 8 leapfrog steps per proposal with burn-in
+        # step adaptation -- near-iid draws where the random walk crawls
+        ("HMC", HMC("h", model=mdl, step=1.0, n_leapfrog=8, adapt_step=True)),
         ("NormalNormal (conjugate)", NormalNormal("h", model=mdl)),
     ]:
         m = MCMC(state, [sampler], model=mdl, n_burn=200, n_iter=1000, n_chains=512, seed=0)
@@ -47,7 +50,7 @@ def main():
             f"{name}: mean {float(s['mean']):.2f} sd {float(s['sd']):.2f} "
             f"ess {float(s['ess']):.0f} rhat {float(s['rhat']):.3f}"
         )
-        if name.startswith("RandomWalk"):
+        if name in ("RandomWalk", "HMC"):
             print(f"  acceptance: {float(jnp.mean(res.acceptance['h'])):.0f}%")
 
 

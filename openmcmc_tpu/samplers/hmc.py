@@ -49,6 +49,11 @@ class HMC(MetropolisHastings):
         active_count: optional count entry freezing padded entries.
         adapt_step / target_accept / adapt_rate: Robbins-Monro burn-in
             adaptation of the (log) step size toward ``target_accept``.
+        jitter: per-iteration uniform jitter of the step size in
+            ``[step (1 - jitter), step (1 + jitter)]``. Fixed-length HMC on
+            near-Gaussian targets has resonances (trajectory angle near a full
+            period returns the endpoint to the start: high acceptance, near-zero
+            ESS); jitter breaks the periodicity. Default 0.2.
     """
 
     default_target_accept = 0.651  # HMC-optimal acceptance (Beskos et al. 2013)
@@ -64,6 +69,7 @@ class HMC(MetropolisHastings):
         adapt_step: bool = False,
         target_accept: Optional[float] = None,
         adapt_rate: float = 0.05,
+        jitter: float = 0.2,
     ):
         super().__init__(
             param,
@@ -76,7 +82,10 @@ class HMC(MetropolisHastings):
         )
         if int(n_leapfrog) < 1:
             raise ValueError("n_leapfrog must be >= 1")
+        if not 0.0 <= float(jitter) < 1.0:
+            raise ValueError("jitter must be in [0, 1)")
         self.n_leapfrog = int(n_leapfrog)
+        self.jitter = float(jitter)
         self.mass = jnp.asarray(mass, dtype=jnp.result_type(float))
 
     def _mask(self, state: dict, shape, dtype):
@@ -89,6 +98,12 @@ class HMC(MetropolisHastings):
     def proposal(self, key, state: dict, param_index=None, step=None):
         theta0 = state[self.param]
         eps = self.step_size if step is None else step
+        key, k_jit = jax.random.split(key)
+        if self.jitter > 0.0:
+            # symmetric per-iteration step jitter (same forward/backward, so the
+            # proposal stays reversible and nothing enters the accept ratio)
+            u = jax.random.uniform(k_jit, (), theta0.dtype)
+            eps = eps * (1.0 - self.jitter + 2.0 * self.jitter * u)
         mask = self._mask(state, theta0.shape, theta0.dtype)
         mass = jnp.broadcast_to(self.mass, theta0.shape)
 
