@@ -2,6 +2,7 @@
 
 from openmcmc_tpu.samplers.base import Sampler
 from openmcmc_tpu.samplers.conjugate import MixtureAllocation, NormalGamma, NormalNormal
+from openmcmc_tpu.samplers.elliptical import EllipticalSlice
 from openmcmc_tpu.samplers.hmc import HMC
 from openmcmc_tpu.samplers.reversible_jump import ReversibleJump
 from openmcmc_tpu.samplers.metropolis import (
@@ -22,6 +23,7 @@ __all__ = [
     "RandomWalkLoop",
     "ManifoldMALA",
     "HMC",
+    "EllipticalSlice",
     "ReversibleJump",
     "acceptance_rate",
 ]

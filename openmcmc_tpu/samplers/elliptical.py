@@ -1,0 +1,109 @@
+"""Elliptical slice sampling (beyond the reference).
+
+Murray, Adams & MacKay (2010): for a target p(theta) ∝ N(theta; mu, Q^{-1}) L(theta)
+-- exactly this framework's model family, a Gaussian prior times arbitrary
+likelihood terms -- the update rotates the current point around an auxiliary
+prior draw on an ellipse and slice-samples the angle. No step size, no gradients,
+no accept/reject tuning: every iteration moves, and the only model evaluations
+are likelihood log-densities.
+
+TPU-native design:
+- the angle-shrinkage loop is a ``lax.while_loop`` with a static round cap
+  (the bracket halves per rejection and acceptance is guaranteed as the angle
+  approaches 0, so the expected round count is ~1.4; the cap is a lockstep
+  bound for vmapped chains -- if a chain ever exhausts it, it keeps its current
+  value, an exact no-move fallback);
+- the auxiliary draw uses the structured prior precision (banded GMRF priors
+  stay O(p)) through :func:`openmcmc_tpu.linalg.gmrf.sample_normal`;
+- under ``vmap`` all chains iterate in lockstep until the slowest accepts.
+
+The reference has no slice sampler of any kind; its non-conjugate options are
+random-walk MH and mMALA (reference metropolis_hastings.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from openmcmc_tpu.distributions.location_scale import Normal
+from openmcmc_tpu.linalg import gmrf
+from openmcmc_tpu.linalg import structured as st
+from openmcmc_tpu.model import Model
+from openmcmc_tpu.samplers.base import Sampler
+
+TWO_PI = 6.283185307179586
+
+
+class EllipticalSlice(Sampler):
+    """Elliptical slice sampler for a parameter with an untruncated Normal prior.
+
+    Args:
+        param: state entry to sample (prior ``model[param]`` must be Normal,
+            untruncated; every other conditional-model term is the likelihood).
+        model: full model (restricted internally).
+        max_shrink: static cap on angle-shrinkage rounds per iteration.
+    """
+
+    def __init__(self, param: str, model: Model, max_shrink: int = 32):
+        super().__init__(param, model)
+        prior = self.model.get(param)
+        if not isinstance(prior, Normal):
+            raise TypeError("EllipticalSlice requires a Normal prior on the sampled parameter")
+        if prior.truncated:
+            raise TypeError("EllipticalSlice requires an untruncated Normal prior")
+        self._likelihood = [dist for key, dist in self.model.items() if key != param]
+        self.max_shrink = int(max_shrink)
+
+    def _log_lik(self, state: dict) -> jnp.ndarray:
+        total = jnp.asarray(0.0)
+        for dist in self._likelihood:
+            total = total + dist.log_p(state)
+        return total
+
+    def step(self, key, state: dict, stats: dict, adapt: bool = False):
+        param = self.param
+        theta = state[param]
+        prior = self.model[param]
+        mu = jnp.broadcast_to(jnp.asarray(prior.mean.predictor(state)), theta.shape)
+        Q = st.as_structured(prior.precision.predictor(state))
+
+        k_nu, k_y, k_eps, k_loop = jax.random.split(key, 4)
+        nu = gmrf.sample_normal(k_nu, mu.reshape(-1, 1) * 0.0, Q=Q).reshape(theta.shape)
+        log_y = self._log_lik(state) + jnp.log(jax.random.uniform(k_y))
+
+        def lik_at(angle):
+            prop = (theta - mu) * jnp.cos(angle) + nu * jnp.sin(angle) + mu
+            s = dict(state)
+            s[param] = prop
+            return prop, self._log_lik(s)
+
+        eps0 = TWO_PI * jax.random.uniform(k_eps)
+        prop0, ll0 = lik_at(eps0)
+
+        def cond(carry):
+            done, rounds, *_ = carry
+            return jnp.logical_and(jnp.logical_not(done), rounds < self.max_shrink)
+
+        def body(carry):
+            done, rounds, eps, lo, hi, prop, k = carry
+            # shrink the bracket toward 0 past the rejected angle
+            lo = jnp.where(eps < 0.0, eps, lo)
+            hi = jnp.where(eps < 0.0, hi, eps)
+            k, sub = jax.random.split(k)
+            eps_new = lo + (hi - lo) * jax.random.uniform(sub)
+            prop_new, ll = lik_at(eps_new)
+            accept = ll > log_y
+            return (accept, rounds + 1, eps_new, lo, hi,
+                    jnp.where(accept, prop_new, prop), k)
+
+        carry0 = (ll0 > log_y, jnp.zeros((), jnp.int32), eps0, eps0 - TWO_PI, eps0,
+                  jnp.where(ll0 > log_y, prop0, theta), k_loop)
+        done, _, _, _, _, new_theta, _ = lax.while_loop(cond, body, carry0)
+        # cap exhausted (probability ~2^-max_shrink): exact no-move fallback
+        new_theta = jnp.where(done, new_theta, theta)
+
+        new_state = dict(state)
+        new_state[param] = new_theta
+        return new_state, stats
