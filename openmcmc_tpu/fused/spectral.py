@@ -37,7 +37,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt, gamma_mt2, normal, normal_icdf, normal_pair, uniform
+from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt2, normal_icdf, uniform
 from openmcmc_tpu.fused.layout import chain_slice
 
 MAX_P = 256
