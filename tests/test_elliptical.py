@@ -87,3 +87,46 @@ def test_requires_untruncated_normal_prior():
     )
     with pytest.raises(TypeError):
         EllipticalSlice("b", mdl)
+
+
+def test_composed_gibbs_matches_conjugate(rng):
+    """EllipticalSlice for the latent field inside a full Gibbs sweep (with a
+    NormalGamma noise-precision update) must match the all-conjugate sweep's
+    posterior: the prior precision is lam-scaled and re-read from the state
+    every iteration."""
+    from openmcmc_tpu.distributions import Gamma
+    from openmcmc_tpu.samplers import NormalGamma, NormalNormal
+
+    p = 24
+    s = np.linspace(0.0, 12.0, p)
+    P_lam = gmrf.precision_irregular(jnp.asarray(s))
+    P_lam = st.Banded(P_lam.bands.at[0, 0].add(0.01))
+    b_true = np.sin(s / 2.0)
+    y = (b_true + rng.normal(0.0, 0.5, p)).reshape(p, 1)
+
+    def build(latent_sampler_cls):
+        mdl = Model(
+            [
+                Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+                Normal("b", mean="m0", precision=ScaledMatrix("P_lam", "lam")),
+                Gamma("tau", shape="a_t", rate="b_t"),
+            ]
+        )
+        state = {
+            "y": y, "b": np.zeros((p, 1)), "m0": np.zeros((p, 1)),
+            "P_tau": st.Diagonal(jnp.ones(p)), "tau": 1.0,
+            "P_lam": P_lam, "lam": 4.0, "a_t": 2.0, "b_t": 0.5,
+        }
+        samplers = [latent_sampler_cls("b", mdl), NormalGamma("tau", mdl)]
+        return MCMC(state, samplers, mdl, n_burn=600, n_iter=1200, n_chains=64, seed=5)
+
+    res_es = build(EllipticalSlice).run()
+    res_nn = build(NormalNormal).run()
+    b_es = np.asarray(res_es.store["b"]).reshape(64, 1200, p)
+    b_nn = np.asarray(res_nn.store["b"]).reshape(64, 1200, p)
+    sd = b_nn.std((0, 1))
+    assert np.max(np.abs(b_es.mean((0, 1)) - b_nn.mean((0, 1))) / sd) < 0.12
+    assert np.max(np.abs(b_es.std((0, 1)) / sd - 1.0)) < 0.15
+    tau_es = float(np.asarray(res_es.store["tau"]).mean())
+    tau_nn = float(np.asarray(res_nn.store["tau"]).mean())
+    assert abs(tau_es - tau_nn) / tau_nn < 0.05, (tau_es, tau_nn)
