@@ -38,8 +38,12 @@ _PREC = lax.Precision.HIGHEST
 # Dense matrices at or below this size use the unrolled smallmat kernels instead of the
 # XLA linalg custom-calls: profiled on TPU, the cholesky/triangular_solve custom-calls
 # serialize over large vmapped chain batches (~4 ms per call for 2048 x 20 x 20, ~200x
-# the cost of the equivalent unrolled VPU arithmetic). See linalg/smallmat.py.
-_SMALL_DENSE_MAX = 32
+# the cost of the equivalent unrolled VPU arithmetic). At p = 40 (mMALA on a latent
+# Poisson-GMRF field, examples/11) the custom-call path also COMPILES pathologically:
+# 446 s vs 35 s unrolled, and runs 3.6x slower -- hence the limit sits at 64, beyond
+# which unrolled trace size (O(p^2) ops) starts to dominate compile time instead.
+# See linalg/smallmat.py.
+_SMALL_DENSE_MAX = 64
 
 
 def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

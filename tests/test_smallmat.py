@@ -9,7 +9,7 @@ import pytest
 from openmcmc_tpu.linalg import smallmat as sm
 
 
-@pytest.fixture(params=[1, 3, 8, 20])
+@pytest.fixture(params=[1, 3, 8, 20, 40, 64])
 def p(request):
     return request.param
 
