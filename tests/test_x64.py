@@ -84,3 +84,32 @@ def test_x64_conjugate_algebra_is_exact(rng):
         np.testing.assert_allclose(got, mu0, rtol=0, atol=1e-6)
         # f64 digits: the deviation is at the 1e-7 scale (sqrt(1/1e14)), far below f32 eps * |mu|
         assert np.abs(got - mu0).max() < 5e-7
+
+
+def test_x64_hmc_and_elliptical(rng):
+    """The beyond-reference samplers also run end-to-end in float64 under
+    enable_x64 (dtype propagation through leapfrog carries, momentum draws,
+    while_loop angle shrinkage, and the structured prior draw)."""
+    from openmcmc_tpu.samplers import HMC, EllipticalSlice
+
+    with jax.enable_x64(True):
+        N = 30
+        y = rng.normal(1.0, 1.0, N).reshape(1, N)
+        mdl = Model(
+            [
+                Normal("y", mean="mu", precision="tau"),
+                Normal("mu", mean="m0", precision="p0"),
+            ]
+        )
+        state = {"y": y, "tau": np.eye(1), "m0": 0.0, "p0": np.eye(1) * 0.5}
+        post_prec = N + 0.5
+        post_mean = y.sum() / post_prec
+        post_sd = 1.0 / np.sqrt(post_prec)
+        for sampler in (HMC("mu", mdl, step=0.1, n_leapfrog=8),
+                        EllipticalSlice("mu", mdl)):
+            mc = MCMC(dict(state), [sampler], mdl, n_burn=150, n_iter=300, n_chains=32, seed=6)
+            res = mc.run()
+            draws = np.asarray(res.store["mu"])
+            assert draws.dtype == np.float64, type(sampler).__name__
+            assert abs(draws.mean() - post_mean) < 6 * post_sd / np.sqrt(draws.size / 6)
+            assert abs(draws.std() / post_sd - 1.0) < 0.15, type(sampler).__name__
