@@ -31,10 +31,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI as _LOG_2PI
+from openmcmc_tpu.fused.prng import normal_icdf, LOG_2PI as _LOG_2PI
 from openmcmc_tpu.fused.layout import chain_slice
 from openmcmc_tpu.fused.prng import gamma_mt as _gamma_mt
-from openmcmc_tpu.fused.prng import normal_pair as _normal
+from openmcmc_tpu.fused.prng import normal_icdf as _normal
 from openmcmc_tpu.linalg import gmrf
 from openmcmc_tpu.linalg import structured as st
 

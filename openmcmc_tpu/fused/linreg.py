@@ -34,7 +34,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt, normal, normal_pair
+from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt, normal_icdf
 from openmcmc_tpu.fused.layout import chain_slice
 
 BLOCK_B = 2048
@@ -78,7 +78,7 @@ def _make_kernel(p, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau
             lam, tau = carry  # (1, BLOCK_B) rows
 
             # ---- NormalNormal: beta | y, tau, lam (unrolled p x p Cholesky) ----
-            z = normal_pair((p, BLOCK_B))
+            z = normal_icdf((p, BLOCK_B))
             L = [[None] * p for _ in range(p)]
             rhs = []
             for i in range(p):

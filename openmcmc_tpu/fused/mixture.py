@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from openmcmc_tpu.fused.prng import (
     LOG_2PI,
     gamma_mt_elem,
-    normal,
+    normal_icdf,
     truncnorm_draw,
     truncnorm_logpdf,
     uniform,
@@ -146,7 +146,7 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
                 for k in range(k_comp):
                     q = p0(k) + lam[k] * s0[k]
                     post_mean = (p0(k) * mu0(k) + lam[k] * s1[k]) / q
-                    mu_new.append(post_mean + normal((1, block_b)) * lax.rsqrt(q))
+                    mu_new.append(post_mean + normal_icdf((1, block_b)) * lax.rsqrt(q))
                 acc_new = acc  # no MH step: accept counters stay zero
             else:
                 # ---- RandomWalkLoop over the single replicate column of mu: one
@@ -161,7 +161,7 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
                         delta = delta + truncnorm_logpdf(mu[k], z, step, lb(k), ub(k))
                         delta = delta - truncnorm_logpdf(z, mu[k], step, lb(k), ub(k))
                     else:
-                        z = mu[k] + step * normal((1, block_b))
+                        z = mu[k] + step * normal_icdf((1, block_b))
                     prop.append(z)
                     quad_cur = s2[k] - 2.0 * mu[k] * s1[k] + s0[k] * mu[k] * mu[k]
                     quad_prop = s2[k] - 2.0 * z * s1[k] + s0[k] * z * z

@@ -33,7 +33,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI, normal, normal_pair, uniform
+from openmcmc_tpu.fused.prng import LOG_2PI, normal_icdf, uniform
 from openmcmc_tpu.fused.layout import chain_slice
 
 BLOCK_B = 2048
@@ -105,7 +105,7 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows, adapt, targ
             log_step = carry[p + 2]
             step_v = jnp.exp(log_step) if adapt else step
             s2v = step_v * step_v
-            z = normal_pair((p, BLOCK_B))
+            z = normal_icdf((p, BLOCK_B))
             mu_cur = [(1.0 - 0.5 * s2v) * b[i] + 0.5 * s2v * c(i) for i in range(p)]
             # draw: b' = mu + step * L^{-T} z (backward substitution, unrolled)
             eps = [None] * p

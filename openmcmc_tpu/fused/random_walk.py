@@ -28,7 +28,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI, normal, normal_pair, truncnorm_draw, truncnorm_logpdf, uniform
+from openmcmc_tpu.fused.prng import LOG_2PI, normal_icdf, truncnorm_draw, truncnorm_logpdf, uniform
 from openmcmc_tpu.fused.layout import chain_slice
 
 BLOCK_B = 2048
@@ -108,7 +108,7 @@ def _make_kernel(p, n_obs, n_burn, n_keep, out_rows, adapt, target, rate, trunc,
                     corr = corr + truncnorm_logpdf(h[i], h_prop[i], step_i(i), lo(i), hi(i))
                     corr = corr - truncnorm_logpdf(h_prop[i], h[i], step_i(i), lo(i), hi(i))
             else:
-                z = normal_pair((p, BLOCK_B))
+                z = normal_icdf((p, BLOCK_B))
                 h_prop = [h[i] + step_i(i) * z[i : i + 1, :] for i in range(p)]
                 corr = 0.0
             lp_prop = log_post(h_prop)

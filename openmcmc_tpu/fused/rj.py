@@ -61,10 +61,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from openmcmc_tpu.fused.prng import (
-    normal_pair,
     LOG_2PI,
     gamma_mt,
-    normal,
+    normal_icdf,
     uniform,
     erf_poly as _erf,
     truncnorm_draw as _truncnorm_draw,
@@ -192,7 +191,7 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, warm=False):
             m_arr = (iota_c < kf).astype(jnp.float32)  # (p, B)
 
             # ==== 1. manifold MALA on beta (diagonal constant metric) =========
-            z = normal_pair((p, B))
+            z = normal_icdf((p, B))
             drift = 1.0 - 0.5 * s_mmala * s_mmala
             mu_f = drift * beta + (1.0 - drift) * mu_b
             sigma = s_mmala / float(np.sqrt(tau_b))

@@ -317,9 +317,13 @@ def test_fused_thinning_matches_generic_semantics():
     # counter window: (n_burn + n_iter) * n_thin sweeps, like the generic driver
     assert int(np.asarray(res.stats["h"]["proposal"])[0]) == (n_burn + n_iter) * n_thin
 
-    # exact numpy mirror with the interpreter's constant "randomness"
+    # exact numpy mirror with the interpreter's constant "randomness" (the
+    # engines draw proposal normals via the Giles inverse-CDF, tests/
+    # test_pallas_interpret.py _icdf)
+    from test_pallas_interpret import _icdf
+
     U_HALF = 0.5 / 16777216.0
-    z0 = np.sqrt(-2.0 * np.log(U_HALF)) * np.cos(2.0 * np.pi * U_HALF)
+    z0 = _icdf(U_HALF)
     log_u = np.log(U_HALF)
     n, s1, s2 = len(y), y.sum(), (y**2).sum()
     const = 0.5 * (n * np.log(tau) - n * np.log(2 * np.pi)) + 0.5 * (np.log(lam) - np.log(2 * np.pi))

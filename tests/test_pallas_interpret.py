@@ -37,12 +37,29 @@ def _box_muller(u1, u2):
     return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
 
 
-def _box_muller_pair(u1, u2):
-    """Both Box-Muller channels, as produced by prng.normal_pair: for an even
-    leading dimension the first half of the rows take the cos channel and the
-    second half the sin channel."""
-    r = np.sqrt(-2.0 * np.log(u1))
-    return r * np.cos(2.0 * np.pi * u2), r * np.sin(2.0 * np.pi * u2)
+def _erfinv_poly_np(t):
+    """Numpy mirror of prng.erfinv_poly (Giles single-precision polynomial)."""
+    w = -np.log((1.0 - t) * (1.0 + t))
+    arg = np.where(w < 5.0, w - 2.5, np.sqrt(np.maximum(w, 1e-30)) - 3.0)
+    cs = [
+        (2.81022636e-08, -2.00214257e-04), (3.43273939e-07, 1.00950558e-04),
+        (-3.5233877e-06, 1.34934322e-03), (-4.39150654e-06, -3.67342844e-03),
+        (2.1858087e-04, 5.73950773e-03), (-1.25372503e-03, -7.62246130e-03),
+        (-4.17768164e-03, 9.43887047e-03), (2.46640727e-01, 1.00167406e00),
+        (1.50140941e00, 2.83297682e00),
+    ]
+    small = w < 5.0
+    p = np.where(small, cs[0][0], cs[0][1])
+    for a, b in cs[1:]:
+        p = p * arg + np.where(small, a, b)
+    return p * t
+
+
+def _icdf(u):
+    """Numpy mirror of prng.normal_icdf under the interpret stub: the engines'
+    direct normal draws use the Giles inverse-CDF (clamped at ~5.2 sigma)."""
+    t = np.clip(2.0 * u - 1.0, -1.0 + 1.2e-7, 1.0 - 1.2e-7)
+    return np.sqrt(2.0) * _erfinv_poly_np(t)
 
 
 def _tridiag_q(p, scale=20.0):
@@ -143,7 +160,7 @@ def test_fused_rw_interpret(interpret):
     def lp(h):
         return const - 0.5 * tau * (s2 - 2 * h * s1 + n * h * h) - 0.5 * lam * (h - mu) ** 2
 
-    z0 = _box_muller(U_HALF, U_HALF)
+    z0 = _icdf(U_HALF)
     log_u = np.log(U_HALF)
     h, cur = h0, lp(h0)
     draws = []
@@ -178,7 +195,7 @@ def test_fused_rw_adapt_interpret(interpret):
     def lp(h):
         return const - 0.5 * tau * (s2 - 2 * h * s1 + n * h * h) - 0.5 * lam * (h - mu) ** 2
 
-    z0 = _box_muller(U_HALF, U_HALF)
+    z0 = _icdf(U_HALF)
     log_u = np.log(U_HALF)
     h, cur, log_step = h0, lp(h0), np.log(step)
     draws, steps = [], []
@@ -282,9 +299,9 @@ def test_fused_rw_vector_step_interpret(interpret):
             for i in range(2)
         )
 
-    # p = 2 is even: the kernel's normal_pair gives row 0 the cos channel and
-    # row 1 the sin channel of one Box-Muller radius
-    z0 = np.asarray(_box_muller_pair(U_HALF, U_HALF))
+    # every element's stubbed uniform is U_HALF, so both rows draw the same
+    # inverse-CDF value
+    z0 = np.full(2, _icdf(U_HALF))
     log_u = np.log(U_HALF)
     h, cur = h0.copy(), lp(h0)
     draws = []
