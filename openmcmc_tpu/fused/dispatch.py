@@ -134,7 +134,10 @@ def _sharded(runner, mcmc) -> Callable:
     chains never communicate; SURVEY.md section 2 parallelism table).
 
     Each shard gets its own PRNG stream by offsetting the kernel seed with a
-    stride far above any grid's program count (kernels seed with seed + pid)."""
+    stride far above any grid's program count (kernels seed with seed + pid).
+    The per-device chain count is passed explicitly through every matcher's
+    ``n_chains`` keyword -- never by mutating the MCMC object, whose traced
+    closures a cached concurrent trace could otherwise observe mid-mutation."""
     if mcmc.mesh is None:
         return runner
 
@@ -148,12 +151,7 @@ def _sharded(runner, mcmc) -> Callable:
         per_dev = mcmc.n_chains // n_dev
 
         def shard_fn(seeds):
-            n_chains = mcmc.n_chains
-            mcmc.n_chains = per_dev  # matcher closures read n_chains at trace time
-            try:
-                return runner(seeds[0])
-            finally:
-                mcmc.n_chains = n_chains
+            return runner(seeds[0], n_chains=per_dev)
 
         seeds = jnp.asarray(seed, jnp.int32) + jnp.arange(n_dev, dtype=jnp.int32) * 1000003
         # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
@@ -178,11 +176,11 @@ def _thinned(runner, mcmc) -> Callable:
     if mcmc.n_thin == 1:
         return runner
 
-    def run(seed):
+    def run(seed, n_chains=None):
         thin, nb, ni = mcmc.n_thin, mcmc.n_burn, mcmc.n_iter
         mcmc.n_burn, mcmc.n_iter = nb * thin, ni * thin
         try:
-            store, log_post, stats = runner(seed)
+            store, log_post, stats = runner(seed, n_chains=n_chains)
         finally:
             mcmc.n_burn, mcmc.n_iter = nb, ni
         store = {name: draws[:, thin - 1 :: thin] for name, draws in store.items()}
@@ -310,11 +308,12 @@ def _match_smoother(mcmc) -> Optional[Callable]:
         # pseudo-constant than the eigenvalue product -- pass the generic value
         logdet_p0 = float(2.0 * np.sum(np.log(np.asarray(st.diag(st.cholesky(plam))))))
 
-        def run(seed, resume=None):
+        def run(seed, resume=None, n_chains=None):
             init, n_burn = _resume_init(resume)
             out = run_spectral_smoother(
                 seed, np.asarray(jnp.asarray(y).reshape(-1)), np.asarray(st.to_dense(plam)),
-                n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+                n_burn=n_burn, n_iter=mcmc.n_iter,
+                n_chains=mcmc.n_chains if n_chains is None else n_chains,
                 a_lam=hyp_lam[0], b_lam=hyp_lam[1], a_tau=hyp_tau[0], b_tau=hyp_tau[1],
                 lam0=lam0, tau0=tau0,
                 noise_diag=np.asarray(ptau.diag_), mu0=np.asarray(jnp.asarray(mu).reshape(-1)),
@@ -326,11 +325,12 @@ def _match_smoother(mcmc) -> Optional[Callable]:
     else:
         from openmcmc_tpu.fused.gmrf_smoother import run_fused_smoother
 
-        def run(seed, resume=None):
+        def run(seed, resume=None, n_chains=None):
             init, n_burn = _resume_init(resume)
             out = run_fused_smoother(
                 seed, jnp.asarray(y).reshape(-1), None,
-                n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+                n_burn=n_burn, n_iter=mcmc.n_iter,
+                n_chains=mcmc.n_chains if n_chains is None else n_chains,
                 a_lam=hyp_lam[0], b_lam=hyp_lam[1], a_tau=hyp_tau[0], b_tau=hyp_tau[1],
                 lam0=lam0, tau0=tau0, P0_bands=plam.bands,
                 noise_diag=ptau.diag_, mu0=jnp.asarray(mu).reshape(-1), init=init,
@@ -404,7 +404,7 @@ def _match_linreg(mcmc) -> Optional[Callable]:
 
         engine_name = "fused_linreg_spectral"
 
-    def run(seed, resume=None):
+    def run(seed, resume=None, n_chains=None):
         init, n_burn = None, mcmc.n_burn
         if resume is not None:
             # the kernels' whole carry is (lam, tau): see _match_smoother
@@ -415,7 +415,8 @@ def _match_linreg(mcmc) -> Optional[Callable]:
             n_burn = 0
         out = _runner(
             seed, jnp.asarray(X), jnp.asarray(y).reshape(-1),
-            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+            n_burn=n_burn, n_iter=mcmc.n_iter,
+            n_chains=mcmc.n_chains if n_chains is None else n_chains,
             a_tau=hyp_tau[0], b_tau=hyp_tau[1], a_lam=hyp_lam[0], b_lam=hyp_lam[1],
             lam0=lam0, tau0=tau0,
             mu=jnp.asarray(mu).reshape(-1), plam_diag=plam.diag_, ptau_diag=ptau.diag_,
@@ -510,14 +511,15 @@ def _match_rw(mcmc) -> Optional[Callable]:
 
     from openmcmc_tpu.fused.random_walk import run_fused_rw
 
-    def run(seed, resume=None):
+    def run(seed, resume=None, n_chains=None):
+        nc = mcmc.n_chains if n_chains is None else n_chains
         init = None
         n_burn = mcmc.n_burn
         prop0 = 0
         if resume is not None:
             # generic resume contract: continue from the final carry, no re-burn,
             # counters keep accumulating on top of the resumed stats
-            init = {"h": jnp.asarray(resume.final_state[h]).reshape(mcmc.n_chains, p)}
+            init = {"h": jnp.asarray(resume.final_state[h]).reshape(nc, p)}
             rstats = resume.stats.get(h, {})
             if "log_step" in rstats:
                 init["log_step"] = jnp.asarray(rstats["log_step"]).reshape(-1)
@@ -527,7 +529,7 @@ def _match_rw(mcmc) -> Optional[Callable]:
             n_burn = 0
         out = run_fused_rw(
             seed, jnp.asarray(y),
-            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=nc,
             mu=mu, tau=tau, lam=lam, step=step_vec, h0=h0,
             adapt_step=rw.adapt_step, target_accept=rw.target_accept, adapt_rate=rw.adapt_rate,
             domain=domain, init=init,
@@ -538,12 +540,12 @@ def _match_rw(mcmc) -> Optional[Callable]:
         stats = {
             h: {
                 "accept": out["accept_total"].astype(jnp.int32),
-                "proposal": prop0 + jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
+                "proposal": prop0 + jnp.full((nc,), n_prop, jnp.int32),
             }
         }
         if rw.adapt_step:
             # generic init_stats carries log_step with the step's (1, 1) shape
-            stats[h]["log_step"] = out["log_step"].reshape(mcmc.n_chains, 1, 1)
+            stats[h]["log_step"] = out["log_step"].reshape(nc, 1, 1)
         return store, out["log_post"], stats
 
     run.engine_name = "fused_random_walk"
@@ -691,14 +693,15 @@ def _match_rj(mcmc) -> Optional[Callable]:
 
     from openmcmc_tpu.fused.rj import run_fused_rj
 
-    def run(seed, resume=None):
+    def run(seed, resume=None, n_chains=None):
+        nc = mcmc.n_chains if n_chains is None else n_chains
         warm, n_burn, prop0 = None, mcmc.n_burn, 0
         if resume is not None:
             fs, rstats = resume.final_state, resume.stats
             warm = {
-                "beta": jnp.asarray(fs[beta]).reshape(mcmc.n_chains, n_max),
-                "theta": jnp.asarray(fs[theta]).reshape(mcmc.n_chains, n_max),
-                "omega": jnp.asarray(fs[omega]).reshape(mcmc.n_chains, n_max),
+                "beta": jnp.asarray(fs[beta]).reshape(nc, n_max),
+                "theta": jnp.asarray(fs[theta]).reshape(nc, n_max),
+                "omega": jnp.asarray(fs[omega]).reshape(nc, n_max),
                 "k": jnp.asarray(fs[count]).astype(jnp.float32).reshape(-1),
                 # carry counter order: acc_mmala, acc_theta, acc_omega, acc_rj,
                 # prop_theta, prop_omega
@@ -715,7 +718,7 @@ def _match_rj(mcmc) -> Optional[Callable]:
             n_burn = 0
         out = run_fused_rj(
             seed, np.asarray(X).reshape(-1),
-            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains, n_max=n_max,
+            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=nc, n_max=n_max,
             beta0=np.asarray(init[beta]), theta0=np.asarray(init[theta]),
             omega0=np.asarray(init[omega]), k0=float(np.asarray(init[count]).reshape(())),
             rho=rho, mu_beta=mu_b, tau_beta=tau_b, a_omega=hyp_om[0], b_omega=hyp_om[1],
@@ -733,7 +736,7 @@ def _match_rj(mcmc) -> Optional[Callable]:
             store[beta] = out["beta"][..., None]
             store[theta] = out["theta"][:, :, None, :]
             store[omega] = out["omega"][:, :, None, :]
-        n_prop = prop0 + jnp.full((mcmc.n_chains,), n_burn + mcmc.n_iter, jnp.int32)
+        n_prop = prop0 + jnp.full((nc,), n_burn + mcmc.n_iter, jnp.int32)
         stats = {
             beta: {"accept": out["accept_mmala"].astype(jnp.int32), "proposal": n_prop},
             theta: {
@@ -893,14 +896,15 @@ def _match_mixture(mcmc) -> Optional[Callable]:
 
     from openmcmc_tpu.fused.mixture import run_fused_mixture
 
-    def run(seed, resume=None):
+    def run(seed, resume=None, n_chains=None):
+        nc = mcmc.n_chains if n_chains is None else n_chains
         init, n_burn, prop0 = None, mcmc.n_burn, 0
         if resume is not None:
             # the kernel carry is (mu rows, lam rows, accept count); Z redraws
             # from its full conditional each sweep
             init = {
-                "mu": jnp.asarray(resume.final_state[mu_name]).reshape(mcmc.n_chains, k_comp),
-                "lam": jnp.asarray(resume.final_state[lam_name]).reshape(mcmc.n_chains, k_comp),
+                "mu": jnp.asarray(resume.final_state[mu_name]).reshape(nc, k_comp),
+                "lam": jnp.asarray(resume.final_state[lam_name]).reshape(nc, k_comp),
             }
             rstats = resume.stats.get(mu_name, {})
             if "accept" in rstats:
@@ -909,7 +913,7 @@ def _match_mixture(mcmc) -> Optional[Callable]:
             n_burn = 0
         out = run_fused_mixture(
             seed, yv.reshape(-1), prior,
-            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=nc,
             mu0=mu0v, p0=p0, a0=a0, b0=b0, mu_init=mu_i, lam_init=lam_i,
             step=0.2 if conjugate else float(np.asarray(rwl.step_size).reshape(())),
             domain=domain, init=init, conjugate_means=conjugate,
@@ -924,7 +928,7 @@ def _match_mixture(mcmc) -> Optional[Callable]:
             # conjugate NormalNormal means carry no MH counters (generic parity)
             mu_name: {} if conjugate else {
                 "accept": out["accept_total"].astype(jnp.int32),
-                "proposal": prop0 + jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
+                "proposal": prop0 + jnp.full((nc,), n_prop, jnp.int32),
             },
             lam_name: {},
         }
@@ -1001,14 +1005,15 @@ def _match_mmala(mcmc) -> Optional[Callable]:
 
     unrolled = engine_name == "fused_mmala"
 
-    def run(seed, resume=None):
+    def run(seed, resume=None, n_chains=None):
+        nc = mcmc.n_chains if n_chains is None else n_chains
         extra = {}
         if mm.adapt_step:
             extra = dict(adapt_step=True, target_accept=mm.target_accept, adapt_rate=mm.adapt_rate)
         n_burn = mcmc.n_burn
         prop0 = 0
         if resume is not None:
-            init = {"beta": jnp.asarray(resume.final_state[latent]).reshape(mcmc.n_chains, p)}
+            init = {"beta": jnp.asarray(resume.final_state[latent]).reshape(nc, p)}
             rstats = resume.stats.get(latent, {})
             if "log_step" in rstats:
                 init["log_step"] = jnp.asarray(rstats["log_step"]).reshape(-1)
@@ -1019,7 +1024,7 @@ def _match_mmala(mcmc) -> Optional[Callable]:
             n_burn = 0
         out = run_fused_mmala(
             seed, jnp.asarray(X), jnp.asarray(y).reshape(-1),
-            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=mcmc.n_chains,
+            n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=nc,
             tau=tau, lam=lam, step=float(np.asarray(mm.step_size).reshape(())),
             ptau_diag=ptau.diag_, plam_diag=plam.diag_,
             mu0=jnp.asarray(mu0).reshape(-1),
@@ -1031,12 +1036,12 @@ def _match_mmala(mcmc) -> Optional[Callable]:
         stats = {
             latent: {
                 "accept": out["accept_total"].astype(jnp.int32),
-                "proposal": prop0 + jnp.full((mcmc.n_chains,), n_prop, jnp.int32),
+                "proposal": prop0 + jnp.full((nc,), n_prop, jnp.int32),
             }
         }
         if mm.adapt_step:
             # generic init_stats carries log_step with the step's (1, 1) shape
-            stats[latent]["log_step"] = out["log_step"].reshape(mcmc.n_chains, 1, 1)
+            stats[latent]["log_step"] = out["log_step"].reshape(nc, 1, 1)
         return store, out["log_post"], stats
 
     run.engine_name = engine_name

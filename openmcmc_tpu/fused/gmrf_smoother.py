@@ -31,7 +31,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import normal_icdf, LOG_2PI as _LOG_2PI
+from openmcmc_tpu.fused.prng import LOG_2PI as _LOG_2PI
 from openmcmc_tpu.fused.layout import chain_slice
 from openmcmc_tpu.fused.prng import gamma_mt as _gamma_mt
 from openmcmc_tpu.fused.prng import normal_icdf as _normal
@@ -323,7 +323,10 @@ def run_fused_smoother(
         ),
     )(*args)
 
-    b_draws = jnp.transpose(chain_slice(out_b[:, :p_real, :], n_chains), (2, 0, 1))  # (chains, iters, p)
+    # elide the middle-axis slice when p is already a multiple of the chunk:
+    # XLA materializes out[..., :n, :] as a full copy even when n == shape[1]
+    out_b = out_b if p_real == out_b.shape[1] else out_b[:, :p_real, :]
+    b_draws = jnp.transpose(chain_slice(out_b, n_chains), (2, 0, 1))  # (chains, iters, p)
     small = jnp.transpose(chain_slice(out_s, n_chains), (2, 0, 1))  # (chains, iters, 8)
     return {
         "b": b_draws,

@@ -121,10 +121,10 @@ def normal_icdf(shape, bit_source=_tpu_bits):
     exactly +-1.0 in f32 for u within 6e-8 of the ends (f32 spacing at 1 is
     1.2e-7), which would give erfinv(+-1) = inf; Box-Muller's own truncation is
     5.9 sigma, and the clipped mass (~1e-7) is far below statistical resolution
-    at any chain count in use. Used by the spectral engines' draws and as the
-    candidate normal inside every Marsaglia-Tsang gamma round; the unrolled
-    engines' direct normal draws keep Box-Muller, whose exact interpret-mode
-    streams their numpy mirror tests encode."""
+    at any chain count in use. Used for ALL fused engines' direct normal draws
+    and as the candidate normal inside every Marsaglia-Tsang gamma round; the
+    interpret-mode numpy mirrors (tests/test_pallas_interpret.py) encode this
+    inverse-CDF stream."""
     u = uniform(shape, bit_source)
     t = jnp.clip(2.0 * u - 1.0, -1.0 + 1.2e-7, 1.0 - 1.2e-7)
     return _SQRT2 * erfinv_poly(t)

@@ -158,17 +158,21 @@ class MCMC:
         self.store_names = list(store_names)
         self._stats_names = [s.param for s in self.samplers]
         self._fn_cache = {}
-        self._enable_carried_logp()
+        self._carry_logp = self._carried_logp_params()
 
-    def _enable_carried_logp(self) -> None:
-        """Turn on carried current-state log-densities for Metropolis samplers whose
-        conditional-model inputs no other sampler in the sweep modifies (always true
-        for single-sampler chains). Halves the density work per MH step; the carried
-        value stays exact because each sampler writes back its own post-accept
-        log-density (see MetropolisHastings.carry_logp)."""
+    def _carried_logp_params(self) -> frozenset:
+        """Params whose Metropolis samplers get a carried current-state log-density:
+        those whose conditional-model inputs no other sampler in the sweep modifies
+        (always true for single-sampler chains). Halves the density work per MH step;
+        the carried value stays exact because each sampler writes back its own
+        post-accept log-density. Per-RUN state (this set), never a sampler attribute:
+        a sampler instance reused in a second MCMC with a different sweep composition
+        must not inherit the first run's decision — the samplers themselves key off
+        the presence of the "logp" entry this driver seeds in their stats pytrees."""
         from openmcmc_tpu.samplers.metropolis import ManifoldMALA, RandomWalk, RandomWalkLoop
         from openmcmc_tpu.samplers.reversible_jump import ReversibleJump
 
+        carried = set()
         for s in self.samplers:
             base_mh = isinstance(s, (RandomWalk, ManifoldMALA, ReversibleJump)) and not isinstance(
                 s, RandomWalkLoop
@@ -182,7 +186,9 @@ class MCMC:
             for o in self.samplers:
                 if o is not s:
                     others.update(getattr(o, "updated_names", [o.param]))
-            s.carry_logp = not (deps & others)
+            if not (deps & others):
+                carried.add(s.param)
+        return frozenset(carried)
 
     # -- construction of the pure step functions ----------------------------
 
@@ -206,7 +212,7 @@ class MCMC:
         if chain_state is not None:
             full = self._full_state(chain_state)
             for s in self.samplers:
-                if getattr(s, "carry_logp", False):
+                if s.param in self._carry_logp:
                     stats[s.param]["logp"] = s.initial_carried_logp(full)
         return stats
 
@@ -244,7 +250,22 @@ class MCMC:
         return out
 
     def _single_chain_resume(self, key, chain_state, stats):
-        """Continue a chain from a saved carry (checkpoint/resume path)."""
+        """Continue a chain from a saved carry (checkpoint/resume path).
+
+        The carried-logp entries are reconciled with THIS run's sweep analysis: a
+        stale "logp" from a previous run with a different sweep composition is
+        dropped (it would be wrong once another sampler moves this sampler's
+        inputs), and a missing one for a newly-carried param is seeded fresh."""
+        stats = {name: dict(s) for name, s in stats.items()}
+        full = self._full_state(chain_state)
+        for s in self.samplers:
+            sampler_stats = stats.get(s.param, {})
+            if s.param in self._carry_logp:
+                if "logp" not in sampler_stats:
+                    sampler_stats["logp"] = s.initial_carried_logp(full)
+            else:
+                sampler_stats.pop("logp", None)
+            stats[s.param] = sampler_stats
         return self._run_from(key, chain_state, stats)
 
     def _single_chain_run(self, key):
@@ -440,8 +461,12 @@ class MCMC:
         )
 
     def run_mcmc(self) -> MCMCResult:
-        """Reference-API alias (reference mcmc.py:87)."""
-        return self.run()
+        """Reference-API alias (reference mcmc.py:87): run, then print the MH
+        acceptance-rate report like the reference does unconditionally at the end
+        of every run (reference mcmc.py:113-115). :meth:`run` stays silent."""
+        result = self.run()
+        result.print_acceptance()
+        return result
 
     def run_chunked(
         self,

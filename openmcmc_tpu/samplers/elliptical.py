@@ -10,9 +10,13 @@ are likelihood log-densities.
 TPU-native design:
 - the angle-shrinkage loop is a ``lax.while_loop`` with a static round cap
   (the bracket halves per rejection and acceptance is guaranteed as the angle
-  approaches 0, so the expected round count is ~1.4; the cap is a lockstep
+  approaches 0, so the expected round count is ~1.4 on easy targets and
+  ~log2(prior sd / posterior sd) on concentrated ones; the cap is a lockstep
   bound for vmapped chains -- if a chain ever exhausts it, it keeps its current
-  value, an exact no-move fallback);
+  value, an exact no-move fallback, COUNTED in the stats pytree as ``cap_hits``
+  so the one silent bias mode this sampler has is observable; measured hit rate
+  on a 3000x prior/posterior scale-ratio stress target: 1.6e-3 at cap 32,
+  < 1e-4 at the default cap 64 -- tests/test_elliptical.py);
 - the auxiliary draw uses the structured prior precision (banded GMRF priors
   stay O(p)) through :func:`openmcmc_tpu.linalg.gmrf.sample_normal`;
 - under ``vmap`` all chains iterate in lockstep until the slowest accepts.
@@ -46,7 +50,7 @@ class EllipticalSlice(Sampler):
         max_shrink: static cap on angle-shrinkage rounds per iteration.
     """
 
-    def __init__(self, param: str, model: Model, max_shrink: int = 32):
+    def __init__(self, param: str, model: Model, max_shrink: int = 64):
         super().__init__(param, model)
         prior = self.model.get(param)
         if not isinstance(prior, Normal):
@@ -55,6 +59,16 @@ class EllipticalSlice(Sampler):
             raise TypeError("EllipticalSlice requires an untruncated Normal prior")
         self._likelihood = [dist for key, dist in self.model.items() if key != param]
         self.max_shrink = int(max_shrink)
+
+    def init_stats(self):
+        # cap_hits counts iterations whose shrinkage bracket was exhausted (the
+        # exact no-move fallback); a nonzero rate on a hard target is the one
+        # silent bias mode this sampler has, so it is surfaced as a scanned
+        # counter next to the iteration count
+        return {
+            "cap_hits": jnp.zeros((), jnp.int32),
+            "iterations": jnp.zeros((), jnp.int32),
+        }
 
     def _log_lik(self, state: dict) -> jnp.ndarray:
         total = jnp.asarray(0.0)
@@ -106,4 +120,8 @@ class EllipticalSlice(Sampler):
 
         new_state = dict(state)
         new_state[param] = new_theta
-        return new_state, stats
+        new_stats = dict(stats)
+        if "cap_hits" in stats:
+            new_stats["cap_hits"] = stats["cap_hits"] + jnp.logical_not(done).astype(jnp.int32)
+            new_stats["iterations"] = stats["iterations"] + 1
+        return new_state, new_stats

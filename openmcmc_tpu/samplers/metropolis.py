@@ -43,12 +43,12 @@ class MetropolisHastings(Sampler):
     #: default acceptance-rate target for step adaptation (overridden per subclass)
     default_target_accept = 0.234
 
-    #: carry the current state's conditional log-density in the stats pytree, so each
-    #: step evaluates only the proposal (halves density work). Enabled by the MCMC
-    #: driver when no OTHER sampler in the sweep modifies this sampler's model inputs
-    #: (single-sampler chains, or independent blocks); the post-accept value is exact:
-    #: log_p(selected state) == where(accept, logp_proposal, logp_current).
-    carry_logp = False
+    # Carried current-state log-density: when the MCMC driver determines that no
+    # OTHER sampler in the sweep modifies this sampler's model inputs (single-sampler
+    # chains, or independent blocks), it seeds a "logp" entry in this sampler's stats
+    # pytree; its presence is the (per-run) switch — each step then evaluates only the
+    # proposal density (halving density work) and writes back the exact post-accept
+    # value: log_p(selected state) == where(accept, logp_proposal, logp_current).
 
     def __init__(
         self,
@@ -124,7 +124,7 @@ class MetropolisHastings(Sampler):
         new_stats = dict(stats)
         new_stats["accept"] = stats["accept"] + accept.astype(jnp.int32)
         new_stats["proposal"] = stats["proposal"] + 1
-        if self.carry_logp and "logp" in stats:
+        if "logp" in stats:
             new_stats["logp"] = jnp.where(accept, logp_pr, logp_cs)
         return new_state, new_stats, log_accept
 
@@ -137,9 +137,9 @@ class MetropolisHastings(Sampler):
         updates, logp_pr_g_cr, logp_cr_g_pr = self.proposal(k_prop, state, step=self._step_value(stats))
         new_state, new_stats, log_accept = self._accept_reject(
             k_acc, state, updates, logp_pr_g_cr, logp_cr_g_pr, stats,
-            # fall back to recomputing when the driver didn't seed the carried value
-            # (e.g. a bare step() call outside MCMC)
-            logp_cs=stats.get("logp") if self.carry_logp else None,
+            # recompute when the driver didn't seed a carried value (multi-sampler
+            # sweeps with shared inputs, or a bare step() call outside MCMC)
+            logp_cs=stats.get("logp"),
         )
         return new_state, self._adapt(new_stats, log_accept, adapt)
 

@@ -77,6 +77,37 @@ def test_prior_recovery_null_likelihood(rng):
     assert np.max(np.abs(got_sd / sd_want - 1.0)) < 0.12, got_sd / sd_want
 
 
+def test_shrinkage_cap_counter_surfaced(rng):
+    """Hard target stress: a likelihood ~30x more concentrated than the prior
+    forces long shrinkage loops. The cap-hit counter must be visible in
+    MCMCResult.stats and the hit RATE must stay below 1e-4 at the default cap
+    (expected rounds stay ~log2 of the prior/posterior scale ratio, far under
+    32; a hit is the sampler's only silent no-move bias mode)."""
+    N, d = 200, 3
+    X = rng.normal(size=(N, d))
+    y = X @ np.ones((d, 1)) + 0.05 * rng.normal(size=(N, 1))
+    mdl = Model(
+        [
+            Normal("y", mean=LinearCombination(form={"beta": "X"}), precision=ScaledMatrix("P", "tau")),
+            Normal("beta", mean="mu0", precision="P0"),
+        ]
+    )
+    state = {
+        "y": y, "X": X, "beta": np.zeros((d, 1)), "P": st.Diagonal(jnp.ones(N)),
+        "tau": 400.0,  # likelihood scale ~0.003 vs prior scale ~10: brutal slice geometry
+        "P0": np.eye(d) * 0.01, "mu0": np.zeros((d, 1)),
+    }
+    n_chains, n_iter, n_burn = 64, 400, 100
+    mcmc = MCMC(state, [EllipticalSlice("beta", mdl)], mdl,
+                n_burn=n_burn, n_iter=n_iter, n_chains=n_chains, seed=2)
+    res = mcmc.run()
+    assert "cap_hits" in res.stats["beta"] and "iterations" in res.stats["beta"]
+    iters = np.asarray(res.stats["beta"]["iterations"])
+    np.testing.assert_array_equal(iters, n_burn + n_iter)
+    hit_rate = float(np.asarray(res.stats["beta"]["cap_hits"]).sum()) / float(iters.sum())
+    assert hit_rate < 1e-4, hit_rate
+
+
 def test_requires_untruncated_normal_prior():
     mdl = Model(
         [
