@@ -72,29 +72,27 @@ def build_mcmc(n_chains: int, n_burn: int, n_iter: int) -> MCMC:
 
 
 def main():
-    # headline engine: the fully-fused one-launch SPECTRAL smoother
-    # (fused/spectral.py) -- iterations elementwise in eigencoordinates, one MXU
-    # matmul per stored draw; statistically identical to the generic driver
-    # (tests/test_spectral.py) and what MCMC.run(engine="auto") dispatches for
-    # this model. Measured ~1.7x the Thomas-scan kernel at this p.
-    from openmcmc_tpu.fused import run_spectral_smoother
-
-    rng = np.random.default_rng(0)
-    s = np.linspace(0.0, 60.0, N_TIME)
-    b_true = np.sin(s / 20.0) + 2.0 * np.cos(s / 12.0) + 2.0
-    y = b_true + rng.normal(0.0, 1.0, N_TIME)
-    P0 = np.asarray(st.to_dense(gmrf.precision_temporal(jnp.asarray(s))))
+    # The benchmark drives the PUBLIC API end-to-end: MCMC.run(engine="auto"),
+    # which structurally matches this model to the fully-fused one-launch
+    # SPECTRAL smoother (fused/spectral.py -- iterations elementwise in
+    # eigencoordinates, one MXU matmul per stored draw; statistically identical
+    # to the generic driver, tests/test_spectral.py). The timed number therefore
+    # includes dispatch matching + MCMCResult repackaging -- the user-visible
+    # throughput, and a canary for any dispatcher regression that would stop the
+    # flagship model from matching (asserted below).
+    mcmc = build_mcmc(N_CHAINS, N_BURN, N_ITER)
 
     def go():
-        return run_spectral_smoother(7, y, P0, n_burn=N_BURN, n_iter=N_ITER, n_chains=N_CHAINS)
+        return mcmc.run(engine="auto")
 
     def sync(res):
         # jax.block_until_ready does NOT reliably synchronize fused-Pallas outputs
         # over the axon tunnel (measured: "ready" after 0.3 ms, actual completion
         # 15 s later on the subsequent fetch); a scalar host fetch is a true barrier.
-        return float(jnp.max(res["tau"]))
+        return float(jnp.max(res.store["tau"]))
 
     out = go()
+    assert out.engine == "fused_smoother_spectral", out.engine
     sync(out)
     # steady-state throughput (bench_all.py methodology): median of 3 rounds of
     # REPS back-to-back runs ended by ONE true barrier, with the barrier's own
@@ -117,12 +115,13 @@ def main():
     wall_incl_barrier = sorted(walls_raw)[1]
 
     # aggregate multi-chain ESS of the smoothed field (mean over its 100 dims)
-    ess_b = ess_per_param(out["b"], chunk_size=8)  # bounded-memory FFT batches
+    b_draws = out.store["b"].reshape(N_CHAINS, N_ITER, N_TIME)
+    ess_b = ess_per_param(b_draws, chunk_size=8)  # bounded-memory FFT batches
     ess_total = float(jnp.mean(ess_b))
     ess_per_sec = ess_total / wall
 
     # posterior sanity: tau should be near its true value 1.0
-    tau_mean = float(jnp.mean(out["tau"]))
+    tau_mean = float(jnp.mean(out.store["tau"]))
 
     with open("baseline_measured.json") as f:
         baseline = json.load(f)
@@ -136,7 +135,8 @@ def main():
                 "unit": "ESS/s (mean over b dims, multi-chain)",
                 "vs_baseline": round(ess_per_sec / ref_ess_per_sec, 1),
                 "detail": {
-                    "engine": "fused_spectral_single_launch",
+                    "engine": out.engine,
+                    "api": "MCMC.run(engine='auto')",
                     "wall_s": round(wall, 3),
                     "wall_incl_host_barrier_s": round(wall_incl_barrier, 3),
                     "n_chains": N_CHAINS,

@@ -307,16 +307,24 @@ def _match_smoother(mcmc) -> Optional[Callable]:
         # for an intrinsic (singular) prior gives a different finite
         # pseudo-constant than the eigenvalue product -- pass the generic value
         logdet_p0 = float(2.0 * np.sum(np.log(np.asarray(st.diag(st.cholesky(plam))))))
+        # hoist every host-side conversion to match time: the spectral engine
+        # preprocesses its array args with numpy (eigendecomposition), which must
+        # see CONCRETE arrays -- the run closure is traced as one jit program by
+        # MCMC._run_fused, where a jnp op on y would produce a tracer
+        y_host = np.asarray(y).reshape(-1)
+        plam_dense = np.asarray(st.to_dense(plam))
+        noise_host = np.asarray(ptau.diag_)
+        mu_host = np.asarray(mu).reshape(-1)
 
         def run(seed, resume=None, n_chains=None):
             init, n_burn = _resume_init(resume)
             out = run_spectral_smoother(
-                seed, np.asarray(jnp.asarray(y).reshape(-1)), np.asarray(st.to_dense(plam)),
+                seed, y_host, plam_dense,
                 n_burn=n_burn, n_iter=mcmc.n_iter,
                 n_chains=mcmc.n_chains if n_chains is None else n_chains,
                 a_lam=hyp_lam[0], b_lam=hyp_lam[1], a_tau=hyp_tau[0], b_tau=hyp_tau[1],
                 lam0=lam0, tau0=tau0,
-                noise_diag=np.asarray(ptau.diag_), mu0=np.asarray(jnp.asarray(mu).reshape(-1)),
+                noise_diag=noise_host, mu0=mu_host,
                 logdet_p0=logdet_p0, init=init,
             )
             return _package(out)
@@ -404,6 +412,12 @@ def _match_linreg(mcmc) -> Optional[Callable]:
 
         engine_name = "fused_linreg_spectral"
 
+    # host-concrete arg forms: the spectral variant preprocesses with numpy at
+    # trace time (see _match_smoother)
+    X_host = np.asarray(X)
+    y_host = np.asarray(y).reshape(-1)
+    mu_host = np.asarray(mu).reshape(-1)
+
     def run(seed, resume=None, n_chains=None):
         init, n_burn = None, mcmc.n_burn
         if resume is not None:
@@ -414,12 +428,12 @@ def _match_linreg(mcmc) -> Optional[Callable]:
             }
             n_burn = 0
         out = _runner(
-            seed, jnp.asarray(X), jnp.asarray(y).reshape(-1),
+            seed, X_host, y_host,
             n_burn=n_burn, n_iter=mcmc.n_iter,
             n_chains=mcmc.n_chains if n_chains is None else n_chains,
             a_tau=hyp_tau[0], b_tau=hyp_tau[1], a_lam=hyp_lam[0], b_lam=hyp_lam[1],
             lam0=lam0, tau0=tau0,
-            mu=jnp.asarray(mu).reshape(-1), plam_diag=plam.diag_, ptau_diag=ptau.diag_,
+            mu=mu_host, plam_diag=plam.diag_, ptau_diag=ptau.diag_,
             init=init,
         )
         store = {
@@ -1004,6 +1018,12 @@ def _match_mmala(mcmc) -> Optional[Callable]:
         engine_name = "fused_mmala_spectral"
 
     unrolled = engine_name == "fused_mmala"
+    # host-concrete arg forms (the spectral variant preprocesses with numpy at
+    # trace time; see _match_smoother)
+    X_host = np.asarray(X)
+    y_host = np.asarray(y).reshape(-1)
+    mu0_host = np.asarray(mu0).reshape(-1)
+    beta0_host = None if beta0 is None else np.asarray(beta0).reshape(-1)
 
     def run(seed, resume=None, n_chains=None):
         nc = mcmc.n_chains if n_chains is None else n_chains
@@ -1023,12 +1043,12 @@ def _match_mmala(mcmc) -> Optional[Callable]:
             extra["init"] = init
             n_burn = 0
         out = run_fused_mmala(
-            seed, jnp.asarray(X), jnp.asarray(y).reshape(-1),
+            seed, X_host, y_host,
             n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=nc,
             tau=tau, lam=lam, step=float(np.asarray(mm.step_size).reshape(())),
             ptau_diag=ptau.diag_, plam_diag=plam.diag_,
-            mu0=jnp.asarray(mu0).reshape(-1),
-            beta0=None if beta0 is None else jnp.asarray(beta0).reshape(-1),
+            mu0=mu0_host,
+            beta0=beta0_host,
             **extra,
         )
         store = {latent: out["beta"][..., None]}

@@ -354,9 +354,19 @@ class MCMC:
         if engine in ("auto", "fused"):
             from openmcmc_tpu.fused.dispatch import match_fused_engine
 
-            runner = match_fused_engine(self, resume=resume)
+            if resume is None:
+                # cache the structural match: matching is host Python plus a few
+                # blocking device fetches (numeric checks on constants), ~10-40 ms
+                # each over a TPU tunnel -- repeated runs of the same MCMC object
+                # must not re-pay it (the matched closure depends only on
+                # construction-time state)
+                if "fused_match" not in self._fn_cache:
+                    self._fn_cache["fused_match"] = match_fused_engine(self)
+                runner = self._fn_cache["fused_match"]
+            else:
+                runner = match_fused_engine(self, resume=resume)
             if runner is not None:
-                return self._run_fused(runner)
+                return self._run_fused(runner, resumed=resume is not None)
             if engine == "fused":
                 if resume is not None:
                     raise ValueError(
@@ -441,12 +451,32 @@ class MCMC:
 
         return jax.jit(jax.vmap(jax.vmap(fitted_one)))(dict(store))
 
-    def _run_fused(self, runner) -> MCMCResult:
-        """Execute a matched fused engine and repackage as an MCMCResult."""
+    def _run_fused(self, runner, resumed: bool = False) -> MCMCResult:
+        """Execute a matched fused engine and repackage as an MCMCResult.
+
+        The non-resume path jits the runner + repackaging into ONE device
+        program: the kernel launch, the store-shape reshapes and the final-state
+        slices otherwise execute as ~7 separate eager dispatches, whose per-call
+        host->device overhead (10-40 ms each over a TPU tunnel) is an order of
+        magnitude more than the fused kernel itself. Resume runs stay eager --
+        jitting would bake each resume's warm-start arrays in as constants and
+        the cache could serve chunk N-1's state to chunk N."""
         seed = int(np.asarray(jax.random.key_data(self.key)).reshape(-1)[-1] & 0x7FFFFFFF)
-        store, log_post, stats = runner(seed)
+        if resumed:
+            store, log_post, stats = runner(seed)
+            final_state = {name: draws[:, -1] for name, draws in store.items()}
+        else:
+            cache_key = ("fused", runner.engine_name, self.n_burn, self.n_iter, self.n_thin)
+            if cache_key not in self._fn_cache:
+
+                def packaged(s):
+                    store, log_post, stats = runner(s)
+                    final = {name: draws[:, -1] for name, draws in store.items()}
+                    return store, log_post, stats, final
+
+                self._fn_cache[cache_key] = jax.jit(packaged)
+            store, log_post, stats, final_state = self._fn_cache[cache_key](seed)
         self.last_engine = runner.engine_name
-        final_state = {name: draws[:, -1] for name, draws in store.items()}
         fitted = self._fused_fitted(store)
         # honor store_names exactly like the generic driver's _record
         store = {name: draws for name, draws in store.items() if name in self.store_names}
