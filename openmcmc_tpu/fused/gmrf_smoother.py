@@ -35,6 +35,7 @@ from openmcmc_tpu.fused.prng import LOG_2PI as _LOG_2PI
 from openmcmc_tpu.fused.layout import chain_slice
 from openmcmc_tpu.fused.prng import gamma_mt as _gamma_mt
 from openmcmc_tpu.fused.prng import normal_icdf as _normal
+from openmcmc_tpu.fused.prng import begin_iteration as _begin_iteration, seed_bits as _seed_bits
 from openmcmc_tpu.linalg import gmrf
 from openmcmc_tpu.linalg import structured as st
 
@@ -73,7 +74,7 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
             (out_b_ref, out_s_ref, ld_ref, u_ref, x_ref,
              stage_ref, small_ref, sems, small_sems) = refs
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid)
+        _seed_bits(seed_ref[0] + pid)
         ones_row = jnp.ones((1, block_b), jnp.float32)
         zeros_row = jnp.zeros((1, block_b), jnp.float32)
 
@@ -92,6 +93,8 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
         x_ref[:, :] = jnp.broadcast_to(yv * mask, (p_pad, block_b))  # init latent field at the data
 
         def iteration(it, carry):
+
+            _begin_iteration(it)
             lam, tau = carry  # (1, block_b) each
 
             # ---- NormalNormal: draw b | y, lam, tau -------------------------

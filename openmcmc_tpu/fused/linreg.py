@@ -34,7 +34,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt, normal_icdf
+from openmcmc_tpu.fused.prng import (
+    LOG_2PI,
+    begin_iteration as _begin_iteration,
+    gamma_mt,
+    normal_icdf,
+    seed_bits as _seed_bits,
+)
 from openmcmc_tpu.fused.layout import chain_slice
 
 BLOCK_B = 2048
@@ -56,7 +62,7 @@ def _make_kernel(p, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau
             out_ref, stage_ref, sems = refs
         # scal_ref (SMEM): [G (p*p) | c (p) | plam (p) | mu (p) | yPy | logdet_plam | logdet_ptau]
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid)
+        _seed_bits(seed_ref[0] + pid)
 
         def G(i, j):
             return scal_ref[i * p + j]
@@ -75,6 +81,8 @@ def _make_kernel(p, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau
         logdet_ptau = scal_ref[p * p + 3 * p + 2]
 
         def iteration(it, carry):
+
+            _begin_iteration(it)
             lam, tau = carry  # (1, BLOCK_B) rows
 
             # ---- NormalNormal: beta | y, tau, lam (unrolled p x p Cholesky) ----

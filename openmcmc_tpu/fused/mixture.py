@@ -41,6 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from openmcmc_tpu.fused.prng import (
     LOG_2PI,
+    begin_iteration as _begin_iteration,
+    seed_bits as _seed_bits,
     gamma_mt_elem,
     normal_icdf,
     truncnorm_draw,
@@ -75,7 +77,7 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
         # scal_ref (SMEM): [mu0 K | p0 K | a0 K | b0 K | mu_init K | lam_init K |
         #                   lb K | ub K | lgam K]   (lgam = a0 log b0 - gammaln(a0))
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid)
+        _seed_bits(seed_ref[0] + pid)
 
         def mu0(k):
             return scal_ref[k]
@@ -102,6 +104,8 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
         mask = mask_ref[:, :]  # (n_pad, 1): 1 on real data rows
 
         def iteration(it, carry):
+
+            _begin_iteration(it)
             mu = list(carry[:k_comp])  # K rows (1, B)
             lam = list(carry[k_comp : 2 * k_comp])
             acc = carry[2 * k_comp]

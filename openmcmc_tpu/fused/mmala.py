@@ -33,7 +33,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI, normal_icdf, uniform
+from openmcmc_tpu.fused.prng import (
+    LOG_2PI,
+    begin_iteration as _begin_iteration,
+    normal_icdf,
+    seed_bits as _seed_bits,
+    uniform,
+)
 from openmcmc_tpu.fused.layout import chain_slice
 
 BLOCK_B = 2048
@@ -51,7 +57,7 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows, adapt, targ
         # scal_ref (SMEM): [A (p*p) | L (p*p) | v (p) | c (p) | beta0 (p) |
         #                   yPy | logdet_tauP | logdet_lamPlam | logdetL]
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid)
+        _seed_bits(seed_ref[0] + pid)
 
         def A(i, j):
             return scal_ref[i * p + j]
@@ -99,6 +105,8 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows, adapt, targ
             return logdetL - 0.5 * p * (LOG_2PI + log_s2) - 0.5 * ssq / s2v
 
         def iteration(it, carry):
+
+            _begin_iteration(it)
             b = carry[:p]
             lp = carry[p]
             acc = carry[p + 1]

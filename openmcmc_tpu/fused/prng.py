@@ -22,6 +22,8 @@ regression in the distributional math (tests/test_fused_prng_stats.py).
 
 from __future__ import annotations
 
+import contextlib
+
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental.pallas import tpu as pltpu
@@ -29,6 +31,97 @@ from jax.experimental.pallas import tpu as pltpu
 _TWO_PI = 6.283185307179586
 LOG_2PI = 1.8378770664093453
 GAMMA_ROUNDS = 6
+
+# -- host bit source: statistical CI for ASSEMBLED engines on CPU ----------------
+#
+# Under ``pltpu.force_tpu_interpret_mode()`` the on-chip PRNG is stubbed to zeros,
+# so interpret runs of the full engines are deterministic pipelines. Installing a
+# :class:`HostBitSource` (via :func:`host_bits`) reroutes every kernel draw through
+# a threefry stream computed as ordinary traced jax ops, so the ENTIRE assembled
+# engine -- per-grid-program seeding, lane mapping, draw-site sequencing, DMA
+# streaming -- runs on CPU with real randomness and its posteriors can be tested
+# statistically in ordinary CI (tests/test_fused_engines_cpu_stats.py). Kernels
+# participate through two one-line hooks: :func:`seed_bits` instead of
+# ``pltpu.prng_seed``, and :func:`begin_iteration` at the top of their fori_loop
+# body (the body is traced ONCE, so per-iteration stream variation must fold in
+# the traced loop index; draw SITES within a body are distinguished by a Python
+# counter that advances during tracing).
+
+_HOST_SOURCE = None
+
+
+class HostBitSource:
+    """Counter-based threefry uint32 stream keyed on (program seed, iteration, site).
+
+    ``collide_programs=True`` is a TEST KNOB that deliberately ignores the
+    per-program seed -- every grid program then draws the SAME stream, the bug
+    class the cross-program distinctness tests must catch."""
+
+    def __init__(self, collide_programs: bool = False):
+        self.collide_programs = collide_programs
+        self._key_it = None
+        self._base = None
+        self._site = 0
+
+    def seed(self, seed_val):
+        import jax
+
+        if self.collide_programs:
+            seed_val = jnp.asarray(seed_val, jnp.int32) * 0
+        self._base = jax.random.PRNGKey(jnp.asarray(seed_val, jnp.int32))
+        self._key_it = self._base  # draws before any begin_iteration
+        self._site = 0
+
+    def begin(self, it):
+        import jax
+
+        self._key_it = jax.random.fold_in(self._base, it)
+        self._site = 0
+
+    def __call__(self, shape):
+        import jax
+
+        key = jax.random.fold_in(self._key_it, self._site)
+        self._site += 1
+        return jax.random.bits(key, tuple(shape), jnp.uint32)
+
+
+@contextlib.contextmanager
+def host_bits(source: HostBitSource):
+    """Install ``source`` as the default bit source for every kernel draw.
+
+    Must wrap the engine call that TRACES the kernels (callers should
+    ``jax.clear_caches()`` first: a cached executable traced without the source
+    keeps the stubbed zeros)."""
+    global _HOST_SOURCE
+    prev = _HOST_SOURCE
+    _HOST_SOURCE = source
+    try:
+        yield source
+    finally:
+        _HOST_SOURCE = prev
+
+
+def seed_bits(seed_val) -> None:
+    """Kernel hook: seed the draw stream (hardware ``pltpu.prng_seed`` in
+    production; the installed host source under interpret-mode statistical CI)."""
+    if _HOST_SOURCE is not None:
+        _HOST_SOURCE.seed(seed_val)
+    else:
+        pltpu.prng_seed(seed_val)
+
+
+def begin_iteration(it) -> None:
+    """Kernel hook: mark the start of a fori_loop iteration (no-op in production;
+    folds the traced loop index into the host stream under statistical CI)."""
+    if _HOST_SOURCE is not None:
+        _HOST_SOURCE.begin(it)
+
+
+def _resolve(bit_source):
+    if bit_source is not None:
+        return bit_source
+    return _HOST_SOURCE if _HOST_SOURCE is not None else _tpu_bits
 
 
 def _mt_rounds(a_star: float) -> int:
@@ -50,25 +143,29 @@ def _tpu_bits(shape):
     return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
 
 
-def uniform(shape, bit_source=_tpu_bits):
-    """U(0, 1) from the on-chip PRNG (24-bit mantissa resolution, never 0)."""
-    bits = bit_source(shape)
+def uniform(shape, bit_source=None):
+    """U(0, 1) from the active bit source (24-bit mantissa resolution, never 0).
+
+    Default source: the on-chip PRNG in production, or the installed
+    :class:`HostBitSource` under interpret-mode statistical CI."""
+    src = _resolve(bit_source)
+    bits = src(shape)
     shifted = jnp.right_shift(bits, 8)  # top 24 bits: value < 2^24 fits int32 exactly
-    if bit_source is _tpu_bits:
+    if src is _tpu_bits:
         i24 = pltpu.bitcast(shifted, jnp.int32)  # Mosaic-friendly in-kernel cast
     else:
         i24 = shifted.astype(jnp.int32)  # host bit sources run outside Pallas
     return (i24.astype(jnp.float32) + 0.5) * (1.0 / 16777216.0)
 
 
-def normal(shape, bit_source=_tpu_bits):
+def normal(shape, bit_source=None):
     """N(0, 1) via Box-Muller."""
     u1 = uniform(shape, bit_source)
     u2 = uniform(shape, bit_source)
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
 
 
-def normal_pair(shape, bit_source=_tpu_bits):
+def normal_pair(shape, bit_source=None):
     """N(0, 1) using BOTH Box-Muller outputs (cos and sin of one radius).
 
     For an even leading dimension this halves the bit-generation, log and sqrt
@@ -86,7 +183,7 @@ def normal_pair(shape, bit_source=_tpu_bits):
     return jnp.concatenate([r * jnp.cos(ang), r * jnp.sin(ang)], axis=0)
 
 
-def gamma_mt_elem(a_star, rate, bit_source=_tpu_bits):
+def gamma_mt_elem(a_star, rate, bit_source=None):
     """Marsaglia-Tsang Gamma(a_star)/rate with ELEMENTWISE (traced) shape array.
 
     ``a_star`` may vary per element (e.g. conjugate updates a0 + count/2 where the
@@ -112,7 +209,7 @@ def gamma_mt_elem(a_star, rate, bit_source=_tpu_bits):
     return value / rate
 
 
-def normal_icdf(shape, bit_source=_tpu_bits):
+def normal_icdf(shape, bit_source=None):
     """N(0, 1) via the Giles (2012) inverse-erf polynomial: z = sqrt(2) erfinv(2u-1).
 
     ~2.7x cheaper per element than paired Box-Muller on TPU (one log + ~12 FMA
@@ -130,7 +227,7 @@ def normal_icdf(shape, bit_source=_tpu_bits):
     return _SQRT2 * erfinv_poly(t)
 
 
-def gamma_mt2(a1: float, a2: float, rate1, rate2, bit_source=_tpu_bits):
+def gamma_mt2(a1: float, a2: float, rate1, rate2, bit_source=None):
     """Two independent Gamma draws (static shapes a1, a2 >= 1) sharing round ops.
 
     ``rate1``/``rate2`` are (1, B) rows. A (1, B) vector op already occupies a
@@ -207,7 +304,7 @@ _SQRT2 = 1.4142135623730951
 _INV_SQRT2 = 0.7071067811865476
 
 
-def truncnorm_draw(mu, scale, lo, hi, shape, bit_source=_tpu_bits):
+def truncnorm_draw(mu, scale, lo, hi, shape, bit_source=None):
     """Inverse-CDF truncated-normal draw on [lo, hi] (in-kernel form of
     linalg/gmrf.py truncated_normal_rv, with the polynomial erf pair)."""
     a = (lo - mu) / scale
@@ -231,7 +328,7 @@ def truncnorm_logpdf(x, mu, scale, lo, hi):
     return -0.5 * (z * z + LOG_2PI) - jnp.log(scale) - jnp.log(jnp.maximum(mass, 1e-30))
 
 
-def gamma_mt(a_star: float, rate, bit_source=_tpu_bits):
+def gamma_mt(a_star: float, rate, bit_source=None):
     """Marsaglia-Tsang Gamma(a_star)/rate, elementwise on ``rate``; a_star static.
 
     Marsaglia-Tsang is valid for shape >= 1; shapes below 1 use the standard boost

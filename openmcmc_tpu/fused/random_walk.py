@@ -28,7 +28,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI, normal_icdf, truncnorm_draw, truncnorm_logpdf, uniform
+from openmcmc_tpu.fused.prng import (
+    LOG_2PI,
+    begin_iteration as _begin_iteration,
+    normal_icdf,
+    seed_bits as _seed_bits,
+    truncnorm_draw,
+    truncnorm_logpdf,
+    uniform,
+)
 from openmcmc_tpu.fused.layout import chain_slice
 
 BLOCK_B = 2048
@@ -44,7 +52,7 @@ def _make_kernel(p, n_obs, n_burn, n_keep, out_rows, adapt, target, rate, trunc,
         # scal_ref (SMEM): [S1 (p) | S2 (p) | mu (p) | tau (p) | lam (p) | h0 (p)
         #                   | step (p) | lo (p) | hi (p)  (lo/hi: truncated only)]
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid)
+        _seed_bits(seed_ref[0] + pid)
 
         def s1(i):
             return scal_ref[i]
@@ -87,6 +95,8 @@ def _make_kernel(p, n_obs, n_burn, n_keep, out_rows, adapt, target, rate, trunc,
             return total
 
         def iteration(it, carry):
+
+            _begin_iteration(it)
             h = carry[:p]
             lp = carry[p]
             acc = carry[p + 1]

@@ -62,6 +62,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from openmcmc_tpu.fused.prng import (
     LOG_2PI,
+    begin_iteration as _begin_iteration,
+    seed_bits as _seed_bits,
     gamma_mt,
     normal_icdf,
     uniform,
@@ -108,7 +110,7 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, warm=False):
         else:
             out_ref, stage_ref, sems = refs
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid)
+        _seed_bits(seed_ref[0] + pid)
         B = BLOCK_B
         # (p, 1) index constants built in-kernel (Pallas forbids captured arrays;
         # tpu.iota is integer-only, so cast after)
@@ -187,6 +189,8 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, warm=False):
             return jnp.sum((iota_c == kf).astype(jnp.float32) * vec, axis=0, keepdims=True)
 
         def iteration(it, carry):
+
+            _begin_iteration(it)
             beta, theta, omega, kf, acc_m, acc_t, acc_o, acc_r, prop_t, prop_o = carry
             m_arr = (iota_c < kf).astype(jnp.float32)  # (p, B)
 

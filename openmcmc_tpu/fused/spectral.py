@@ -37,7 +37,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openmcmc_tpu.fused.prng import LOG_2PI, gamma_mt2, normal_icdf, uniform
+from openmcmc_tpu.fused.prng import (
+    LOG_2PI,
+    begin_iteration as _begin_iteration,
+    gamma_mt2,
+    normal_icdf,
+    seed_bits as _seed_bits,
+    uniform,
+)
 from openmcmc_tpu.fused.layout import chain_slice
 
 MAX_P = 256
@@ -94,7 +101,7 @@ def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_ta
         else:
             out_ref, stage_ref, sems = refs
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid)
+        _seed_bits(seed_ref[0] + pid)
         yPy = scal_ref[0]
         logdet_plam = scal_ref[1]
         logdet_ptau = scal_ref[2]
@@ -104,6 +111,8 @@ def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_ta
         mask = mask_ref[:, :]
 
         def iteration(it, carry):
+
+            _begin_iteration(it)
             lam, tau = carry  # (1, block_b)
 
             # ---- beta | y, tau, lam: diagonal in eigencoordinates -----------
@@ -289,7 +298,7 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
             outb_ref, outs_ref, stageb_ref, stages_ref, sems = refs
         p128 = M_ref.shape[0]  # field columns rounded to lane tiling
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid)
+        _seed_bits(seed_ref[0] + pid)
         logdet_p0 = scal_ref[0]
         logdet_d = scal_ref[1]
         svec = svec_ref[:, :]  # (p_pad, 1) pencil eigenvalues, 0 on padding
@@ -308,6 +317,8 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
             ).wait()
 
         def iteration(it, carry):
+
+            _begin_iteration(it)
             lam, tau = carry  # (1, block_b)
 
             # ---- NormalNormal: b | y, lam, tau is DIAGONAL in w = V^{-1} b --
@@ -530,7 +541,7 @@ def _make_mmala_kernel(p_pad, p_real, n_obs, step, n_burn, n_keep, block_b):
     def kernel(seed_ref, scal_ref, V_ref, dvec_ref, vw_ref, w0_ref, mask_ref,
                out_ref, stage_ref, sems):
         pid = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + pid)
+        _seed_bits(seed_ref[0] + pid)
         yPy = scal_ref[0]  # b-independent quadratic (tau y'Py + lam mu0'Plam mu0)
         logdet_tauP = scal_ref[1]
         logdet_lamPlam = scal_ref[2]
@@ -558,6 +569,8 @@ def _make_mmala_kernel(p_pad, p_real, n_obs, step, n_burn, n_keep, block_b):
             return w + 0.5 * s2 * (vw / dvec - w)
 
         def iteration(it, carry):
+
+            _begin_iteration(it)
             w, lp, acc = carry
             z = normal_icdf((p_pad, block_b))
             mu_cur = drift(w)

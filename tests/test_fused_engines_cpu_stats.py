@@ -1,0 +1,356 @@
+"""Statistical CPU CI for the ASSEMBLED fused engines.
+
+Interpret mode stubs the on-chip PRNG to zeros, so tests/test_pallas_interpret.py
+can only verify the deterministic math pipeline. Here a :class:`prng.HostBitSource`
+(threefry, keyed on program seed x iteration x draw site) is installed for the
+kernel trace, so the COMPLETE engines -- per-grid-program seeding, lane mapping,
+draw-site sequencing, double-buffered DMA streaming -- run on CPU with real
+randomness, and the posteriors they sample are tested statistically against
+closed forms or the generic driver.
+
+Bug classes these tests are built to catch (round-3 verdict items):
+- a per-program seed collision (every grid program drawing the same stream):
+  test_cross_program_distinctness asserts block-level draw independence, and
+  test_seed_collision_is_detectable proves the assertion actually fires when the
+  collision is injected via the HostBitSource(collide_programs=True) knob;
+- distributional regressions in the normal/gamma transforms (wrong variance,
+  skew, clamps): the pooled posterior moment checks run at ~1e5-1e6 draws, where
+  a percent-level scale error is dozens of MC sigmas.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from openmcmc_tpu.fused import prng
+
+
+@pytest.fixture
+def host_stats():
+    """Interpret mode + host threefry bits; caches cleared so no executable traced
+    with the zero-stub (or a previous source) is reused."""
+    jax.clear_caches()
+    src = prng.HostBitSource()
+    with pltpu.force_tpu_interpret_mode(), prng.host_bits(src):
+        yield src
+    jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# random walk: exact Gaussian posterior + cross-program stream checks
+# ---------------------------------------------------------------------------
+
+_Y = np.array([150.0, 155.0, 190.0, 160.0, 173.0])
+_MU, _TAU, _LAM = 160.0, 1.0 / 200.0, 1.0 / 100.0
+
+
+def _rw_posterior():
+    n = len(_Y)
+    prec = n * _TAU + _LAM
+    mean = (_Y.sum() * _TAU + _MU * _LAM) / prec
+    return mean, 1.0 / np.sqrt(prec)
+
+
+def _run_rw(n_chains, seed=11, step=8.0, n_burn=150, n_iter=300):
+    from openmcmc_tpu.fused import run_fused_rw
+
+    return run_fused_rw(
+        seed, _Y, n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
+        mu=_MU, tau=_TAU, lam=_LAM, step=step, h0=170.0,
+    )
+
+
+def test_rw_posterior_moments(host_stats):
+    """4096 chains span two grid programs (BLOCK_B = 2048); the pooled posterior
+    mean and sd must match the closed form within MC error."""
+    out = _run_rw(4096)
+    h = np.asarray(out["h"])  # (4096, 300)
+    mean, sd = _rw_posterior()
+    # ESS per chain ~ n_iter / (2/accept_rate ...): be conservative, tau_int ~ 12
+    n_eff = h.size / 24.0
+    assert abs(h.mean() - mean) < 6.0 * sd / np.sqrt(n_eff), (h.mean(), mean)
+    assert abs(h.std() / sd - 1.0) < 0.05, (h.std(), sd)
+    # acceptance sane for step ~ 2 sd
+    acc = np.asarray(out["accept_total"]) / 450.0
+    assert 0.1 < acc.mean() < 0.9
+
+
+def test_cross_program_distinctness(host_stats):
+    """Chains in different grid programs must draw INDEPENDENT streams: with a
+    per-program seed collision every block would be bit-identical (the kernels
+    use no chain-index entropy beyond the lane position)."""
+    out = _run_rw(4096, n_burn=20, n_iter=60)
+    h = np.asarray(out["h"])
+    block0, block1 = h[:2048], h[2048:]
+    assert not np.allclose(block0, block1)
+    # lane-to-lane within a block must differ too (lane mapping uses distinct bits)
+    assert not np.allclose(block0[0], block0[1])
+    # block-mean correlation over iterations ~ 0 for independent streams
+    m0, m1 = block0.mean(0), block1.mean(0)
+    r = np.corrcoef(m0, m1)[0, 1]
+    assert abs(r) < 0.35, r
+
+
+def test_seed_collision_is_detectable():
+    """Inject the collision: HostBitSource(collide_programs=True) makes every
+    grid program draw the same stream, and the distinctness check above MUST
+    fire (blocks become bit-identical). Proves the CPU suite catches the bug
+    class rather than silently passing."""
+    jax.clear_caches()
+    src = prng.HostBitSource(collide_programs=True)
+    with pltpu.force_tpu_interpret_mode(), prng.host_bits(src):
+        out = _run_rw(4096, n_burn=20, n_iter=60)
+        h = np.asarray(out["h"])
+    jax.clear_caches()
+    np.testing.assert_array_equal(h[:2048], h[2048:])
+
+
+# ---------------------------------------------------------------------------
+# mMALA: fixed-precision Gaussian posterior in closed form
+# ---------------------------------------------------------------------------
+
+
+def test_mmala_posterior_moments(host_stats, rng):
+    from openmcmc_tpu.fused import run_fused_mmala
+
+    N, d = 30, 3
+    X = rng.normal(size=(N, d))
+    beta_true = np.array([1.0, -0.5, 0.25])
+    y = X @ beta_true + 0.5 * rng.normal(size=N)
+    tau, lam = 4.0, 0.5
+    out = run_fused_mmala(3, X, y, n_burn=150, n_iter=300, n_chains=2048,
+                          tau=tau, lam=lam, step=1.0)
+    Q = tau * X.T @ X + lam * np.eye(d)
+    want_mean = np.linalg.solve(Q, tau * X.T @ y)
+    want_sd = np.sqrt(np.diag(np.linalg.inv(Q)))
+    b = np.asarray(out["beta"])  # (2048, 300, 3)
+    got_mean = b.mean((0, 1))
+    got_sd = b.std((0, 1))
+    n_eff = b.shape[0] * b.shape[1] / 20.0
+    assert np.all(np.abs(got_mean - want_mean) < 6.0 * want_sd / np.sqrt(n_eff))
+    assert np.all(np.abs(got_sd / want_sd - 1.0) < 0.06), got_sd / want_sd
+
+
+# ---------------------------------------------------------------------------
+# conjugate engines (linreg / Thomas smoother / spectral smoother): posterior
+# parity vs the generic driver on the same model
+# ---------------------------------------------------------------------------
+
+
+def _generic_linreg(X, y, hyp, n_chains=128, n_iter=400):
+    from openmcmc_tpu.distributions import Gamma, Normal
+    from openmcmc_tpu.linalg import structured as st
+    from openmcmc_tpu.mcmc import MCMC
+    from openmcmc_tpu.model import Model
+    from openmcmc_tpu.parameters import LinearCombination, ScaledMatrix
+
+    N, p = X.shape
+    mdl = Model([
+        Normal("y", mean=LinearCombination(form={"beta": "X"}), precision=ScaledMatrix("P_tau", "tau")),
+        Normal("beta", mean="mu0", precision=ScaledMatrix("P_lam", "lam")),
+        Gamma("tau", shape="a_tau", rate="b_tau"),
+        Gamma("lam", shape="a_lam", rate="b_lam"),
+    ])
+    from openmcmc_tpu.samplers import NormalGamma, NormalNormal
+
+    state = {
+        "y": y.reshape(N, 1), "X": X, "beta": np.zeros((p, 1)), "mu0": np.zeros((p, 1)),
+        "P_tau": st.Diagonal(jnp.ones(N)), "P_lam": st.Diagonal(jnp.ones(p)),
+        "tau": 1.0, "lam": 1.0,
+        "a_tau": hyp["a_tau"], "b_tau": hyp["b_tau"], "a_lam": hyp["a_lam"], "b_lam": hyp["b_lam"],
+    }
+    m = MCMC(state, [NormalNormal("beta", mdl), NormalGamma("tau", mdl), NormalGamma("lam", mdl)],
+             mdl, n_burn=200, n_iter=n_iter, n_chains=n_chains, seed=5)
+    m.model.response = None
+    return m.run()
+
+
+def test_linreg_engine_matches_generic(host_stats, rng):
+    from openmcmc_tpu.fused import run_fused_linreg
+
+    N, p = 40, 2
+    X = np.column_stack([np.ones(N), np.sort(rng.random(N))])
+    y = X @ np.array([2.0, 0.5]) + 0.3 * rng.normal(size=N)
+    hyp = dict(a_tau=2.0, b_tau=1.0, a_lam=2.0, b_lam=1.0)
+    out = run_fused_linreg(9, X, y, n_burn=200, n_iter=400, n_chains=2048,
+                           a_tau=hyp["a_tau"], b_tau=hyp["b_tau"],
+                           a_lam=hyp["a_lam"], b_lam=hyp["b_lam"])
+    gen = _generic_linreg(X, y, hyp)
+    b_f = np.asarray(out["beta"]).reshape(-1, p)
+    b_g = np.asarray(gen.store["beta"]).reshape(-1, p)
+    sd = b_g.std(0)
+    assert np.all(np.abs(b_f.mean(0) - b_g.mean(0)) < 0.1 * sd), (b_f.mean(0), b_g.mean(0))
+    assert np.all(np.abs(b_f.std(0) / sd - 1.0) < 0.08)
+    for name, key in (("tau", "tau"), ("lam", "lam")):
+        f = np.asarray(out[name]).reshape(-1)
+        g = np.asarray(gen.store[key]).reshape(-1)
+        assert abs(f.mean() - g.mean()) < 0.1 * g.std(), name
+        assert abs(f.std() / g.std() - 1.0) < 0.1, name
+
+
+def _smoother_problem(p=12, seed=0):
+    rng = np.random.default_rng(seed)
+    s = np.linspace(0.0, 10.0, p)
+    y = np.sin(s) + rng.normal(0.0, 0.5, p)
+    return s, y
+
+
+def _generic_smoother(s, y, n_chains=128, n_iter=400):
+    from openmcmc_tpu.distributions import Gamma, Normal
+    from openmcmc_tpu.linalg import gmrf
+    from openmcmc_tpu.linalg import structured as st
+    from openmcmc_tpu.mcmc import MCMC
+    from openmcmc_tpu.model import Model
+    from openmcmc_tpu.parameters import ScaledMatrix
+    from openmcmc_tpu.samplers import NormalGamma, NormalNormal
+
+    p = len(s)
+    P0 = gmrf.precision_irregular(jnp.asarray(s, jnp.float32))
+    mdl = Model([
+        Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+        Normal("b", mean="mu", precision=ScaledMatrix("P0", "lam")),
+        Gamma("lam", shape="a_lam", rate="b_lam"),
+        Gamma("tau", shape="a_tau", rate="b_tau"),
+    ])
+    state = {
+        "y": y.reshape(p, 1), "b": y.reshape(p, 1).copy(), "mu": np.zeros((p, 1)),
+        "P0": P0, "P_tau": st.Diagonal(jnp.ones(p)),
+        "lam": 1.0, "tau": 1.0, "a_lam": 2.0, "b_lam": 1.0, "a_tau": 2.0, "b_tau": 1.0,
+    }
+    m = MCMC(state, [NormalNormal("b", mdl), NormalGamma("lam", mdl), NormalGamma("tau", mdl)],
+             mdl, n_burn=200, n_iter=n_iter, n_chains=n_chains, seed=6)
+    m.model.response = None
+    return m.run()
+
+
+def _check_smoother_parity(out_b, out_lam, out_tau, gen):
+    p = out_b.shape[-1]
+    b_f = np.asarray(out_b).reshape(-1, p)
+    b_g = np.asarray(gen.store["b"]).reshape(-1, p)
+    sd = b_g.std(0)
+    assert np.all(np.abs(b_f.mean(0) - b_g.mean(0)) < 0.12 * sd)
+    assert np.all(np.abs(b_f.std(0) / sd - 1.0) < 0.1)
+    for f, g in ((out_lam, "lam"), (out_tau, "tau")):
+        fv = np.asarray(f).reshape(-1)
+        gv = np.asarray(gen.store[g]).reshape(-1)
+        assert abs(fv.mean() - gv.mean()) < 0.12 * gv.std(), g
+        assert abs(fv.std() / gv.std() - 1.0) < 0.12, g
+
+
+def test_thomas_smoother_engine_matches_generic(host_stats):
+    from openmcmc_tpu.fused import run_fused_smoother
+
+    s, y = _smoother_problem()
+    out = run_fused_smoother(4, y, s, n_burn=200, n_iter=400, n_chains=2048,
+                             a_lam=2.0, b_lam=1.0, a_tau=2.0, b_tau=1.0)
+    gen = _generic_smoother(s, y)
+    _check_smoother_parity(out["b"], out["lam"], out["tau"], gen)
+
+
+def test_spectral_smoother_engine_matches_generic(host_stats):
+    from openmcmc_tpu.fused import run_spectral_smoother
+    from openmcmc_tpu.linalg import gmrf
+    from openmcmc_tpu.linalg import structured as st
+
+    s, y = _smoother_problem()
+    P0 = np.asarray(st.to_dense(gmrf.precision_irregular(jnp.asarray(s, jnp.float32))))
+    out = run_spectral_smoother(4, y, P0, n_burn=200, n_iter=400, n_chains=2048,
+                                a_lam=2.0, b_lam=1.0, a_tau=2.0, b_tau=1.0)
+    gen = _generic_smoother(s, y)
+    _check_smoother_parity(out["b"], out["lam"], out["tau"], gen)
+
+
+# ---------------------------------------------------------------------------
+# mixture: conjugate-means variant vs the generic driver
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_engine_matches_generic(host_stats, rng):
+    from openmcmc_tpu.distributions import Categorical, Gamma, Normal
+    from openmcmc_tpu.fused import run_fused_mixture
+    from openmcmc_tpu.linalg import structured as st
+    from openmcmc_tpu.mcmc import MCMC
+    from openmcmc_tpu.model import Model
+    from openmcmc_tpu.parameters import Identity, MixtureParameterMatrix, MixtureParameterVector
+    from openmcmc_tpu.samplers import MixtureAllocation, NormalGamma, NormalNormal
+
+    n, K = 96, 2
+    z_true = (rng.random(n) > 0.5).astype(int)
+    y = np.where(z_true == 0, -2.0, 2.0) + 0.7 * rng.normal(size=n)
+    prior = np.full((n, K), 0.5)
+    mu0 = np.zeros(K)
+    p0 = np.full(K, 0.1)
+    a0 = np.full(K, 2.0)
+    b0 = np.full(K, 1.0)
+    mu_init = np.array([-1.0, 1.0])
+    lam_init = np.ones(K)
+
+    out = run_fused_mixture(8, y, prior, n_burn=200, n_iter=400, n_chains=2048,
+                            mu0=mu0, p0=p0, a0=a0, b0=b0,
+                            mu_init=mu_init, lam_init=lam_init, conjugate_means=True)
+
+    mdl = Model([
+        Normal("y", mean=MixtureParameterVector("mu", "Z"), precision=MixtureParameterMatrix("lam", "Z")),
+        Categorical("Z", prob=Identity("w")),
+        Normal("mu", mean="mu0", precision="p0"),
+        Gamma("lam", shape="a0", rate="b0"),
+    ])
+    state = {
+        "y": y.reshape(n, 1), "w": prior, "Z": np.zeros((n, 1), np.int32),
+        "mu": mu_init.reshape(K, 1), "lam": lam_init.reshape(K, 1),
+        "mu0": mu0.reshape(K, 1), "p0": st.Diagonal(jnp.asarray(p0, jnp.float32)),
+        "a0": a0.reshape(K, 1), "b0": b0.reshape(K, 1),
+    }
+    m = MCMC(state, [MixtureAllocation("Z", mdl, response_param="y"),
+                     NormalNormal("mu", mdl), NormalGamma("lam", mdl)],
+             mdl, n_burn=200, n_iter=400, n_chains=96, seed=4,
+             store_names=["mu", "lam"])
+    m.model.response = None
+    gen = m.run()
+
+    # identify components by sorting each draw (label switching)
+    mu_f = np.sort(np.asarray(out["means"]).reshape(-1, K), axis=1)
+    mu_g = np.sort(np.asarray(gen.store["mu"]).reshape(-1, K), axis=1)
+    sd = mu_g.std(0)
+    assert np.all(np.abs(mu_f.mean(0) - mu_g.mean(0)) < 0.15 * sd), (mu_f.mean(0), mu_g.mean(0))
+    assert np.all(np.abs(mu_f.std(0) / sd - 1.0) < 0.15)
+    lam_f = np.sort(np.asarray(out["lams"]).reshape(-1, K), axis=1)
+    lam_g = np.sort(np.asarray(gen.store["lam"]).reshape(-1, K), axis=1)
+    assert np.all(np.abs(lam_f.mean(0) - lam_g.mean(0)) < 0.15 * lam_g.std(0))
+
+
+# ---------------------------------------------------------------------------
+# reversible jump: prior recovery of the knot count (chi-square GoF)
+# ---------------------------------------------------------------------------
+
+
+def test_rj_engine_prior_recovery(host_stats, rng):
+    """Null likelihood => the chain must sample the truncated Poisson prior on the
+    knot count exactly (the reference's own end-to-end RJ test,
+    reference tests/test_reversible_jump.py:255-278)."""
+    from openmcmc_tpu.fused import run_fused_rj
+
+    n_max, rho = 8, 3.0
+    X = np.linspace(-5.0, 5.0, 20)
+    out = run_fused_rj(
+        13, X, n_burn=150, n_iter=400, n_chains=1024, n_max=n_max,
+        beta0=np.zeros(n_max), theta0=np.concatenate([[0.0], np.zeros(n_max - 1)]),
+        omega0=np.concatenate([[1.0], np.zeros(n_max - 1)]), k0=1.0,
+        rho=rho, mu_beta=0.0, tau_beta=0.25, a_omega=3.0, b_omega=2.0,
+        theta_limits=(-5.0, 5.0), omega_rw_limits=(0.5, 2.0),
+        match_limits=(-10.0, 10.0), match_scale=1.0,
+    )
+    k = np.asarray(out["n_basis"]).reshape(-1).astype(int)
+    # truncated Poisson(rho) on 1..n_max
+    from scipy.stats import poisson
+
+    pmf = poisson.pmf(np.arange(1, n_max + 1), rho)
+    pmf = pmf / pmf.sum()
+    freq = np.bincount(k, minlength=n_max + 1)[1:]
+    got = freq / freq.sum()
+    # autocorrelated draws: compare proportions within a generous band instead of
+    # a raw chi-square on the full pooled count
+    assert np.all(np.abs(got - pmf) < 0.04), np.abs(got - pmf).max()
+    assert np.isfinite(np.asarray(out["log_post"])).all()
