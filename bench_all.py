@@ -42,15 +42,22 @@ from openmcmc_tpu.samplers import (
 RESULTS = {}
 
 
-def run_workload(name, mcmc, param, ess_chunk=16, chunks=1, reps=1, identify=None):
+def run_workload(name, mcmc, param, ess_chunk=16, chunks=1, reps=1, identify=None,
+                 engine=None):
     # chunks > 1 splits the run into several device programs (MCMC.run_chunked):
     # needed for very long single executions (the RJ stack at 512 x 5000).
     # reps > 1 measures several back-to-back runs (pipelined dispatch) ended by ONE
     # true barrier, amortizing the barrier's tunnel round-trip over the repetitions
     # -- needed because sub-second walls are otherwise swamped by tunnel jitter.
+    # engine="auto" drives the fused dispatch through the PUBLIC API and asserts
+    # the run did not silently fall back to generic.
     def go():
         if chunks > 1:
             return mcmc.run_chunked(chunks, progress=False)
+        if engine is not None:
+            res = mcmc.run(engine=engine)
+            assert res.engine != "generic", f"{name}: expected a fused engine"
+            return res
         return mcmc.run()
 
     def sync(res):
@@ -212,6 +219,64 @@ def reversible_jump(n_chains=2048):
                        matching_params={"variable": "beta", "matrix": "B", "scale": 1.0, "limits": [-10.0, 10.0]}),
     ]
     m = MCMC(state, samplers, mdl, n_burn=0, n_iter=5000, n_chains=n_chains, seed=0)
+    m.store_names = ["n_basis"]
+    return m, "n_basis"
+
+
+def reversible_jump_regression(n_chains=2048, n_iter=5000, n_burn=0):
+    """The reference's matched-transition REGRESSION use case: the same knot-basis
+    RJ stack fitting REAL data, y ~ N(B(theta, omega) beta, (tau_y I)^-1) with a
+    conjugate NormalGamma(tau_y) appended to the sweep (mirrors
+    scripts/measure_reference.py reversible_jump_regression)."""
+    rng = np.random.default_rng(0)
+    n_data = 50
+    X = np.sort(rng.uniform(-10, 10, (n_data, 1)), axis=0)
+    k_true = 4
+    th_true = rng.uniform(-10, 10, (1, k_true))
+    om_true = np.ones((1, k_true))
+    beta_true = 2.0 * rng.normal(size=(k_true, 1))
+    B_true = np.asarray(_make_basis(jnp.asarray(X), jnp.asarray(th_true), jnp.asarray(om_true), k_true))
+    y = B_true @ beta_true + 0.1 * rng.normal(size=(n_data, 1))
+    k0 = 4
+    theta = np.zeros((1, N_MAX)); theta[0, :k0] = rng.uniform(-10, 10, k0)
+    omega = np.zeros((1, N_MAX)); omega[0, :k0] = 1.0
+    beta = np.zeros((N_MAX, 1)); beta[:k0] = 1.0
+    state = {
+        "X": X, "y": y,
+        "n_basis": np.array([[k0]], dtype=np.int32),
+        "theta": theta, "omega": omega, "beta": beta,
+        "alloc_beta": np.zeros((N_MAX, 1), dtype=np.int32),
+        "mu_beta": 0.0, "tau_beta": 0.25, "rho": 8.0,
+        "a_omega": 3.0, "b_omega": 2.0,
+        "P": st.Diagonal(jnp.ones(n_data)), "tau_y": 100.0,
+        "a_tau": 2.0, "b_tau": 0.01,
+    }
+    state["B"] = np.asarray(_make_basis(jnp.asarray(X), jnp.asarray(theta), jnp.asarray(omega), k0))
+    mdl = Model(
+        [
+            Normal("y", mean=LinearCombination(form={"beta": "B"}), precision=ScaledMatrix("P", "tau_y")),
+            Normal("beta", mean=MixtureParameterVector("mu_beta", "alloc_beta"),
+                   precision=MixtureParameterMatrix("tau_beta", "alloc_beta"), n_active="n_basis"),
+            Poisson("n_basis", rate="rho"),
+            Uniform("theta", domain_response_lower=-10.0, domain_response_upper=10.0, n_active="n_basis"),
+            Gamma("omega", shape="a_omega", rate="b_omega", n_active="n_basis"),
+            Gamma("tau_y", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    samplers = [
+        ManifoldMALA("beta", mdl, step=0.5, active_count="n_basis"),
+        RandomWalkLoop("theta", mdl, step=0.1, domain_limits=np.asarray([[-10.0, 10.0]]),
+                       state_update_function=_RJ_BASIS.move, vector_state_update_function=_RJ_BASIS.move_vec,
+                       active_count="n_basis", updated_names=["theta", "B"]),
+        RandomWalkLoop("omega", mdl, step=0.1, domain_limits=np.asarray([[0.5, 2.0]]),
+                       state_update_function=_RJ_BASIS.move, vector_state_update_function=_RJ_BASIS.move_vec,
+                       active_count="n_basis", updated_names=["omega", "B"]),
+        ReversibleJump("n_basis", mdl, associated_params=["theta", "omega"], n_max=N_MAX,
+                       state_birth_function=_RJ_BASIS.birth, state_death_function=_RJ_BASIS.death,
+                       matching_params={"variable": "beta", "matrix": "B", "scale": 1.0, "limits": [-10.0, 10.0]}),
+        NormalGamma("tau_y", mdl),
+    ]
+    m = MCMC(state, samplers, mdl, n_burn=n_burn, n_iter=n_iter, n_chains=n_chains, seed=0)
     m.store_names = ["n_basis"]
     return m, "n_basis"
 
@@ -434,6 +499,9 @@ def main():
         ("mmala", mmala, 1, 5),
         ("gmrf_smoother", gmrf_smoother, 1, 5),
         ("reversible_jump", reversible_jump, 4, 1),
+        # generic regression RJ: the sequential likelihood-aware column loops are
+        # the dominant cost; kept small (the fused row below is the headline)
+        ("reversible_jump_regression", lambda: reversible_jump_regression(n_chains=256, n_iter=1000), 2, 1),
         ("mixture", mixture, 1, 2),
         ("mixture_conjugate", mixture_conjugate, 1, 2),
     ]
@@ -453,6 +521,15 @@ def main():
         print(json.dumps({"workload": name, **entry}), flush=True)
 
     fused_workloads(ref)
+
+    # regression RJ through the PUBLIC API: engine="auto" must dispatch the fused
+    # likelihood-mode kernel (VERDICT r3 item 1) -- measured end-to-end including
+    # dispatch + result repackaging
+    mcmc, param = reversible_jump_regression(n_chains=2048, n_iter=5000)
+    _, entry = run_workload("reversible_jump_regression_fused", mcmc, param, reps=3, engine="auto")
+    entry["vs_baseline"] = round(entry["ess_per_s"] / ref["reversible_jump_regression"]["ess_per_s"], 1)
+    entry["baseline_ess_per_s"] = ref["reversible_jump_regression"]["ess_per_s"]
+    print(json.dumps({"workload": "reversible_jump_regression_fused", **entry}), flush=True)
 
     with open("BENCH_ALL.json", "w") as f:
         json.dump(RESULTS, f, indent=1)

@@ -320,12 +320,21 @@ def truncnorm_draw(mu, scale, lo, hi, shape, bit_source=None):
 
 def truncnorm_logpdf(x, mu, scale, lo, hi):
     """Truncated-normal log-density on [lo, hi]; the box-mass uses the erf
-    difference clamped at 1e-30 (tails beyond f32 resolution at kernel scales)."""
+    difference clamped at 1e-30 (tails beyond f32 resolution at kernel scales).
+
+    Out-of-support points return -inf, matching linalg/gmrf.py
+    truncated_normal_log_pdf (and the reference's scipy semantics): an MH
+    reverse density evaluated at a current value outside the proposal bounds
+    must force rejection -- this bites exactly when a state entered via a
+    NON-truncated move (e.g. an RJ birth drawing omega from its untruncated
+    Gamma prior) sits outside the random-walk truncation box."""
     a = (lo - mu) / scale
     b = (hi - mu) / scale
     z = (x - mu) / scale
     mass = 0.5 * (erf_poly(b * _INV_SQRT2) - erf_poly(a * _INV_SQRT2))
-    return -0.5 * (z * z + LOG_2PI) - jnp.log(scale) - jnp.log(jnp.maximum(mass, 1e-30))
+    dens = -0.5 * (z * z + LOG_2PI) - jnp.log(scale) - jnp.log(jnp.maximum(mass, 1e-30))
+    inside = jnp.logical_and(x >= lo, x <= hi)
+    return jnp.where(inside, dens, -jnp.inf)
 
 
 def gamma_mt(a_star: float, rate, bit_source=None):

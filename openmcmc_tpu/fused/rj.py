@@ -83,7 +83,10 @@ _SQRT_2PI = 2.5066282746310002
 _RIDGE = 1e-6
 
 
-def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, warm=False):
+def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, stream, warm=False):
+    # n_rows is the PADDED output-row count (multiple of 8: DMA slices of the
+    # stage/out memrefs must be tile-aligned on the sublane dim); rows beyond
+    # the logical set are zero filler
     rho = cfg["rho"]
     mu_b = cfg["mu_beta"]
     tau_b = cfg["tau_beta"]
@@ -96,6 +99,14 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, warm=False):
     s_mmala = cfg["step_mmala"]
     s_theta = cfg["step_theta"]
     s_omega = cfg["step_omega"]
+    # likelihood mode (the reference's matched-transition REGRESSION use case,
+    # reference tests/test_reversible_jump.py model): y ~ N(B beta, (tau I)^-1)
+    # with a conjugate Gamma(tau) update appended to the sweep. Null mode keeps
+    # every original code path bit-identical.
+    lik = bool(cfg.get("likelihood", False))
+    a_tau = cfg.get("a_tau", 1.0)
+    b_tau = cfg.get("b_tau", 1.0)
+    tau0 = cfg.get("tau0", 1.0)
     from scipy.special import gammaln
 
     lgam_om = float(a_om * np.log(b_om) - gammaln(a_om))
@@ -103,6 +114,10 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, warm=False):
     log_range_th = float(np.log(th_hi - th_lo))
     log_tau_term = float(0.5 * (np.log(tau_b) - LOG_2PI))
     log_ints = [float(np.log(i)) for i in range(1, p + 1)]
+    half_n = 0.5 * float(n_data)
+    a_tau_star = a_tau + half_n
+    lgam_tau = float(a_tau * np.log(b_tau) - gammaln(a_tau)) if lik else 0.0
+    s2_mmala = s_mmala * s_mmala
 
     def kernel(seed_ref, x_ref, *refs):
         if warm:
@@ -119,6 +134,8 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, warm=False):
         zeros = jnp.zeros((1, B), jnp.float32)
         ones = jnp.ones((1, B), jnp.float32)
         Xc = x_ref[0:n_data, :]  # (n_data, 1)
+        Yc = x_ref[n_data : 2 * n_data, :] if lik else None  # (n_data, 1) data column
+        off = 2 * n_data if lik else n_data  # packed offset of the initial values
 
         def rows(arr):
             return [arr[i : i + 1, :] for i in range(p)]
@@ -188,67 +205,193 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, warm=False):
         def row_at(vec, kf):
             return jnp.sum((iota_c == kf).astype(jnp.float32) * vec, axis=0, keepdims=True)
 
-        def iteration(it, carry):
-
-            _begin_iteration(it)
-            beta, theta, omega, kf, acc_m, acc_t, acc_o, acc_r, prop_t, prop_o = carry
-            m_arr = (iota_c < kf).astype(jnp.float32)  # (p, B)
-
-            # ==== 1. manifold MALA on beta (diagonal constant metric) =========
-            z = normal_icdf((p, B))
-            drift = 1.0 - 0.5 * s_mmala * s_mmala
-            mu_f = drift * beta + (1.0 - drift) * mu_b
-            sigma = s_mmala / float(np.sqrt(tau_b))
-            beta_prop = jnp.where(m_arr > 0.0, mu_f + sigma * z, beta)
-            mu_r = drift * beta_prop + (1.0 - drift) * mu_b
-            dlp = jnp.sum(
-                m_arr
-                * (
-                    -0.5 * tau_b * ((beta_prop - mu_b) ** 2 - (beta - mu_b) ** 2)
-                    - (0.5 * tau_b / (s_mmala * s_mmala))
-                    * ((beta - mu_r) ** 2 - (beta_prop - mu_f) ** 2)
-                ),
-                axis=0,
-                keepdims=True,
-            )
-            acc = jnp.log(uniform((1, B))) < dlp
-            beta = jnp.where(acc, beta_prop, beta)
-            acc_m = acc_m + acc.astype(jnp.float32)
-
-            # ==== 2. vectorized truncated RW on theta (uniform target) ========
-            th_prop = _truncnorm_draw(theta, s_theta, th_lo, th_hi, (p, B))
-            lf = _truncnorm_logpdf(th_prop, theta, s_theta, th_lo, th_hi)
-            lr = _truncnorm_logpdf(theta, th_prop, s_theta, th_lo, th_hi)
-            acc_cols = jnp.logical_and(jnp.log(uniform((p, B))) < (lr - lf), m_arr > 0.0)
-            theta = jnp.where(acc_cols, th_prop, theta)
-            acc_t = acc_t + jnp.sum(acc_cols.astype(jnp.float32), axis=0, keepdims=True)
-            prop_t = prop_t + kf
-
-            # ==== 3. vectorized truncated RW on omega (Gamma target) ==========
-            om_prop = _truncnorm_draw(omega, s_omega, om_lo, om_hi, (p, B))
-            lf = _truncnorm_logpdf(om_prop, omega, s_omega, om_lo, om_hi)
-            lr = _truncnorm_logpdf(omega, om_prop, s_omega, om_lo, om_hi)
-            om_safe_c = jnp.where(omega > 0.0, omega, 1.0)
-            om_safe_p = jnp.where(om_prop > 0.0, om_prop, 1.0)
-            dtarget = (a_om - 1.0) * (jnp.log(om_safe_p) - jnp.log(om_safe_c)) - b_om * (om_prop - omega)
-            acc_cols = jnp.logical_and(jnp.log(uniform((p, B))) < (dtarget + lr - lf), m_arr > 0.0)
-            omega = jnp.where(acc_cols, om_prop, omega)
-            acc_o = acc_o + jnp.sum(acc_cols.astype(jnp.float32), axis=0, keepdims=True)
-            prop_o = prop_o + kf
-
-            # ==== 4. reversible jump =========================================
-            th_rows = rows(theta)
-            om_rows = rows(omega)
-            m_rows = rows(m_arr)
-            bas = [basis_col(th_rows[i], om_rows[i], m_rows[i]) for i in range(p)]
-            # Gram columns: G0cols[j] (p, B), computed once and reused everywhere
+        def gram_cols(bas):
+            """Gram columns of the masked basis: G0cols[j] (p, B), symmetric."""
             G0 = [[None] * p for _ in range(p)]
             for i in range(p):
                 for j in range(i, p):
                     dot = jnp.sum(bas[i] * bas[j], axis=0, keepdims=True)
                     G0[i][j] = dot
                     G0[j][i] = dot
-            G0cols = [jnp.concatenate([G0[i][j] for i in range(p)], axis=0) for j in range(p)]
+            return [jnp.concatenate([G0[i][j] for i in range(p)], axis=0) for j in range(p)]
+
+        def chol_backsolve(L, z):
+            """L^T x = z given the column Cholesky; z is (p, B)."""
+            x_rows = [None] * p
+            for i in range(p - 1, -1, -1):
+                acc = z[i : i + 1, :]
+                for m_i in range(i + 1, p):
+                    acc = acc - L[i][m_i : m_i + 1, :] * x_rows[m_i]
+                x_rows[i] = acc / L[i][i : i + 1, :]
+            return jnp.concatenate(x_rows, axis=0)
+
+        def iteration(it, carry):
+            _begin_iteration(it)
+            if lik:
+                beta, theta, omega, kf, tau, acc_m, acc_t, acc_o, acc_r, prop_t, prop_o = carry
+            else:
+                beta, theta, omega, kf, acc_m, acc_t, acc_o, acc_r, prop_t, prop_o = carry
+                tau = None
+            m_arr = (iota_c < kf).astype(jnp.float32)  # (p, B)
+            m_rows = rows(m_arr)
+            th_rows = rows(theta)
+            om_rows = rows(omega)
+
+            if lik:
+                # basis + residual maintained through sections 1-3, rebuilt rows
+                # reflect every accepted move (Yc is the (n_data, 1) data column)
+                bas = [basis_col(th_rows[i], om_rows[i], m_rows[i]) for i in range(p)]
+                beta_rows = rows(beta)
+                r = Yc - sum(bas[j] * beta_rows[j] for j in range(p))  # (n_data, B)
+
+            # ==== 1. manifold MALA on beta ====================================
+            if lik:
+                # full Fisher metric H = tau B'B + tau_b I on the active block
+                # (identity on padding), constant in beta -- the generic
+                # ManifoldMALA's metric for this model (samplers/metropolis.py)
+                Gc = gram_cols(bas)
+                g_rows = [
+                    (tau * jnp.sum(bas[i] * r, axis=0, keepdims=True) - tau_b * (beta_rows[i] - mu_b))
+                    * m_rows[i]
+                    for i in range(p)
+                ]
+                g = jnp.concatenate(g_rows, axis=0)
+                H_cols = [
+                    tau * Gc[j] * m_arr * m_rows[j]
+                    + units[j] * (tau_b * m_rows[j] + (1.0 - m_rows[j]))
+                    for j in range(p)
+                ]
+                L_h, _ = chol_cols(H_cols)
+                hg = chol_solve_1rhs(L_h, g)  # H^-1 g
+                z = normal_icdf((p, B)) * m_arr
+                ltz = chol_backsolve(L_h, z)  # L^-T z ~ N(0, H^-1)
+                mu_f = beta + 0.5 * s2_mmala * hg
+                beta_prop = jnp.where(m_arr > 0.0, mu_f + s_mmala * ltz, beta)
+                delta = beta_prop - beta
+                # reverse drift: H^-1 g(beta') = H^-1 (g - H delta) = hg - delta
+                d_r = beta - (beta_prop + 0.5 * s2_mmala * (hg - delta))
+                d_r_rows = rows(d_r)
+                Hdr = sum(H_cols[j] * d_r_rows[j] for j in range(p))
+                q_r = jnp.sum(d_r * Hdr, axis=0, keepdims=True)
+                # (beta'-mu_f)' H (beta'-mu_f) = s^2 z'z exactly (beta'-mu_f = s L^-T z)
+                zz = jnp.sum(z * z, axis=0, keepdims=True)
+                logq_diff = (-0.5 / s2_mmala) * q_r + 0.5 * zz
+                delta_rows = rows(delta)
+                dB = sum(bas[j] * delta_rows[j] for j in range(p))
+                d_ll = tau * jnp.sum(r * dB, axis=0, keepdims=True) - 0.5 * tau * jnp.sum(
+                    dB * dB, axis=0, keepdims=True
+                )
+                d_prior = jnp.sum(
+                    m_arr * (-0.5 * tau_b * ((beta_prop - mu_b) ** 2 - (beta - mu_b) ** 2)),
+                    axis=0,
+                    keepdims=True,
+                )
+                acc = jnp.log(uniform((1, B))) < (d_prior + d_ll + logq_diff)
+                beta = jnp.where(acc, beta_prop, beta)
+                r = jnp.where(acc, r - dB, r)
+                beta_rows = rows(beta)
+            else:
+                # Null likelihood: the metric is the constant diagonal tau_b/s^2
+                z = normal_icdf((p, B))
+                drift = 1.0 - 0.5 * s_mmala * s_mmala
+                mu_f = drift * beta + (1.0 - drift) * mu_b
+                sigma = s_mmala / float(np.sqrt(tau_b))
+                beta_prop = jnp.where(m_arr > 0.0, mu_f + sigma * z, beta)
+                mu_r = drift * beta_prop + (1.0 - drift) * mu_b
+                dlp = jnp.sum(
+                    m_arr
+                    * (
+                        -0.5 * tau_b * ((beta_prop - mu_b) ** 2 - (beta - mu_b) ** 2)
+                        - (0.5 * tau_b / (s_mmala * s_mmala))
+                        * ((beta - mu_r) ** 2 - (beta_prop - mu_f) ** 2)
+                    ),
+                    axis=0,
+                    keepdims=True,
+                )
+                acc = jnp.log(uniform((1, B))) < dlp
+                beta = jnp.where(acc, beta_prop, beta)
+            acc_m = acc_m + acc.astype(jnp.float32)
+
+            if lik:
+                # ==== 2/3. SEQUENTIAL truncated RW over columns ===============
+                # with a data likelihood the columns interact through the
+                # residual, so the one-at-a-time scan of the generic
+                # RandomWalkLoop is reproduced exactly (reference
+                # metropolis_hastings.py:272-289); each accepted move updates
+                # its basis column and the running residual
+                for j in range(p):
+                    aj = m_rows[j]
+                    th_new = _truncnorm_draw(th_rows[j], s_theta, th_lo, th_hi, (1, B))
+                    c_new = basis_col(th_new, om_rows[j], aj)
+                    dc = (c_new - bas[j]) * beta_rows[j]
+                    d_ll = tau * jnp.sum(r * dc, axis=0, keepdims=True) - 0.5 * tau * jnp.sum(
+                        dc * dc, axis=0, keepdims=True
+                    )
+                    corr = _truncnorm_logpdf(th_rows[j], th_new, s_theta, th_lo, th_hi) - _truncnorm_logpdf(
+                        th_new, th_rows[j], s_theta, th_lo, th_hi
+                    )
+                    acc_j = jnp.logical_and(jnp.log(uniform((1, B))) < (d_ll + corr), aj > 0.0)
+                    th_rows[j] = jnp.where(acc_j, th_new, th_rows[j])
+                    bas[j] = jnp.where(acc_j, c_new, bas[j])
+                    r = jnp.where(acc_j, r - dc, r)
+                    acc_t = acc_t + acc_j.astype(jnp.float32)
+                prop_t = prop_t + kf
+                for j in range(p):
+                    aj = m_rows[j]
+                    om_new = _truncnorm_draw(om_rows[j], s_omega, om_lo, om_hi, (1, B))
+                    c_new = basis_col(th_rows[j], om_new, aj)
+                    dc = (c_new - bas[j]) * beta_rows[j]
+                    om_safe_c = jnp.where(om_rows[j] > 0.0, om_rows[j], 1.0)
+                    dtarget = (a_om - 1.0) * (jnp.log(om_new) - jnp.log(om_safe_c)) - b_om * (
+                        om_new - om_rows[j]
+                    )
+                    d_ll = tau * jnp.sum(r * dc, axis=0, keepdims=True) - 0.5 * tau * jnp.sum(
+                        dc * dc, axis=0, keepdims=True
+                    )
+                    corr = _truncnorm_logpdf(om_rows[j], om_new, s_omega, om_lo, om_hi) - _truncnorm_logpdf(
+                        om_new, om_rows[j], s_omega, om_lo, om_hi
+                    )
+                    acc_j = jnp.logical_and(
+                        jnp.log(uniform((1, B))) < (dtarget + d_ll + corr), aj > 0.0
+                    )
+                    om_rows[j] = jnp.where(acc_j, om_new, om_rows[j])
+                    bas[j] = jnp.where(acc_j, c_new, bas[j])
+                    r = jnp.where(acc_j, r - dc, r)
+                    acc_o = acc_o + acc_j.astype(jnp.float32)
+                prop_o = prop_o + kf
+                theta = jnp.concatenate(th_rows, axis=0)
+                omega = jnp.concatenate(om_rows, axis=0)
+            else:
+                # ==== 2. vectorized truncated RW on theta (uniform target) ====
+                th_prop = _truncnorm_draw(theta, s_theta, th_lo, th_hi, (p, B))
+                lf = _truncnorm_logpdf(th_prop, theta, s_theta, th_lo, th_hi)
+                lr = _truncnorm_logpdf(theta, th_prop, s_theta, th_lo, th_hi)
+                acc_cols = jnp.logical_and(jnp.log(uniform((p, B))) < (lr - lf), m_arr > 0.0)
+                theta = jnp.where(acc_cols, th_prop, theta)
+                acc_t = acc_t + jnp.sum(acc_cols.astype(jnp.float32), axis=0, keepdims=True)
+                prop_t = prop_t + kf
+
+                # ==== 3. vectorized truncated RW on omega (Gamma target) ======
+                om_prop = _truncnorm_draw(omega, s_omega, om_lo, om_hi, (p, B))
+                lf = _truncnorm_logpdf(om_prop, omega, s_omega, om_lo, om_hi)
+                lr = _truncnorm_logpdf(omega, om_prop, s_omega, om_lo, om_hi)
+                om_safe_c = jnp.where(omega > 0.0, omega, 1.0)
+                om_safe_p = jnp.where(om_prop > 0.0, om_prop, 1.0)
+                dtarget = (a_om - 1.0) * (jnp.log(om_safe_p) - jnp.log(om_safe_c)) - b_om * (om_prop - omega)
+                acc_cols = jnp.logical_and(jnp.log(uniform((p, B))) < (dtarget + lr - lf), m_arr > 0.0)
+                omega = jnp.where(acc_cols, om_prop, omega)
+                acc_o = acc_o + jnp.sum(acc_cols.astype(jnp.float32), axis=0, keepdims=True)
+                prop_o = prop_o + kf
+
+            # ==== 4. reversible jump =========================================
+            if not lik:
+                th_rows = rows(theta)
+                om_rows = rows(omega)
+                bas = [basis_col(th_rows[i], om_rows[i], m_rows[i]) for i in range(p)]
+            # Gram columns: G0cols[j] (p, B), computed once and reused everywhere
+            # (likelihood mode: the SECOND Gram of the sweep -- the moves mutated
+            # the basis columns after the mMALA metric's Gram)
+            G0cols = gram_cols(bas)
 
             u_move = uniform((1, B))
             birth = jnp.where(kf >= float(p), zeros, jnp.where(kf <= 1.0, ones, (u_move <= 0.5).astype(jnp.float32)))
@@ -369,14 +512,54 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, warm=False):
             m_prop = (iota_c < kf_prop).astype(jnp.float32)
             lp_cur = model_log_p(kf, beta, theta, omega, m_arr)
             lp_prop = model_log_p(kf_prop, beta_p, th_p, om_p, m_prop)
-            log_accept = lp_prop + logp_rev - lp_cur - logp_fwd
+            if lik:
+                # data likelihood at the CURRENT tau for both states; the birth
+                # residual swaps in the matched coefficients + the new column,
+                # the death residual zeroes the deleted column (the shift only
+                # relabels columns, it cannot change B beta)
+                quad_cur = jnp.sum(r * r, axis=0, keepdims=True)
+                mu_star_rows = rows(mu_star * m_arr)
+                r_birth = Yc - sum(bas[i] * mu_star_rows[i] for i in range(p)) - new_col * draw
+                quad_birth = jnp.sum(r_birth * r_birth, axis=0, keepdims=True)
+                mu_aug_rows = rows(mu_aug * m_arr * (1.0 - is_j_row))
+                r_death = Yc - sum(bas[i] * mu_aug_rows[i] for i in range(p))
+                quad_death = jnp.sum(r_death * r_death, axis=0, keepdims=True)
+                quad_prop = jnp.where(birth > 0.0, quad_birth, quad_death)
+
+                def loglik(quad, tauv):
+                    return half_n * (jnp.log(tauv) - LOG_2PI) - 0.5 * tauv * quad
+
+                log_accept = (
+                    lp_prop + loglik(quad_prop, tau) + logp_rev
+                    - lp_cur - loglik(quad_cur, tau) - logp_fwd
+                )
+            else:
+                log_accept = lp_prop + logp_rev - lp_cur - logp_fwd
             acc = jnp.log(uniform((1, B))) < log_accept
             kf = jnp.where(acc, kf_prop, kf)
             beta = jnp.where(acc, beta_p, beta)
             theta = jnp.where(acc, th_p, theta)
             omega = jnp.where(acc, om_p, omega)
             acc_r = acc_r + acc.astype(jnp.float32)
-            log_post = jnp.where(acc, lp_prop, lp_cur)
+            if lik:
+                # ==== 5. conjugate NormalGamma on tau =========================
+                # tau | rest ~ Gamma(a_tau + n/2, b_tau + ||y - B beta||^2 / 2)
+                # (reference sampler/sampler.py:210-288 machinery for this model);
+                # the stored log_post is the generic driver's end-of-sweep value:
+                # every term evaluated at the post-RJ state and the NEW tau
+                quad_sel = jnp.where(acc, quad_prop, quad_cur)
+                lp_sel = jnp.where(acc, lp_prop, lp_cur)
+                tau = gamma_mt(a_tau_star, b_tau + 0.5 * quad_sel)
+                log_post = (
+                    lp_sel
+                    + half_n * (jnp.log(tau) - LOG_2PI)
+                    - 0.5 * tau * quad_sel
+                    + lgam_tau
+                    + (a_tau - 1.0) * jnp.log(tau)
+                    - b_tau * tau
+                )
+            else:
+                log_post = jnp.where(acc, lp_prop, lp_cur)
 
             # ---- store ---------------------------------------------------
             @pl.when(it >= n_burn)
@@ -391,15 +574,21 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, warm=False):
                     ).wait()
 
                 rows_out = [kf, log_post, acc_m, acc_t, acc_o, acc_r, prop_t, prop_o]
-                if n_rows > OUT_ROWS:
+                if lik:
+                    rows_out.append(tau)
+                if stream:
                     # stream the padded parameter draws (store_names request);
                     # padding columns are exact zeros, like the generic state
                     rows_out = rows_out + rows(beta) + rows(theta) + rows(omega)
+                if len(rows_out) < n_rows:
+                    rows_out.append(jnp.zeros((n_rows - len(rows_out), B), jnp.float32))
                 stage_ref[pl.ds(slot, 1)] = jnp.concatenate(rows_out, axis=0)[None, :, :]
                 pltpu.make_async_copy(
                     stage_ref.at[slot], out_ref.at[idx, :, pl.ds(pid * B, B)], sems.at[slot]
                 ).start()
 
+            if lik:
+                return beta, theta, omega, kf, tau, acc_m, acc_t, acc_o, acc_r, prop_t, prop_o
             return beta, theta, omega, kf, acc_m, acc_t, acc_o, acc_r, prop_t, prop_o
 
         # the (1, B) loop-carry rows must start with a CONCRETE lane layout, or
@@ -414,21 +603,28 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, warm=False):
         nz = zr[0:1, :]
         if warm:
             # per-chain warm start (resume): rows [beta (p) | theta (p) |
-            # omega (p) | k | acc_m | acc_t | acc_o | acc_r | prop_t | prop_o];
-            # VMEM loads carry materialized lane layouts, so no zr trick needed
+            # omega (p) | k | (tau if lik) | acc_m | acc_t | acc_o | acc_r |
+            # prop_t | prop_o]; VMEM loads carry materialized lane layouts, so
+            # no zr trick needed
             beta0 = init_ref[0:p, :]
             theta0 = init_ref[p : 2 * p, :]
             omega0 = init_ref[2 * p : 3 * p, :]
             k0 = init_ref[3 * p : 3 * p + 1, :]
-            carry0 = (beta0, theta0, omega0, k0) + tuple(
-                init_ref[3 * p + 1 + i : 3 * p + 2 + i, :] for i in range(6)
-            )
+            base = 3 * p + 1
+            head = (beta0, theta0, omega0, k0)
+            if lik:
+                head = head + (init_ref[base : base + 1, :],)
+                base += 1
+            carry0 = head + tuple(init_ref[base + i : base + 1 + i, :] for i in range(6))
         else:
-            beta0 = jnp.broadcast_to(x_ref[n_data : n_data + p, :], (p, BLOCK_B)) + nz
-            theta0 = jnp.broadcast_to(x_ref[n_data + p : n_data + 2 * p, :], (p, BLOCK_B)) + nz
-            omega0 = jnp.broadcast_to(x_ref[n_data + 2 * p : n_data + 3 * p, :], (p, BLOCK_B)) + nz
-            k0 = jnp.broadcast_to(x_ref[n_data + 3 * p : n_data + 3 * p + 1, :], (1, BLOCK_B)) + nz
-            carry0 = (beta0, theta0, omega0, k0) + tuple(zr[i : i + 1, :] for i in range(1, 7))
+            beta0 = jnp.broadcast_to(x_ref[off : off + p, :], (p, BLOCK_B)) + nz
+            theta0 = jnp.broadcast_to(x_ref[off + p : off + 2 * p, :], (p, BLOCK_B)) + nz
+            omega0 = jnp.broadcast_to(x_ref[off + 2 * p : off + 3 * p, :], (p, BLOCK_B)) + nz
+            k0 = jnp.broadcast_to(x_ref[off + 3 * p : off + 3 * p + 1, :], (1, BLOCK_B)) + nz
+            head = (beta0, theta0, omega0, k0)
+            if lik:
+                head = head + (jnp.full((1, BLOCK_B), tau0, jnp.float32) + nz,)
+            carry0 = head + tuple(zr[i : i + 1, :] for i in range(1, 7))
         lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
@@ -447,23 +643,30 @@ def _run_fused_rj_jit(seed, packed, n_burn, n_iter, n_chains, cfg_static, init=N
     n_data = cfg.pop("n_data")
     b_total = n_chains + ((-n_chains) % BLOCK_B)
     stream = cfg.pop("stream_params")
-    n_rows = OUT_ROWS + (3 * p if stream else 0)
-    kernel = _make_kernel(p, n_data, n_burn, n_iter, cfg, n_rows, warm=init is not None)
+    lik = bool(cfg.get("likelihood", False))
+    n_rows = OUT_ROWS + (1 if lik else 0) + (3 * p if stream else 0)
+    n_rows = n_rows + ((-n_rows) % 8)  # sublane tile alignment for the DMA slices
+    kernel = _make_kernel(p, n_data, n_burn, n_iter, cfg, n_rows, stream, warm=init is not None)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     args = [jnp.asarray([seed], jnp.int32), packed]
     if init is not None:
-        rows_in = jnp.concatenate([
+        in_rows = [
             jnp.asarray(init["beta"], jnp.float32).reshape(n_chains, p).T,
             jnp.asarray(init["theta"], jnp.float32).reshape(n_chains, p).T,
             jnp.asarray(init["omega"], jnp.float32).reshape(n_chains, p).T,
             jnp.asarray(init["k"], jnp.float32).reshape(1, n_chains),
-            jnp.asarray(init.get("counters", jnp.zeros((6, n_chains))), jnp.float32).reshape(6, n_chains),
-        ], axis=0)
+        ]
+        if lik:
+            in_rows.append(jnp.asarray(init["tau"], jnp.float32).reshape(1, n_chains))
+        in_rows.append(
+            jnp.asarray(init.get("counters", jnp.zeros((6, n_chains))), jnp.float32).reshape(6, n_chains)
+        )
+        rows_in = jnp.concatenate(in_rows, axis=0)
         rows_in = jnp.pad(rows_in, ((0, 0), (0, b_total - n_chains)))
-        in_specs.append(pl.BlockSpec((3 * p + 7, BLOCK_B), lambda i: (0, i)))
+        in_specs.append(pl.BlockSpec((3 * p + 7 + (1 if lik else 0), BLOCK_B), lambda i: (0, i)))
         args.append(rows_in)
     (out,) = pl.pallas_call(
         kernel,
@@ -508,27 +711,43 @@ def run_fused_rj(
     step_omega: float = 0.1,
     stream_params: bool = False,
     init=None,
+    y=None,
+    a_tau: float = 2.0,
+    b_tau: float = 1.0,
+    tau0: float = 1.0,
 ):
-    """Run the full prior-recovery RJ stack in one fused kernel.
+    """Run the full RJ stack in one fused kernel.
 
     X: (n_data,) basis evaluation points. State is padded to ``n_max``; initial
     values broadcast to all chains. Returns dict with n_basis/log_post:
     (chains, iters) plus acceptance/proposal counters accumulated over
     burn + sampling (the generic driver's counting window). ``stream_params``
     additionally streams the padded beta/theta/omega draws, (chains, iters, n_max)
-    each (3 * n_max extra output rows; padding entries are exact zeros)."""
+    each (3 * n_max extra output rows; padding entries are exact zeros).
+
+    ``y`` switches on LIKELIHOOD mode -- the reference's matched-transition
+    regression use case (reference tests/test_reversible_jump.py model built at
+    :281-434): y ~ N(B(theta, omega) beta, (tau I)^-1) with a conjugate
+    NormalGamma(tau) update appended to the sweep (a_tau/b_tau hyperparameters,
+    tau0 initial value). The output then also streams per-iteration ``tau``
+    draws. ``y=None`` keeps the Null-likelihood prior-recovery family."""
     X = np.asarray(X, np.float32).reshape(-1)
     n_data = X.shape[0]
     p = int(n_max)
-    packed = np.concatenate(
-        [
-            X,
-            np.broadcast_to(np.asarray(beta0, np.float32).reshape(-1), (p,)).copy(),
-            np.broadcast_to(np.asarray(theta0, np.float32).reshape(-1), (p,)).copy(),
-            np.broadcast_to(np.asarray(omega0, np.float32).reshape(-1), (p,)).copy(),
-            np.asarray([float(k0)], np.float32),
-        ]
-    ).reshape(-1, 1)
+    lik = y is not None
+    parts = [X]
+    if lik:
+        yv = np.asarray(y, np.float32).reshape(-1)
+        if yv.shape[0] != n_data:
+            raise ValueError(f"y has {yv.shape[0]} entries but X has {n_data}")
+        parts.append(yv)
+    parts += [
+        np.broadcast_to(np.asarray(beta0, np.float32).reshape(-1), (p,)).copy(),
+        np.broadcast_to(np.asarray(theta0, np.float32).reshape(-1), (p,)).copy(),
+        np.broadcast_to(np.asarray(omega0, np.float32).reshape(-1), (p,)).copy(),
+        np.asarray([float(k0)], np.float32),
+    ]
+    packed = np.concatenate(parts).reshape(-1, 1)
     cfg_static = (
         ("n_max", p), ("n_data", n_data), ("rho", float(rho)),
         ("mu_beta", float(mu_beta)), ("tau_beta", float(tau_beta)),
@@ -539,6 +758,8 @@ def run_fused_rj(
         ("match_scale", float(match_scale)), ("step_mmala", float(step_mmala)),
         ("step_theta", float(step_theta)), ("step_omega", float(step_omega)),
         ("stream_params", bool(stream_params)),
+        ("likelihood", lik),
+        ("a_tau", float(a_tau)), ("b_tau", float(b_tau)), ("tau0", float(tau0)),
     )
     draws = _run_fused_rj_jit(
         seed, jnp.asarray(packed), n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
@@ -555,8 +776,12 @@ def run_fused_rj(
         "proposal_omega": draws[:, -1, 7],
         "n_proposals": float(n_burn + n_iter),
     }
+    base = 8
+    if lik:
+        out["tau"] = draws[:, :, base]
+        base += 1
     if stream_params:
-        out["beta"] = draws[:, :, 8 : 8 + p]
-        out["theta"] = draws[:, :, 8 + p : 8 + 2 * p]
-        out["omega"] = draws[:, :, 8 + 2 * p : 8 + 3 * p]
+        out["beta"] = draws[:, :, base : base + p]
+        out["theta"] = draws[:, :, base + p : base + 2 * p]
+        out["omega"] = draws[:, :, base + 2 * p : base + 3 * p]
     return out

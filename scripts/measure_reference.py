@@ -217,6 +217,45 @@ def reversible_jump():
     return m.store["n_basis"], 5000
 
 
+def reversible_jump_regression():
+    """The reference's matched-transition regression use case: same knot-basis RJ
+    stack, but y ~ N(B beta, (tau_y I)^-1) with a conjugate NormalGamma(tau_y)
+    appended to the sweep (the reference test fixture's y IS generated from this
+    model, reference tests/test_reversible_jump.py fix_state; the Null response is
+    swapped for the real Gaussian likelihood)."""
+    sys.path.insert(0, "/root/reference/tests")
+    import importlib
+
+    trj = importlib.import_module("test_reversible_jump")
+    from openmcmc import parameter
+    from openmcmc.distribution.distribution import Gamma
+    from openmcmc.distribution.location_scale import Normal
+    from openmcmc.mcmc import MCMC
+    from openmcmc.model import Model
+    from openmcmc.sampler.sampler import NormalGamma
+
+    np.random.seed(0)
+    basis_limits = np.array([-10, 10])
+    scale_limits = np.array([0.5, 2])
+    state = trj.fix_state.__wrapped__(basis_limits)
+    null_model = trj.fix_model.__wrapped__(basis_limits)
+    response = Normal(
+        response="y",
+        mean=parameter.LinearCombination(form={"beta": "B"}),
+        precision=parameter.ScaledMatrix(matrix="P", scalar="tau_y"),
+    )
+    model = Model([response] + [null_model[k] for k in null_model if k != "y"]
+                  + [Gamma("tau_y", shape="a_tau", rate="b_tau")])
+    state["a_tau"] = 2.0 * np.ones((1, 1))
+    state["b_tau"] = 0.01 * np.ones((1, 1))
+    state["tau_y"] = 100.0
+    samplers = trj.fix_samplers.__wrapped__(model, basis_limits, scale_limits)
+    samplers.append(NormalGamma(param="tau_y", model=model))
+    m = MCMC(state=state, samplers=samplers, model=model, n_burn=0, n_iter=2000)
+    m.run_mcmc()
+    return m.store["n_basis"], 2000
+
+
 def mixture():
     """Gaussian mixture: MixtureAllocation + RandomWalkLoop(means) + NormalGamma(lams)
     (reference sampler.py:291-355 allocation machinery driven end-to-end)."""
@@ -275,6 +314,7 @@ if __name__ == "__main__":
         ("mmala", mmala),
         ("gmrf_smoother", gmrf_smoother),
         ("reversible_jump", reversible_jump),
+        ("reversible_jump_regression", reversible_jump_regression),
         ("mixture", mixture),
     ]
     out_path = "/root/repo/reference_measured.json"

@@ -354,3 +354,39 @@ def test_rj_engine_prior_recovery(host_stats, rng):
     # a raw chi-square on the full pooled count
     assert np.all(np.abs(got - pmf) < 0.04), np.abs(got - pmf).max()
     assert np.isfinite(np.asarray(out["log_post"])).all()
+
+
+# ---------------------------------------------------------------------------
+# reversible jump with a DATA likelihood: posterior parity vs the generic driver
+# ---------------------------------------------------------------------------
+
+
+def test_rj_likelihood_engine_matches_generic(host_stats):
+    """y ~ N(B(theta, omega) beta, (tau I)^-1) with a conjugate NormalGamma(tau):
+    the fused engine must reproduce the generic driver's posterior (knot count,
+    noise precision) AND its per-sampler acceptance rates. The omega acceptance
+    band is the regression catcher for truncated-proposal semantics: a current
+    value outside the RW box (possible only via the untruncated Gamma birth
+    draw) must force rejection, exactly like the generic/ reference
+    truncated-normal log-pdf's -inf outside support."""
+    from test_fused_rj_engine import build_rj_regression_mcmc
+
+    m = build_rj_regression_mcmc(n_chains=512, n_iter=500, n_burn=250, seed=3)
+    res = m.run(engine="auto")
+    assert res.engine == "fused_rj"
+
+    gen = build_rj_regression_mcmc(n_chains=48, n_iter=500, n_burn=250, seed=11)
+    gen_res = gen.run(engine="generic")
+
+    k_f = np.asarray(res.store["n_basis"]).reshape(-1)
+    k_g = np.asarray(gen_res.store["n_basis"]).reshape(-1)
+    assert abs(k_f.mean() - k_g.mean()) < 0.25, (k_f.mean(), k_g.mean())
+    tau_f = np.asarray(res.store["tau_y"]).reshape(-1)
+    tau_g = np.asarray(gen_res.store["tau_y"]).reshape(-1)
+    assert abs(tau_f.mean() - tau_g.mean()) < 0.2 * tau_g.std(), (tau_f.mean(), tau_g.mean())
+    assert abs(tau_f.std() / tau_g.std() - 1.0) < 0.25
+
+    acc_f = {k: float(np.asarray(v).mean()) for k, v in res.acceptance.items()}
+    acc_g = {k: float(np.asarray(v).mean()) for k, v in gen_res.acceptance.items()}
+    for name in ("beta", "theta", "omega", "n_basis"):
+        assert abs(acc_f[name] - acc_g[name]) < 2.5, (name, acc_f[name], acc_g[name])

@@ -214,3 +214,136 @@ def test_fused_rj_resume_continues_exactly():
     m2 = build_rj_mcmc(n_chains=32, n_iter=3, n_burn=2)
     from openmcmc_tpu.fused.dispatch import match_fused_engine as mfe
     assert mfe(m2, resume=count_only) is None
+
+# ---------------------------------------------------------------------------
+# likelihood mode: y ~ N(B beta, (tau I)^-1) + conjugate NormalGamma(tau)
+# (the reference's matched-transition REGRESSION use case,
+# reference tests/test_reversible_jump.py:281-434)
+# ---------------------------------------------------------------------------
+
+N_MAX_REG = 8
+
+
+def build_rj_regression_mcmc(n_chains=64, n_iter=6, n_burn=2, seed=0, **state_over):
+    g = GaussianKernelBasis()
+    rng = np.random.default_rng(0)
+    n_data = 30
+    X = np.sort(rng.uniform(-10, 10, (n_data, 1)), axis=0)
+    f = sum(b * np.exp(-0.5 * (X[:, 0] - t) ** 2) / np.sqrt(2 * np.pi)
+            for t, b in ((-4.0, 4.0), (3.0, 6.0)))
+    y = (f + rng.normal(0, 0.1, n_data)).reshape(n_data, 1)
+    k0 = 3
+    theta = np.zeros((1, N_MAX_REG)); theta[0, :k0] = rng.uniform(-10, 10, k0)
+    omega = np.zeros((1, N_MAX_REG)); omega[0, :k0] = 1.0
+    beta = np.zeros((N_MAX_REG, 1)); beta[:k0] = 1.0
+    state = {
+        "X": X, "y": y, "n_basis": np.array([[k0]], np.int32),
+        "theta": theta, "omega": omega, "beta": beta,
+        "alloc_beta": np.zeros((N_MAX_REG, 1), np.int32),
+        "mu_beta": 0.0, "tau_beta": 0.25, "rho": 3.0,
+        "a_omega": 3.0, "b_omega": 2.0,
+        "P": st.Diagonal(jnp.ones(n_data)), "tau_y": 1.0,
+        "a_tau": 2.0, "b_tau": 0.1,
+    }
+    state.update(state_over)
+    state["B"] = np.asarray(g.make(jnp.asarray(X), jnp.asarray(theta), jnp.asarray(omega), k0))
+    mdl = Model([
+        Normal("y", mean=LinearCombination(form={"beta": "B"}), precision=ScaledMatrix("P", "tau_y")),
+        Normal("beta", mean=MixtureParameterVector("mu_beta", "alloc_beta"),
+               precision=MixtureParameterMatrix("tau_beta", "alloc_beta"), n_active="n_basis"),
+        Poisson("n_basis", rate="rho"),
+        Uniform("theta", domain_response_lower=-10.0, domain_response_upper=10.0, n_active="n_basis"),
+        Gamma("omega", shape="a_omega", rate="b_omega", n_active="n_basis"),
+        Gamma("tau_y", shape="a_tau", rate="b_tau"),
+    ])
+    from openmcmc_tpu.samplers import NormalGamma
+
+    samplers = [
+        ManifoldMALA("beta", mdl, step=0.5, active_count="n_basis"),
+        RandomWalkLoop("theta", mdl, step=0.1, domain_limits=np.asarray([[-10.0, 10.0]]),
+                       state_update_function=g.move, vector_state_update_function=g.move_vec,
+                       active_count="n_basis", updated_names=["theta", "B"]),
+        RandomWalkLoop("omega", mdl, step=0.1, domain_limits=np.asarray([[0.5, 2.0]]),
+                       state_update_function=g.move, vector_state_update_function=g.move_vec,
+                       active_count="n_basis", updated_names=["omega", "B"]),
+        ReversibleJump("n_basis", mdl, associated_params=["theta", "omega"], n_max=N_MAX_REG,
+                       state_birth_function=g.birth, state_death_function=g.death,
+                       matching_params={"variable": "beta", "matrix": "B", "scale": 1.0, "limits": [-10.0, 10.0]}),
+        NormalGamma("tau_y", mdl),
+    ]
+    m = MCMC(state, samplers, mdl, n_burn=n_burn, n_iter=n_iter, n_chains=n_chains, seed=seed)
+    m.store_names = ["n_basis", "tau_y"]
+    return m
+
+
+def test_match_rj_likelihood():
+    m = build_rj_regression_mcmc()
+    runner = match_fused_engine(m)
+    assert runner is not None and runner.engine_name == "fused_rj"
+
+
+def test_rj_likelihood_no_match_nonidentity_penalty():
+    """The kernel's residual quadratic is unweighted: a non-identity noise
+    penalty must fall back to generic."""
+    m = build_rj_regression_mcmc(P=st.Diagonal(jnp.full(30, 2.0)))
+    assert match_fused_engine(m) is None
+
+
+def test_rj_likelihood_no_match_fitted_on_basis():
+    """A fitted-value request whose predictor reads B must fall back: the kernel
+    never streams the basis, and data holds only the stale initial B."""
+    m = build_rj_regression_mcmc()
+    m.model.response = {"y": "mean"}
+    assert match_fused_engine(m) is None
+
+
+def test_interpret_likelihood_engine_run():
+    m = build_rj_regression_mcmc(n_chains=64, n_iter=6, n_burn=2)
+    m.store_names = ["n_basis", "tau_y", "beta", "theta", "omega"]
+    with pltpu.force_tpu_interpret_mode():
+        res = m.run(engine="auto")
+    assert res.engine == "fused_rj"
+    assert res.store["tau_y"].shape == (64, 6, 1, 1)
+    assert np.asarray(res.store["tau_y"]).min() > 0.0
+    assert res.store["beta"].shape == (64, 6, N_MAX_REG, 1)
+    assert np.isfinite(np.asarray(res.log_post)).all()
+    assert set(res.stats.keys()) == {"beta", "theta", "omega", "n_basis", "tau_y"}
+    assert res.stats["tau_y"] == {}  # conjugate: no scanned statistics
+    assert set(res.acceptance.keys()) == {"beta", "theta", "omega", "n_basis"}
+
+
+def test_rj_likelihood_resume_continues_exactly():
+    def make(n_iter, seed):
+        m = build_rj_regression_mcmc(n_chains=32, n_iter=n_iter, n_burn=2, seed=seed)
+        m.store_names = ["n_basis", "tau_y", "beta", "theta", "omega"]
+        return m
+
+    with pltpu.force_tpu_interpret_mode():
+        full = make(6, 0).run(engine="auto")
+        seg1 = make(3, 1).run(engine="auto")
+        seg2 = make(3, 2).run(engine="fused", resume=seg1)
+    assert seg2.engine == "fused_rj"
+    for name in ("n_basis", "tau_y", "beta", "theta", "omega"):
+        cat = np.concatenate([np.asarray(seg1.store[name]), np.asarray(seg2.store[name])], axis=1)
+        np.testing.assert_allclose(np.asarray(full.store[name]), cat, rtol=1e-5, err_msg=name)
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
+)
+def test_fused_rj_likelihood_posterior_tpu():
+    """Likelihood-mode posterior on the real TPU PRNG vs CPU-generic ground truth
+    (pinned from a 96-chain x 800-iter generic run of this exact configuration:
+    k = 3.97 +- 1.26, tau = 77.3 +- 22.3; acceptance beta 97.7 / theta 71.7 /
+    omega 50.2 / n_basis 14.2)."""
+    m = build_rj_regression_mcmc(n_chains=1024, n_iter=800, n_burn=300, seed=5)
+    res = m.run(engine="fused")
+    assert res.engine == "fused_rj"
+    k = np.asarray(res.store["n_basis"]).reshape(-1)
+    tau = np.asarray(res.store["tau_y"]).reshape(-1)
+    assert abs(k.mean() - 3.97) < 0.3, k.mean()
+    assert abs(tau.mean() - 77.3) < 6.0, tau.mean()
+    assert abs(tau.std() - 22.3) < 6.0, tau.std()
+    acc = {n: float(np.asarray(v).mean()) for n, v in res.acceptance.items()}
+    for name, want in (("beta", 97.7), ("theta", 71.7), ("omega", 50.2), ("n_basis", 14.2)):
+        assert abs(acc[name] - want) < 2.5, (name, acc[name], want)
