@@ -9,6 +9,9 @@ vectorized over thousands of chains.
 Two workloads:
 1. 2-D lattice smoother: a 32 x 32 grid field with a 5-point-stencil intrinsic
    GMRF prior, observed with iid noise -- the canonical image-smoothing model.
+   ``engine="auto"`` dispatches the whole run to the spectral fused engine as
+   ONE kernel launch (eigenbasis resident in VMEM up to p = 1024, streamed from
+   HBM beyond -- a 64 x 64 grid, p = 4096, stays a single launch).
 2. CAR model on an irregular spatial graph (k-nearest-neighbor sites).
 
 Run: python examples/8_spatial_car.py
@@ -60,9 +63,10 @@ def lattice_smoother(n_chains: int = 512, nx: int = 32, ny: int = 32):
     m = MCMC(state, samplers, mdl, n_burn=100, n_iter=300, n_chains=n_chains, seed=0,
              store_names=["b", "tau", "lam"])
     t0 = time.time()
-    res = m.run()
+    res = m.run(engine="auto")  # one-launch spectral engine (streamed V past p=1024)
     float(jnp.max(res.store["b"]))
-    print(f"lattice: {n_chains} chains x 400 sweeps in {time.time() - t0:.1f}s (incl. compile)")
+    print(f"lattice: engine={res.engine}, {n_chains} chains x 400 sweeps "
+          f"in {time.time() - t0:.1f}s (incl. compile)")
     b_mean = np.asarray(res.store["b"]).mean((0, 1)).reshape(nx, ny)
     rmse_raw = float(np.sqrt(np.mean((y.reshape(nx, ny) - field) ** 2)))
     rmse_post = float(np.sqrt(np.mean((b_mean - field) ** 2)))
@@ -103,13 +107,18 @@ def car_model(n_chains: int = 512, n_sites: int = 400, k: int = 6):
     m = MCMC(state, samplers, mdl, n_burn=100, n_iter=300, n_chains=n_chains, seed=1,
              store_names=["b", "tau", "lam"])
     t0 = time.time()
-    res = m.run()
+    res = m.run(engine="auto")
     float(jnp.max(res.store["b"]))
-    print(f"CAR: {n_chains} chains x 400 sweeps in {time.time() - t0:.1f}s (incl. compile)")
+    print(f"CAR: engine={res.engine}, {n_chains} chains x 400 sweeps "
+          f"in {time.time() - t0:.1f}s (incl. compile)")
     tau_mean = float(np.asarray(res.store["tau"]).mean())
     print(f"CAR: posterior tau mean {tau_mean:.2f} (true 4.0)")
 
 
 if __name__ == "__main__":
     lattice_smoother()
+    # 64 x 64 grid (p = 4096): past the VMEM eigenbasis limit -- the spectral
+    # engine streams V from HBM and the whole run is STILL one kernel launch.
+    # Fewer chains/iters: the draw store is n_chains x iters x 4096 f32.
+    lattice_smoother(n_chains=256, nx=64, ny=64)
     car_model()

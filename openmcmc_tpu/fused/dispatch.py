@@ -216,14 +216,15 @@ def _gamma_hypers(mcmc, name):
 def _match_smoother(mcmc) -> Optional[Callable]:
     """y ~ N(b, (tau D)^-1); b ~ N(mu0, (lam P0)^-1); Gamma scales.
 
-    ANY structured P0 with p <= 1024 -- tridiagonal RW1, 2-D lattice stencils,
+    ANY structured P0 with p <= 8192 -- tridiagonal RW1, 2-D lattice stencils,
     RCM-permuted CAR graphs, dense -- runs the spectral engine
     (fused/spectral.py): iterations are elementwise in eigencoordinates, which
     beats the O(p) sequential Thomas scans even for tridiagonal P0 (measured
     1.7x at p=100, 8192 chains). This also covers the general sparse patterns
-    the reference factors through SuperLU (gmrf.py:489-520). Tridiagonal P0 with
-    p > 1024 falls back to the Thomas kernel (fused/gmrf_smoother.py), whose
-    state is O(p) per lane instead of a (p, p) eigenbasis."""
+    the reference factors through SuperLU (gmrf.py:489-520); past p = 1024 the
+    eigenbasis streams from HBM (spectral.py MAX_P_SMOOTHER_STREAM). Tridiagonal
+    P0 with p > 1024 falls back to the Thomas kernel (fused/gmrf_smoother.py),
+    whose state is O(p) per lane instead of a (p, p) eigenbasis."""
     trip = _conjugate_triplet(mcmc)
     if trip is None:
         return None
@@ -245,7 +246,7 @@ def _match_smoother(mcmc) -> Optional[Callable]:
     # handled by the kernel (round-3 generalization; previously identity/zero only)
     if not isinstance(ptau, st.Diagonal) or not bool(jnp.all(ptau.diag_ > 0.0)):
         return None
-    from openmcmc_tpu.fused.spectral import MAX_P_SMOOTHER
+    from openmcmc_tpu.fused.spectral import MAX_P_SMOOTHER, MAX_P_SMOOTHER_STREAM
 
     tridiag = isinstance(plam, st.Banded) and plam.bw == 1
     if not isinstance(plam, st.STRUCTURED_TYPES):
@@ -253,9 +254,13 @@ def _match_smoother(mcmc) -> Optional[Callable]:
     # p <= 1024: the spectral engine wins for EVERY structure, including
     # tridiagonal (measured ~1.7x over the Thomas kernel at p=100, 8192 chains:
     # its iterations are elementwise in eigencoordinates while Thomas runs two
-    # p-step sequential scans per iteration); the Thomas kernel remains the
-    # fallback for longer chains, where a (p, p) eigenbasis no longer fits VMEM
-    spectral = st.dim(plam) <= MAX_P_SMOOTHER
+    # p-step sequential scans per iteration). Beyond 1024 a tridiagonal prior
+    # keeps the O(p)-state Thomas kernel; every OTHER structure (lattice, CAR,
+    # RCM-permuted sparse, dense) runs the HBM-streaming spectral engine up to
+    # p = 8192 -- the O(p^2)-per-store matmul rides the MXU, which still beats
+    # the generic driver's sequential banded scans (bw ~ sqrt(p) on lattices
+    # makes the generic cost the same O(p^2) but latency-bound)
+    spectral = st.dim(plam) <= (MAX_P_SMOOTHER if tridiag else MAX_P_SMOOTHER_STREAM)
     if not spectral and not tridiag:
         return None
     mu = mcmc.data.get(_identity_mean_name(b_dist))
@@ -459,10 +464,10 @@ def _match_rw(mcmc) -> Optional[Callable]:
     if rw.state_update_function is not None:
         return None
     step_arr = np.asarray(rw.step_size, np.float64).reshape(-1)
-    if rw.adapt_step and step_arr.size != 1:
-        # the kernel adapts one log-scale per chain; per-dim adapted steps would
-        # need a (p,)-row log_step output the stats contract doesn't carry
-        return None
+    # per-dim adapted steps ARE representable: the generic Robbins-Monro nudge is
+    # one scalar added to the whole log_step array (metropolis.py:90-96), i.e. a
+    # per-chain scale on the fixed base-step vector -- exactly the kernel's
+    # carried log_scale; the vector log_step is reconstructed in the stats below
     h = rw.param
     h_dist = mcmc.model.get(h)
     y_dist = None
@@ -536,7 +541,9 @@ def _match_rw(mcmc) -> Optional[Callable]:
             init = {"h": jnp.asarray(resume.final_state[h]).reshape(nc, p)}
             rstats = resume.stats.get(h, {})
             if "log_step" in rstats:
-                init["log_step"] = jnp.asarray(rstats["log_step"]).reshape(-1)
+                # the kernel carries log(scale * step[0]); with a vector step all
+                # components share the scale, so component 0 determines it
+                init["log_step"] = jnp.asarray(rstats["log_step"]).reshape(nc, -1)[:, 0]
             if "accept" in rstats:
                 init["acc"] = jnp.asarray(rstats["accept"]).astype(jnp.float32).reshape(-1)
                 prop0 = rstats["proposal"]
@@ -558,8 +565,13 @@ def _match_rw(mcmc) -> Optional[Callable]:
             }
         }
         if rw.adapt_step:
-            # generic init_stats carries log_step with the step's (1, 1) shape
-            stats[h]["log_step"] = out["log_step"].reshape(nc, 1, 1)
+            # generic init_stats carries log_step with the step's atleast_2d shape;
+            # the kernel stores log(scale * step[0]), and the generic Robbins-Monro
+            # nudge is a scalar shared by all components, so the vector log_step is
+            # log(step_vec) + log(scale) exactly
+            base = jnp.log(jnp.asarray(rw.step_size, jnp.float32))
+            scale_log = out["log_step"] - float(np.log(step_vec[0]))
+            stats[h]["log_step"] = scale_log[:, None, None] + base[None, :, :]
         return store, out["log_post"], stats
 
     run.engine_name = "fused_random_walk"
@@ -568,14 +580,21 @@ def _match_rw(mcmc) -> Optional[Callable]:
 
 
 def _match_rj(mcmc) -> Optional[Callable]:
-    """The reversible-jump knot-basis family (reference tests/test_reversible_jump.py
-    prior-recovery workload): Null likelihood on a Gaussian-kernel basis regression,
+    """The reversible-jump knot-basis family (reference tests/test_reversible_jump.py):
+    a Gaussian-kernel basis regression
 
         count ~ Poisson(rho), theta_j ~ U(lo, hi), omega_j ~ Gamma(a, b),
         beta ~ N(mu_b, (tau_b I)^-1)  (padded to n_max, n_active = count)
 
-    with the four-sampler sweep [ManifoldMALA(beta), RandomWalkLoop(theta),
-    RandomWalkLoop(omega), ReversibleJump(count, matched transitions on beta)].
+    in BOTH reference configurations:
+
+    - Null likelihood (prior recovery, the reference's distribution checks) with
+      the four-sampler sweep [ManifoldMALA(beta), RandomWalkLoop(theta),
+      RandomWalkLoop(omega), ReversibleJump(count, matched transitions on beta)];
+    - DATA likelihood y ~ N(B beta, (tau I)^-1) (the matched-transition
+      regression use case, reference tests/test_reversible_jump.py:281-434) with
+      a fifth sampler NormalGamma(tau) appended to the sweep.
+
     The basis maintenance hooks must be bound methods of ONE
     :class:`openmcmc_tpu.basis.GaussianKernelBasis` -- that is what tells us the
     basis math is normpdf(X; theta, omega), which the kernel reimplements in-core."""
@@ -585,9 +604,12 @@ def _match_rj(mcmc) -> Optional[Callable]:
     from openmcmc_tpu.parameters import MixtureParameterMatrix, MixtureParameterVector
     from openmcmc_tpu.samplers.reversible_jump import ReversibleJump
 
-    if len(mcmc.samplers) != 4:
+    if len(mcmc.samplers) not in (4, 5):
         return None
-    mala, rw_th, rw_om, rj = mcmc.samplers
+    lik = len(mcmc.samplers) == 5
+    if lik and not isinstance(mcmc.samplers[4], NormalGamma):
+        return None
+    mala, rw_th, rw_om, rj = mcmc.samplers[:4]
     if not isinstance(mala, ManifoldMALA) or not isinstance(rj, ReversibleJump):
         return None
     if not (isinstance(rw_th, RandomWalkLoop) and isinstance(rw_om, RandomWalkLoop)):
@@ -631,12 +653,23 @@ def _match_rj(mcmc) -> Optional[Callable]:
     if mp.get("limits") is None or mp.get("scale") is None:
         return None
 
-    # model inventory: Null likelihood + the four priors, nothing else
+    # model inventory: the likelihood + the four priors (+ the tau prior in
+    # likelihood mode), nothing else
     y_name = None
     for key, dist in mcmc.model.items():
-        if isinstance(dist, NullDistribution):
+        if lik:
+            if key not in (beta,) and isinstance(dist, Normal):
+                y_name = key
+        elif isinstance(dist, NullDistribution):
             y_name = key
-    if y_name is None or set(mcmc.model.keys()) != {y_name, beta, theta, omega, count}:
+    tau_name, hyp_tau, tau0, y_data, noise_name = None, None, None, None, None
+    if y_name is None:
+        return None
+    expected = {y_name, beta, theta, omega, count}
+    if lik:
+        tau_name = mcmc.samplers[4].param
+        expected.add(tau_name)
+    if set(mcmc.model.keys()) != expected:
         return None
     y_dist = mcmc.model[y_name]
     if not (
@@ -645,6 +678,23 @@ def _match_rj(mcmc) -> Optional[Callable]:
         and y_dist.mean.form_dict[beta] == g.matrix
     ):
         return None
+    if lik:
+        # y ~ N(B beta, (tau P)^-1) with P the identity (the kernel's residual
+        # quadratic is unweighted) and a conjugate Gamma(tau) prior
+        if y_dist.truncated or getattr(y_dist, "n_active", None) is not None:
+            return None
+        sp_y = _scaled_precision(y_dist)
+        if sp_y is None or sp_y[1] != tau_name:
+            return None
+        noise_name = sp_y[0]
+        pen = mcmc.data.get(noise_name)
+        if not isinstance(pen, st.Diagonal) or not bool(jnp.all(pen.diag_ == 1.0)):
+            return None
+        hyp_tau = _gamma_hypers(mcmc, tau_name)
+        tau0 = _initial_scalar(mcmc, tau_name)
+        y_data = mcmc.data.get(y_name)
+        if None in (hyp_tau, tau0) or y_data is None:
+            return None
     k_dist = mcmc.model[count]
     if not (isinstance(k_dist, Poisson) and isinstance(k_dist.rate, Identity)):
         return None
@@ -694,14 +744,22 @@ def _match_rj(mcmc) -> Optional[Callable]:
     # draws stream as 3*n_max extra output rows when the store requests them.
     # B (the basis matrix) is derived state the kernel never materializes
     # per-draw -- requesting it needs the generic driver.
-    if not set(mcmc.store_names) <= {count, beta, theta, omega}:
+    storable = {count, beta, theta, omega} | ({tau_name} if lik else set())
+    if not set(mcmc.store_names) <= storable:
         return None
+    # fitted-value requests whose predictor reads the basis matrix need the
+    # generic driver: B is derived state the kernel never streams, and the
+    # stale initial B in mcmc.data would silently poison _fused_fitted
+    if mcmc.model.response is not None:
+        for resp, pname in mcmc.model.response.items():
+            if g.matrix in getattr(mcmc.model[resp], pname).get_param_list():
+                return None
     stream = bool(set(mcmc.store_names) & {beta, theta, omega})
     if stream:
         from openmcmc_tpu.fused.rj import BLOCK_B as _RJ_B, OUT_ROWS as _RJ_ROWS
 
         padded = mcmc.n_chains + ((-mcmc.n_chains) % _RJ_B)
-        hbm = 4 * mcmc.n_iter * mcmc.n_thin * (_RJ_ROWS + 3 * n_max) * padded
+        hbm = 4 * mcmc.n_iter * mcmc.n_thin * (_RJ_ROWS + lik + 3 * n_max) * padded
         if hbm > 4 << 30:  # streamed-draw buffer cap: fall back to generic
             return None
 
@@ -728,8 +786,16 @@ def _match_rj(mcmc) -> Optional[Callable]:
                     jnp.asarray(rstats[omega]["proposal"]).astype(jnp.float32).reshape(-1),
                 ]),
             }
+            if lik:
+                warm["tau"] = jnp.asarray(fs[tau_name]).astype(jnp.float32).reshape(-1)
             prop0 = jnp.asarray(rstats[count]["proposal"]).reshape(-1)
             n_burn = 0
+        lik_kwargs = {}
+        if lik:
+            lik_kwargs = dict(
+                y=np.asarray(y_data).reshape(-1),
+                a_tau=hyp_tau[0], b_tau=hyp_tau[1], tau0=tau0,
+            )
         out = run_fused_rj(
             seed, np.asarray(X).reshape(-1),
             n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=nc, n_max=n_max,
@@ -742,9 +808,11 @@ def _match_rj(mcmc) -> Optional[Callable]:
             step_mmala=float(np.asarray(mala.step_size).reshape(())),
             step_theta=float(np.asarray(rw_th.step_size).reshape(())),
             step_omega=float(np.asarray(rw_om.step_size).reshape(())),
-            stream_params=stream, init=warm,
+            stream_params=stream, init=warm, **lik_kwargs,
         )
         store = {count: out["n_basis"][..., None, None].astype(jnp.int32)}
+        if lik:
+            store[tau_name] = out["tau"][..., None, None]
         if stream:
             # state-shape conventions: beta (n_max, 1); theta/omega (1, n_max)
             store[beta] = out["beta"][..., None]
@@ -763,6 +831,8 @@ def _match_rj(mcmc) -> Optional[Callable]:
             },
             count: {"accept": out["accept_rj"].astype(jnp.int32), "proposal": n_prop},
         }
+        if lik:
+            stats[tau_name] = {}  # conjugate sampler: empty stats pytree
         return store, out["log_post"], stats
 
     run.engine_name = "fused_rj"
@@ -771,7 +841,8 @@ def _match_rj(mcmc) -> Optional[Callable]:
     def _resume_ok(resume):
         # per-chain warm start needs the padded parameter finals: present after a
         # generic run or a streamed fused run, absent after a count-only fused run
-        return all(name in resume.final_state for name in (beta, theta, omega, count)) and all(
+        needed = (beta, theta, omega, count) + ((tau_name,) if lik else ())
+        return all(name in resume.final_state for name in needed) and all(
             name in resume.stats and "accept" in resume.stats[name]
             for name in (beta, theta, omega, count)
         )
@@ -790,9 +861,11 @@ def _match_mixture(mcmc) -> Optional[Callable]:
     with the sweep [MixtureAllocation(Z), RandomWalkLoop(mu) OR NormalNormal(mu),
     NormalGamma(lam)] in that order (NormalNormal = the conjugate mixture-means
     path; the kernel then draws the means in closed form). Requires constant
-    weights/hyperparameters, single-replicate data, K <= 8, n <= 2048, every
-    a0_k >= 1 (elementwise in-kernel Gamma), and store_names within {mu, lam}
-    (the kernel does not stream the n-sized Z)."""
+    weights/hyperparameters, K <= 32, n <= 2^20 (the data block streams from HBM
+    past n = 2048), every a0_k >= 1 (elementwise in-kernel Gamma), and
+    store_names within {mu, lam} (the kernel does not stream the n-sized Z).
+    Replicate response columns are fine: they share each point's allocation and
+    collapse to per-point count/sum/sumsq at pack time."""
     from openmcmc_tpu.distributions.univariate import Categorical
     from openmcmc_tpu.parameters import MixtureParameterMatrix, MixtureParameterVector
     from openmcmc_tpu.samplers.conjugate import MixtureAllocation
@@ -836,12 +909,16 @@ def _match_mixture(mcmc) -> Optional[Callable]:
         return None
     prior = np.asarray(prior)
     yv = np.asarray(y)
-    if yv.ndim == 2 and yv.shape[1] != 1:
-        return None  # single-replicate data only
+    if yv.ndim == 1:
+        yv = yv[:, None]
+    if yv.ndim != 2:
+        return None
     from openmcmc_tpu.fused.mixture import MAX_K, MAX_N
 
     n, k_comp = prior.shape
-    if yv.reshape(-1).shape[0] != n or k_comp > MAX_K or n > MAX_N:
+    # replicate columns share each point's allocation and collapse to per-point
+    # count/sum/sumsq at pack time (fused/mixture.py), so any r is accepted
+    if yv.shape[0] != n or k_comp > MAX_K or n > MAX_N:
         return None
     if np.any(prior <= 0.0):
         return None
@@ -926,7 +1003,7 @@ def _match_mixture(mcmc) -> Optional[Callable]:
                 prop0 = rstats["proposal"]
             n_burn = 0
         out = run_fused_mixture(
-            seed, yv.reshape(-1), prior,
+            seed, yv, prior,
             n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=nc,
             mu0=mu0v, p0=p0, a0=a0, b0=b0, mu_init=mu_i, lam_init=lam_i,
             step=0.2 if conjugate else float(np.asarray(rwl.step_size).reshape(())),
@@ -1004,8 +1081,6 @@ def _match_mmala(mcmc) -> Optional[Callable]:
     p = np.asarray(X).shape[1]
     if p > SPECTRAL_MAX_P:
         return None
-    if mm.adapt_step and p > MAX_P:
-        return None  # the spectral engine has no in-kernel adaptation
     beta0 = mcmc.initial_chain_state.get(latent)
 
     if p <= MAX_P:
@@ -1017,7 +1092,6 @@ def _match_mmala(mcmc) -> Optional[Callable]:
 
         engine_name = "fused_mmala_spectral"
 
-    unrolled = engine_name == "fused_mmala"
     # host-concrete arg forms (the spectral variant preprocesses with numpy at
     # trace time; see _match_smoother)
     X_host = np.asarray(X)
@@ -1065,5 +1139,5 @@ def _match_mmala(mcmc) -> Optional[Callable]:
         return store, out["log_post"], stats
 
     run.engine_name = engine_name
-    run.supports_resume = unrolled  # the spectral engine has no warm-start inputs
+    run.supports_resume = True  # both tiers take per-chain warm-start inputs
     return run

@@ -5,23 +5,35 @@ Sixth fused family. Covers the reference's mixture machinery end-to-end
 metropolis_hastings.py:272-289 RandomWalkLoop over the component means, driven by
 mcmc.py:87):
 
-    y_i ~ N(mu_{Z_i}, 1 / lam_{Z_i})      i = 1..n
+    y_ij ~ N(mu_{Z_i}, 1 / lam_{Z_i})     i = 1..n, j = 1..r (replicates share Z_i)
     Z_i ~ Categorical(w_i.)               K components, constant (n, K) weights
     mu  ~ N(mu0, diag(p0)^-1)             joint truncated-RW MH update, or the
                                           conjugate NormalNormal draw
                                           (``conjugate_means=True``)
     lam_k ~ Gamma(a0_k, b0_k)             conjugate update
 
-The key structural observation making one launch cheap: given the allocation
-indicators, EVERYTHING downstream is a function of the per-component sufficient
-statistics S0_k = #{Z_i = k}, S1_k = sum y_i, S2_k = sum y_i^2 (and
-S3_k = sum log w_ik for the stored log-posterior). Each iteration therefore does
-one O(n K) pass over the data block to redraw Z (Gumbel argmax, the same
-categorical jax.random.categorical draws) and accumulate S, after which the
-means MH step and both conjugate Gamma draws are O(K) row arithmetic. The
-allocation Z itself never crosses an iteration: the sweep order
-[allocation, means, precisions] redraws it from (mu, lam) before any use, so the
-loop carry is just the 2K+1 parameter rows and Z is a transient register value.
+Two structural observations make one launch cheap at any scale:
+
+1. Given the allocations, EVERYTHING downstream is a function of the
+   per-component sufficient statistics S0_k = #obs, S1_k = sum y, S2_k = sum y^2
+   (and S3_k = sum log w for the stored log-posterior) -- and those only need the
+   PER-POINT replicate summaries (count, sum, sum of squares), which collapse on
+   the host at pack time. The kernel therefore never sees individual replicates:
+   its data block is (n, 3 + K) columns [cnt | sum | sumsq | log w_1..K], and the
+   per-point allocation log-likelihood is
+   lp_k + cnt/2 (log lam_k - log 2pi) - lam_k/2 (sumsq - 2 mu_k sum + cnt mu_k^2).
+
+2. The allocation draw is an INVERSE-CDF categorical: ONE uniform per point
+   (softmax cumulative over components), versus K Gumbel channels. The PRNG is
+   ~95% of fused-kernel cost (CLAUDE.md round-3 measurements), so this is ~K x
+   cheaper on the dominant O(n K) pass than Gumbel argmax.
+
+n <= 2048 points keep the data block resident in VMEM; beyond that it streams
+from HBM in TILE_N-row blocks (double-buffered DMA overlapping the allocation
+pass), scaling n to ~10^6. The allocation Z itself never crosses an iteration:
+the sweep order [allocation, means, precisions] redraws it from (mu, lam) before
+any use, so the loop carry is just the 2K+1 parameter rows and Z is a transient
+register value (storing Z is the one request that needs the generic driver).
 
 Chains ride the lane axis; draws stream to HBM via double-buffered DMA; all
 randomness from the on-chip PRNG (fused/prng.py). Parity with the generic driver
@@ -51,27 +63,36 @@ from openmcmc_tpu.fused.prng import (
 )
 from openmcmc_tpu.fused.layout import chain_slice
 
-MAX_K = 8
-MAX_N = 2048
+MAX_K = 32
+MAX_N = 1 << 20  # streamed data blocks: the cap is HBM for the (n, 128) pack
+RESIDENT_N = 2048  # data block stays VMEM-resident up to here
+TILE_N = 1024  # streamed tile rows (multiple of 8; one DMA per tile per iteration)
+DATA_LANES = 128  # data block lane width: one full lane tile, so every DMA slice
+#                   is tile-aligned on both axes (cols beyond 3 + K are zero)
 PAD = 8
 
 
-def _block_b(n_pad: int) -> int:
-    # bound n_pad * BLOCK_B so the ~K+4 live (n_pad, B) f32 temporaries fit VMEM
-    if n_pad <= 256:
-        return 2048
-    if n_pad <= 512:
-        return 1024
-    if n_pad <= 1024:
-        return 512
-    return 256
+def _block_b(tile_n: int, k_comp: int) -> int:
+    # bound the ~(K+5) live (tile_n, B) f32 allocation-pass temporaries to ~24 MB
+    live = (k_comp + 5) * tile_n * 4
+    for b in (2048, 1024, 512, 256):
+        if live * b <= (24 << 20):
+            return b
+    return 128
 
 
-def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, block_b, warm=False,
-                 conjugate=False):
-    def kernel(seed_ref, scal_ref, y_ref, lp_ref, mask_ref, *refs):
-        if warm:
+def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, block_b,
+                 warm=False, conjugate=False, stream=False):
+    n_tiles = n_pad // (TILE_N if stream else n_pad)
+    tile_n = TILE_N if stream else n_pad
+
+    def kernel(seed_ref, scal_ref, data_ref, *refs):
+        if warm and stream:
+            init_ref, out_ref, stage_ref, sems, dbuf_ref, dsem = refs
+        elif warm:
             init_ref, out_ref, stage_ref, sems = refs
+        elif stream:
+            out_ref, stage_ref, sems, dbuf_ref, dsem = refs
         else:
             out_ref, stage_ref, sems = refs
         # scal_ref (SMEM): [mu0 K | p0 K | a0 K | b0 K | mu_init K | lam_init K |
@@ -100,8 +121,10 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
         def lgam(k):
             return scal_ref[8 * k_comp + k]
 
-        y = y_ref[:, :]  # (n_pad, 1)
-        mask = mask_ref[:, :]  # (n_pad, 1): 1 on real data rows
+        def d_dma(dslot, t):
+            return pltpu.make_async_copy(
+                data_ref.at[pl.ds(t * tile_n, tile_n), :], dbuf_ref.at[dslot], dsem.at[dslot]
+            )
 
         def iteration(it, carry):
 
@@ -109,38 +132,56 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
             mu = list(carry[:k_comp])  # K rows (1, B)
             lam = list(carry[k_comp : 2 * k_comp])
             acc = carry[2 * k_comp]
+            log_lam_cur = [jnp.log(lam[k]) for k in range(k_comp)]
 
-            # ---- MixtureAllocation: Z ~ Categorical(log w + loglike); Z is only
-            # ever needed through the per-component sufficient statistics
-            ll = [
-                lp_ref[:, k : k + 1] + 0.5 * (
-                    jnp.log(lam[k]) - LOG_2PI - lam[k] * (y - mu[k]) ** 2
-                )  # (n_pad, B)
-                for k in range(k_comp)
-            ]
-            if k_comp == 2:
-                # exact 2-component form: the difference of two Gumbels is
-                # logistic, so ONE uniform + logit replaces two Gumbel channels
-                # (halves the allocation pass's bits and transcendentals)
-                u = uniform((n_pad, block_b))
-                zidx = (ll[1] - ll[0] > jnp.log(u) - jnp.log1p(-u)).astype(jnp.float32)
-            else:
-                # Gumbel argmax over components (== jax.random.categorical)
-                g = [ll[k] - jnp.log(-jnp.log(uniform((n_pad, block_b)))) for k in range(k_comp)]
-                best = g[0]
-                zidx = jnp.zeros((n_pad, block_b), jnp.float32)
+            # ---- MixtureAllocation: Z ~ Categorical(log w + loglike), drawn by
+            # inverse CDF (one uniform per point); Z is only ever needed through
+            # the per-component sufficient statistics, accumulated tile by tile
+            zr = jnp.zeros((1, block_b), jnp.float32)
+            s0 = [zr for _ in range(k_comp)]
+            s1 = [zr for _ in range(k_comp)]
+            s2 = [zr for _ in range(k_comp)]
+            s3 = [zr for _ in range(k_comp)]
+            if stream:
+                d_dma(0, 0).start()
+            for t in range(n_tiles):
+                if stream:
+                    if t + 1 < n_tiles:
+                        d_dma((t + 1) % 2, t + 1).start()
+                    d_dma(t % 2, t).wait()
+                    blk = dbuf_ref[t % 2]  # (tile_n, DATA_LANES)
+                else:
+                    blk = data_ref[:, :]
+                cnt = blk[:, 0:1]  # per-point replicate count (0 on padding rows)
+                sm = blk[:, 1:2]  # per-point replicate sum
+                sq = blk[:, 2:3]  # per-point replicate sum of squares
+                ll = [
+                    blk[:, 3 + k : 4 + k]
+                    + 0.5 * cnt * (log_lam_cur[k] - LOG_2PI)
+                    - 0.5 * lam[k] * (sq - 2.0 * mu[k] * sm + cnt * mu[k] * mu[k])
+                    for k in range(k_comp)
+                ]  # (tile_n, B) each
+                m = ll[0]
                 for k in range(1, k_comp):
-                    upd = g[k] > best
-                    best = jnp.where(upd, g[k], best)
-                    zidx = jnp.where(upd, float(k), zidx)
-
-            s0, s1, s2, s3 = [], [], [], []
-            for k in range(k_comp):
-                ind = jnp.where(zidx == float(k), mask, 0.0)  # (n_pad, B)
-                s0.append(jnp.sum(ind, axis=0, keepdims=True))
-                s1.append(jnp.sum(ind * y, axis=0, keepdims=True))
-                s2.append(jnp.sum(ind * (y * y), axis=0, keepdims=True))
-                s3.append(jnp.sum(ind * lp_ref[:, k : k + 1], axis=0, keepdims=True))
+                    m = jnp.maximum(m, ll[k])
+                w = [jnp.exp(ll[k] - m) for k in range(k_comp)]
+                tot = w[0]
+                for k in range(1, k_comp):
+                    tot = tot + w[k]
+                u = uniform((tile_n, block_b)) * tot
+                # zidx = #{k < K-1 : u >= cum_k}: the inverse-CDF component index
+                cum = w[0]
+                zidx = (u >= cum).astype(jnp.float32)
+                for k in range(1, k_comp - 1):
+                    cum = cum + w[k]
+                    zidx = zidx + (u >= cum).astype(jnp.float32)
+                # padding rows (cnt = 0, lp = 0) draw too, but contribute zeros
+                for k in range(k_comp):
+                    ind = (zidx == float(k)).astype(jnp.float32)
+                    s0[k] = s0[k] + jnp.sum(ind * cnt, axis=0, keepdims=True)
+                    s1[k] = s1[k] + jnp.sum(ind * sm, axis=0, keepdims=True)
+                    s2[k] = s2[k] + jnp.sum(ind * sq, axis=0, keepdims=True)
+                    s3[k] = s3[k] + jnp.sum(ind * blk[:, 3 + k : 4 + k], axis=0, keepdims=True)
 
             if conjugate:
                 # ---- conjugate NormalNormal over the component means (the
@@ -195,7 +236,9 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
             lam_new = [lam_stack[k : k + 1, :] for k in range(k_comp)]
 
             # ---- full-model log posterior at the end-of-sweep state (the value
-            # the generic driver stores, Model.log_p convention)
+            # the generic driver stores, Model.log_p convention); S0 is the
+            # OBSERVATION count (replicates included), exactly the likelihood's
+            # normal-term count
             lp_total = jnp.zeros((1, block_b), jnp.float32)
             for k in range(k_comp):
                 log_lam = jnp.log(lam_new[k])
@@ -247,19 +290,20 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_burn", "n_iter", "n_chains", "step", "has_domain", "conjugate"),
+    static_argnames=("n_burn", "n_iter", "n_chains", "step", "has_domain", "conjugate", "k_comp"),
 )
-def _run_fused_mixture_jit(seed, scal, y_col, lp, mask, n_burn, n_iter, n_chains, step, has_domain,
-                           init=None, conjugate=False):
-    n_pad, k_comp = lp.shape
-    block_b = _block_b(n_pad)
+def _run_fused_mixture_jit(seed, scal, data, n_burn, n_iter, n_chains, step, has_domain,
+                           k_comp, init=None, conjugate=False):
+    n_pad = data.shape[0]
+    stream = n_pad > RESIDENT_N
+    block_b = _block_b(TILE_N if stream else n_pad, k_comp)
     b_total = n_chains + ((-n_chains) % block_b)
     out_rows = 2 * k_comp + 2 + ((-(2 * k_comp + 2)) % PAD)
     kernel = _make_kernel(n_pad, k_comp, float(step), has_domain, n_burn, n_iter, out_rows, block_b,
-                          warm=init is not None, conjugate=conjugate)
-    shared = pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 3
-    args = [jnp.asarray([seed], jnp.int32), scal, y_col, lp, mask]
+                          warm=init is not None, conjugate=conjugate, stream=stream)
+    data_spec = pl.BlockSpec(memory_space=pl.ANY) if stream else pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [data_spec]
+    args = [jnp.asarray([seed], jnp.int32), scal, data]
     if init is not None:
         rows_in = jnp.concatenate([
             jnp.asarray(init["mu"], jnp.float32).reshape(n_chains, k_comp).T,
@@ -269,17 +313,29 @@ def _run_fused_mixture_jit(seed, scal, y_col, lp, mask, n_burn, n_iter, n_chains
         rows_in = jnp.pad(rows_in, ((0, 0), (0, b_total - n_chains)))
         in_specs.append(pl.BlockSpec((2 * k_comp + 1, block_b), lambda i: (0, i)))
         args.append(rows_in)
+    scratch = [
+        pltpu.VMEM((2, out_rows, block_b), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if stream:
+        scratch += [
+            pltpu.VMEM((2, TILE_N, DATA_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     (out,) = pl.pallas_call(
         kernel,
         grid=(b_total // block_b,),
         in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
         out_shape=(jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32),),
-        scratch_shapes=[
-            pltpu.VMEM((2, out_rows, block_b), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # _block_b bounds the (K+5) live (tile_n, B) allocation temporaries
+            # to ~24 MB (+ stage/dbuf pairs), over the 16 MB default scoped
+            # limit at large K; v5e has 128 MB of VMEM
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(*args)
     draws = jnp.transpose(chain_slice(out, n_chains), (2, 0, 1))
     return {
@@ -310,13 +366,19 @@ def run_fused_mixture(
 ):
     """Run the full K-component Gaussian-mixture Gibbs chain in one fused kernel.
 
-    y: (n,) observations; prior: (n, K) constant allocation weights (rows need not
-    be normalized -- the categorical normalizes, and the stored log-posterior uses
-    the raw log-weights exactly like Categorical.log_p). mu0/p0: the means' Normal
-    prior (diagonal precision p0); a0/b0: per-component Gamma hyperparameters
-    (every a0_k must be >= 1: the in-kernel elementwise Marsaglia-Tsang draw has
-    no shape<1 boost); mu_init/lam_init: per-chain-identical initial values;
-    domain: optional (lb, ub) arrays truncating the means' RW proposals.
+    y: (n,) observations or (n, r) replicate columns sharing each point's
+    allocation (the replicates collapse to per-point count/sum/sumsq at pack
+    time, so r never enters the kernel); prior: (n, K) constant allocation
+    weights (rows need not be normalized -- the categorical normalizes, and the
+    stored log-posterior uses the raw log-weights exactly like Categorical.log_p).
+    mu0/p0: the means' Normal prior (diagonal precision p0); a0/b0: per-component
+    Gamma hyperparameters (every a0_k must be >= 1: the in-kernel elementwise
+    Marsaglia-Tsang draw has no shape<1 boost); mu_init/lam_init:
+    per-chain-identical initial values; domain: optional (lb, ub) arrays
+    truncating the means' RW proposals.
+
+    n <= 2048 keeps the packed data block VMEM-resident; n up to ~10^6 streams
+    it from HBM in TILE_N-row tiles, double-buffered against the allocation pass.
 
     ``conjugate_means=True`` replaces the means' MH step with the closed-form
     conjugate NormalNormal draw (the generic driver's mixture-means path in
@@ -325,7 +387,9 @@ def run_fused_mixture(
     Returns dict with means/lams: (n_chains, n_iter, K), log_post: (n_chains,
     n_iter), accept_total: (n_chains,) means-update accept counts over burn +
     sampling."""
-    y = np.asarray(y, np.float64).reshape(-1)
+    y = np.asarray(y, np.float64)
+    if y.ndim == 1:
+        y = y[:, None]
     prior = np.asarray(prior, np.float64)
     n, k_comp = prior.shape
     if y.shape[0] != n:
@@ -337,13 +401,15 @@ def run_fused_mixture(
     if np.min(np.asarray(a0)) < 1.0:
         raise ValueError("fused mixture requires every a0 >= 1 (elementwise gamma draw)")
 
-    n_pad = n + ((-n) % PAD)
-    pad = n_pad - n
-    y_col = jnp.asarray(np.concatenate([y, np.zeros(pad)]), jnp.float32).reshape(n_pad, 1)
-    lp = jnp.asarray(
-        np.concatenate([np.log(prior), np.zeros((pad, k_comp))], axis=0), jnp.float32
-    )
-    mask = jnp.asarray(np.concatenate([np.ones(n), np.zeros(pad)]), jnp.float32).reshape(n_pad, 1)
+    r = y.shape[1]
+    stream = n > RESIDENT_N
+    unit = TILE_N if stream else PAD
+    n_pad = n + ((-n) % unit)
+    data = np.zeros((n_pad, DATA_LANES), np.float64)
+    data[:n, 0] = float(r)
+    data[:n, 1] = y.sum(axis=1)
+    data[:n, 2] = (y * y).sum(axis=1)
+    data[:n, 3 : 3 + k_comp] = np.log(prior)
 
     def vec(v):
         return np.broadcast_to(np.asarray(v, np.float64).reshape(-1), (k_comp,))
@@ -361,8 +427,8 @@ def run_fused_mixture(
         jnp.float32,
     )
     return _run_fused_mixture_jit(
-        seed, scal, y_col, lp, mask,
+        seed, scal, jnp.asarray(data, jnp.float32),
         n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
         step=float(step), has_domain=domain is not None and not conjugate_means,
-        init=init, conjugate=bool(conjugate_means),
+        k_comp=k_comp, init=init, conjugate=bool(conjugate_means),
     )

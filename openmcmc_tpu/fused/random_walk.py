@@ -147,8 +147,10 @@ def _make_kernel(p, n_obs, n_burn, n_keep, out_rows, adapt, target, rate, trunc,
                         stage_ref.at[slot], out_ref.at[idx - 2, :, pl.ds(pid * BLOCK_B, BLOCK_B)], sems.at[slot]
                     ).wait()
 
-                # stored log_step = adapted scale applied to the FIRST base step
-                # (adapt is only matched with a scalar step, where stp(0) is it)
+                # stored log_step = adapted scale applied to the FIRST base step;
+                # with a vector step the scale is shared by all components, so
+                # the dispatcher reconstructs the full vector as
+                # log(step_vec) + (log_step - log(step_vec[0]))
                 rows = h_new + [lp_new, accept.astype(jnp.float32), acc_new, log_scale + jnp.log(stp(0))]
                 rows += [jnp.zeros((1, BLOCK_B), jnp.float32)] * (out_rows - len(rows))
                 stage_ref[pl.ds(slot, 1)] = jnp.concatenate(rows, axis=0)[None, :, :]

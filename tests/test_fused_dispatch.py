@@ -414,8 +414,10 @@ def test_rw_truncated_matches_and_runs():
 
 def test_rw_vector_step_matches_and_runs():
     """Per-dimension (p, 1) step sizes match fused_random_walk (generic broadcast
-    rules, reference metropolis_hastings.py:222-225); adapt + vector steps fall
-    back to generic (the stats contract carries one log_step per chain)."""
+    rules, reference metropolis_hastings.py:222-225). Round-4: adapt + vector
+    steps ALSO match -- the generic Robbins-Monro nudge is one scalar added to the
+    whole log_step array (metropolis.py:90-96), i.e. a per-chain scale on the
+    fixed base vector, which is exactly the kernel's carried log_scale."""
     from openmcmc_tpu.samplers import RandomWalk as RW
 
     p, n = 3, 6
@@ -438,12 +440,21 @@ def test_rw_vector_step_matches_and_runs():
 
     m2 = MCMC(dict(state), [RW("h", mdl, step=steps, adapt_step=True)], mdl,
               n_burn=4, n_iter=6, n_chains=8, seed=0)
-    assert match_fused_engine(m2) is None
+    runner2 = match_fused_engine(m2)
+    assert runner2 is not None and runner2.engine_name == "fused_random_walk"
+    with pltpu.force_tpu_interpret_mode():
+        res2 = m2.run(engine="auto")
+    # generic stats contract: log_step has the step's (p, 1) shape per chain,
+    # and the per-dimension ratios stay fixed (one shared scale)
+    ls = np.asarray(res2.stats["h"]["log_step"])
+    assert ls.shape == (8, p, 1)
+    scale = ls - np.log(steps)[None]
+    np.testing.assert_allclose(scale, np.broadcast_to(scale[:, :1, :], scale.shape), rtol=0, atol=1e-6)
 
 
 def test_mmala_adapt_matches_and_runs(rng):
-    """Round-3: adapt_step no longer blocks the mMALA match (unrolled kernel only;
-    the spectral large-p engine has no in-kernel adaptation)."""
+    """Round-3: adapt_step no longer blocks the mMALA match (round-4: for the
+    spectral tier too -- see test_spectral_mmala_adapt_matches_and_resumes)."""
     from openmcmc_tpu.samplers import ManifoldMALA
 
     N, d = 20, 3
@@ -468,6 +479,50 @@ def test_mmala_adapt_matches_and_runs(rng):
     assert "log_step" in res.stats["beta"]
     assert res.stats["beta"]["log_step"].shape == (8, 1, 1)
     assert bool(np.isfinite(np.asarray(res.store["beta"])).all())
+
+
+def test_spectral_mmala_adapt_matches_and_resumes(rng):
+    """Round-4 (verdict item 6): the spectral mMALA tier adapts in-kernel and
+    takes per-chain warm starts, so adapt_step configurations at p > 16 no
+    longer fall back to generic, and resume continues a run exactly (under the
+    deterministic interpret PRNG a full run equals two chained halves)."""
+    from openmcmc_tpu.samplers import ManifoldMALA
+
+    N, d = 30, 24  # d > fused/mmala.py MAX_P = 16 -> spectral tier
+    X = rng.normal(size=(N, d))
+    y = X @ rng.normal(size=d)
+    mdl = Model(
+        [
+            Normal("y", mean=LinearCombination(form={"beta": "X"}), precision=ScaledMatrix("P", "tau")),
+            Normal("beta", mean="mu0", precision=ScaledMatrix("P0", "one")),
+        ]
+    )
+    state = {
+        "y": y.reshape(-1, 1), "X": X, "beta": np.zeros((d, 1)), "P": st.Diagonal(jnp.ones(N)),
+        "tau": 1.0, "P0": st.Diagonal(jnp.ones(d)), "mu0": np.zeros((d, 1)), "one": 1.0,
+    }
+
+    def make(n_iter, seed, n_burn=3):
+        m = MCMC(dict(state), [ManifoldMALA("beta", mdl, step=1.0, adapt_step=True)], mdl,
+                 n_burn=n_burn, n_iter=n_iter, n_chains=8, seed=seed)
+        return m
+
+    m = make(6, 0)
+    runner = match_fused_engine(m)
+    assert runner is not None and runner.engine_name == "fused_mmala_spectral"
+    assert runner.supports_resume
+    with pltpu.force_tpu_interpret_mode():
+        full = make(6, 0).run(engine="auto")
+        seg1 = make(3, 1).run(engine="auto")
+        seg2 = make(3, 2).run(engine="fused", resume=seg1)
+    assert full.engine == seg2.engine == "fused_mmala_spectral"
+    assert "log_step" in full.stats["beta"] and full.stats["beta"]["log_step"].shape == (8, 1, 1)
+    cat = np.concatenate([np.asarray(seg1.store["beta"]), np.asarray(seg2.store["beta"])], axis=1)
+    np.testing.assert_allclose(np.asarray(full.store["beta"]), cat, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(full.stats["beta"]["log_step"]), np.asarray(seg2.stats["beta"]["log_step"]),
+        rtol=1e-6,
+    )
 
 
 def test_fused_rw_resume_continues_exactly():
