@@ -386,14 +386,19 @@ class MCMC:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
+            from openmcmc_tpu.parallel.distributed import put_global
+
+            # multi-host-safe placement: chain keys are host-identical
+            # (deterministic from the seed), so each process materializes just
+            # its addressable shards; single-process this is jax.device_put
             sharding = NamedSharding(self.mesh, PartitionSpec(self.chain_axis))
-            chain_keys = jax.device_put(chain_keys, sharding)
+            chain_keys = put_global(chain_keys, sharding)
 
         if resume is not None:
             carry_state = resume.final_state
             carry_stats = resume.stats
             if self.mesh is not None:
-                carry_state = jax.device_put(carry_state, sharding)
+                carry_state = put_global(carry_state, sharding)
             n_burn, self.n_burn = self.n_burn, 0  # no re-burn on resume
             try:
                 # cache the jitted program (keyed by the loop bounds it bakes in):
