@@ -370,6 +370,85 @@ def mixture_conjugate(n_chains=4096):
     return out, "means"
 
 
+def lattice_smoother(n_chains=512, n_burn=100, n_iter=300):
+    """2-D spatial field: 64 x 64 lattice (p = 4096), 5-point-stencil intrinsic
+    GMRF + ridge, iid noise -- the flagship large-sparse-precision workload
+    (reference side: SuperLU splu per sweep, scripts/measure_reference.py).
+    engine='auto' dispatches the HBM-streaming spectral engine as ONE launch."""
+    from openmcmc_tpu.linalg import gmrf as _gmrf
+
+    rng = np.random.default_rng(0)
+    side = 64
+    Q = _gmrf.precision_lattice(side, side, ridge=1e-3)
+    p = st.dim(Q)
+    xs, ys_ = np.meshgrid(np.linspace(0, 6, side), np.linspace(0, 6, side))
+    field = (np.sin(xs) * np.cos(ys_)).ravel()
+    y = field + 0.3 * rng.standard_normal(p)
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+    state = {
+        "y": y, "b": y.copy(), "mu": np.zeros(p),
+        "lambda": 10.0, "P_lambda": Q, "a_lam": 10.0, "b_lam": 1.0,
+        "tau": 1.0, "P_tau": st.Diagonal(jnp.ones(p)), "a_tau": 1.0, "b_tau": 1.0,
+    }
+    m = MCMC(state, samplers, mdl, n_burn=n_burn, n_iter=n_iter, n_chains=n_chains, seed=0)
+    m.store_names = ["b", "tau", "lambda"]
+    m.model.response = None
+    return m, "b"
+
+
+def mixture_large(n_chains=256, n_burn=50, n_iter=150):
+    """n = 100,000 points, K = 16 components: the scale where the fused mixture
+    engine streams the data block from HBM (reference sampler.py:291-355 has no
+    n/K limit, just one CPU). Same config as measure_reference.mixture_large."""
+    from openmcmc_tpu.distributions import Categorical
+    from openmcmc_tpu.parameters import MixtureParameterMatrix as MPM
+    from openmcmc_tpu.parameters import MixtureParameterVector as MPV
+    from openmcmc_tpu.samplers import MixtureAllocation
+
+    rng = np.random.default_rng(0)
+    n, m_comp = 100_000, 16
+    true_means = np.linspace(-22.5, 22.5, m_comp)
+    alloc = rng.integers(0, m_comp, n)
+    y = rng.normal(true_means[alloc], 0.7).reshape(n, 1)
+    mdl = Model(
+        [
+            Normal("y", mean=MPV(param="means", allocation="Z"), precision=MPM(param="lams", allocation="Z")),
+            Categorical("Z", prob="prior"),
+            Normal("means", mean="mu0", precision="P0"),
+            Gamma("lams", shape="a0", rate="b0"),
+        ]
+    )
+    samplers = [
+        MixtureAllocation("Z", mdl, response_param="y"),
+        RandomWalkLoop("means", mdl, step=0.3,
+                       domain_limits=np.tile(np.asarray([[-40.0, 40.0]]), (m_comp, 1))),
+        NormalGamma("lams", mdl),
+    ]
+    state = {
+        "y": y,
+        "Z": np.clip(((y.ravel() + 24.0) / 3.0).astype(np.int32), 0, m_comp - 1).reshape(n, 1),
+        "means": (true_means + rng.normal(0, 0.3, m_comp)).reshape(m_comp, 1),
+        "lams": np.ones((m_comp, 1)),
+        "prior": np.full((n, m_comp), 1.0 / m_comp),
+        "mu0": np.zeros((m_comp, 1)),
+        "P0": st.Diagonal(jnp.full((m_comp,), 0.01)),
+        "a0": np.full((m_comp, 1), 2.0),
+        "b0": np.full((m_comp, 1), 1.0),
+    }
+    m = MCMC(state, samplers, mdl, n_burn=n_burn, n_iter=n_iter, n_chains=n_chains, seed=0)
+    m.store_names = ["means", "lams"]
+    m.model.response = None
+    return m, "means"
+
+
 def fused_workloads(ref):
     """The two fused whole-run engines, measured on the same configs as their generic
     counterparts and compared to the same reference numbers."""
@@ -530,6 +609,40 @@ def main():
     entry["vs_baseline"] = round(entry["ess_per_s"] / ref["reversible_jump_regression"]["ess_per_s"], 1)
     entry["baseline_ess_per_s"] = ref["reversible_jump_regression"]["ess_per_s"]
     print(json.dumps({"workload": "reversible_jump_regression_fused", **entry}), flush=True)
+
+    # round-4 scale rows, both through the PUBLIC API (engine='auto'): the
+    # 64 x 64 lattice smoother (HBM-streamed eigenbasis, p = 4096) and the
+    # n = 100k / K = 16 mixture (HBM-streamed data block). Generic rows for the
+    # same models are run tiny (their sequential scans cost minutes at scale);
+    # ESS/s is a rate, so configs need not match across rows.
+    if "lattice_smoother" in ref:
+        mcmc, param = lattice_smoother(n_chains=64, n_burn=10, n_iter=30)
+        _, entry = run_workload("lattice_smoother", mcmc, param, ess_chunk=4)
+        entry["vs_baseline"] = round(entry["ess_per_s"] / ref["lattice_smoother"]["ess_per_s"], 1)
+        entry["baseline_ess_per_s"] = ref["lattice_smoother"]["ess_per_s"]
+        print(json.dumps({"workload": "lattice_smoother", **entry}), flush=True)
+
+        mcmc, param = lattice_smoother(n_chains=512, n_burn=100, n_iter=300)
+        _, entry = run_workload("lattice_smoother_fused", mcmc, param, ess_chunk=4,
+                                reps=3, engine="auto")
+        entry["vs_baseline"] = round(entry["ess_per_s"] / ref["lattice_smoother"]["ess_per_s"], 1)
+        entry["baseline_ess_per_s"] = ref["lattice_smoother"]["ess_per_s"]
+        print(json.dumps({"workload": "lattice_smoother_fused", **entry}), flush=True)
+
+    if "mixture_large" in ref:
+        identify = lambda d: jnp.sort(d, axis=-1)  # noqa: E731 -- label-invariant ESS
+        mcmc, param = mixture_large(n_chains=32, n_burn=20, n_iter=60)
+        _, entry = run_workload("mixture_large", mcmc, param, identify=identify)
+        entry["vs_baseline"] = round(entry["ess_per_s"] / ref["mixture_large"]["ess_per_s"], 1)
+        entry["baseline_ess_per_s"] = ref["mixture_large"]["ess_per_s"]
+        print(json.dumps({"workload": "mixture_large", **entry}), flush=True)
+
+        mcmc, param = mixture_large(n_chains=256, n_burn=50, n_iter=150)
+        _, entry = run_workload("mixture_large_fused", mcmc, param, identify=identify,
+                                reps=3, engine="auto")
+        entry["vs_baseline"] = round(entry["ess_per_s"] / ref["mixture_large"]["ess_per_s"], 1)
+        entry["baseline_ess_per_s"] = ref["mixture_large"]["ess_per_s"]
+        print(json.dumps({"workload": "mixture_large_fused", **entry}), flush=True)
 
     with open("BENCH_ALL.json", "w") as f:
         json.dump(RESULTS, f, indent=1)

@@ -17,3 +17,13 @@ from openmcmc_tpu.parallel.smoother import (  # noqa: E402
 )
 
 __all__ += ["match_distributed_smoother", "run_distributed_smoother"]
+
+from openmcmc_tpu.parallel.distributed import (  # noqa: E402
+    allgather,
+    initialize,
+    is_multiprocess,
+    local_chunk,
+    put_global,
+)
+
+__all__ += ["initialize", "is_multiprocess", "put_global", "local_chunk", "allgather"]

@@ -39,7 +39,7 @@ def measure(name, build_and_run):
     t0 = time.perf_counter()
     draws, iters = build_and_run()
     wall = time.perf_counter() - t0
-    if name == "mixture":
+    if name.startswith("mixture"):
         # ESS on the identified quantity (component means sorted per draw) — the
         # mixture posterior is label-permutation invariant; the TPU side applies the
         # same transform in bench_all.py. For a single non-switching chain this is a
@@ -306,6 +306,105 @@ def mixture():
     return m.store["means"], 1500
 
 
+def lattice_smoother():
+    """2-D spatial field: 64 x 64 lattice (p = 4096), 5-point-stencil intrinsic
+    GMRF prior + ridge, iid noise. The flagship 'large sparse precision' workload:
+    the reference factors Q through SuperLU (gmrf.py:489-520) every NormalNormal
+    sweep AND every stored log_p."""
+    from openmcmc.distribution.distribution import Gamma
+    from openmcmc.distribution.location_scale import Normal
+    from openmcmc.mcmc import MCMC
+    from openmcmc.model import Model
+    from openmcmc.parameter import ScaledMatrix
+    from openmcmc.sampler.sampler import NormalGamma, NormalNormal
+
+    np.random.seed(0)
+    side = 64
+    p = side * side
+    # 5-point stencil: D - A over the 4-neighbour grid graph, + small ridge
+    A = sparse.lil_matrix((p, p))
+    for i in range(side):
+        for j in range(side):
+            k = i * side + j
+            if i + 1 < side:
+                A[k, k + side] = A[k + side, k] = -1.0
+            if j + 1 < side:
+                A[k, k + 1] = A[k + 1, k] = -1.0
+    deg = -np.asarray(A.sum(axis=1)).ravel()
+    P_lambda = (sparse.diags(deg) + A + 1e-3 * sparse.eye(p)).tocsc()
+    xs, ys_ = np.meshgrid(np.linspace(0, 6, side), np.linspace(0, 6, side))
+    field = np.sin(xs) * np.cos(ys_)
+    y = field.ravel() + norm.rvs(loc=0, scale=0.3, size=p)
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    state = {
+        "y": y, "b": y.copy(), "mu": np.zeros(p),
+        "lambda": 10.0, "P_lambda": P_lambda, "a_lam": 10.0, "b_lam": 1.0,
+        "tau": 1.0, "P_tau": sparse.eye(p, format="csc"), "a_tau": 1.0, "b_tau": 1.0,
+    }
+    samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+    m = MCMC(state, samplers, model=mdl, n_burn=20, n_iter=80)
+    m.run_mcmc()
+    return m.store["b"], 100
+
+
+def mixture_large():
+    """Large mixture: n = 100,000 points, K = 16 components (the scale the fused
+    mixture engine streams from HBM; reference sampler.py:291-355 has no n or K
+    limit, just one CPU)."""
+    from openmcmc.distribution.distribution import Categorical, Gamma
+    from openmcmc.distribution.location_scale import Normal
+    from openmcmc.mcmc import MCMC
+    from openmcmc.model import Model
+    from openmcmc.parameter import MixtureParameterMatrix, MixtureParameterVector
+    from openmcmc.sampler.metropolis_hastings import RandomWalkLoop
+    from openmcmc.sampler.sampler import MixtureAllocation, NormalGamma
+
+    np.random.seed(0)
+    n, m_comp = 100_000, 16
+    true_means = np.linspace(-22.5, 22.5, m_comp)
+    alloc = np.random.randint(0, m_comp, n)
+    y = np.random.normal(true_means[alloc], 0.7).reshape(n, 1)
+    model = Model(
+        [
+            Normal(
+                "y",
+                mean=MixtureParameterVector(param="means", allocation="Z"),
+                precision=MixtureParameterMatrix(param="lams", allocation="Z"),
+            ),
+            Categorical("Z", prob="prior"),
+            Normal("means", mean="mu0", precision="P0"),
+            Gamma("lams", shape="a0", rate="b0"),
+        ]
+    )
+    state = {
+        "y": y,
+        "Z": np.clip(((y.ravel() + 24.0) / 3.0).astype(int), 0, m_comp - 1).reshape(n, 1),
+        "means": (true_means + np.random.normal(0, 0.3, m_comp)).reshape(m_comp, 1),
+        "lams": np.ones((m_comp, 1)),
+        "prior": np.full((n, m_comp), 1.0 / m_comp),
+        "mu0": np.zeros((m_comp, 1)),
+        "P0": np.eye(m_comp) * 0.01,
+        "a0": np.full((m_comp, 1), 2.0),
+        "b0": np.full((m_comp, 1), 1.0),
+    }
+    samplers = [
+        MixtureAllocation(param="Z", model=model, response_param="y"),
+        RandomWalkLoop(param="means", model=model, step=np.array([[0.3]]),
+                       domain_limits=np.tile(np.array([[-40.0, 40.0]]), (m_comp, 1))),
+        NormalGamma(param="lams", model=model),
+    ]
+    m = MCMC(state=state, samplers=samplers, model=model, n_burn=50, n_iter=150)
+    m.run_mcmc()
+    return m.store["means"], 200
+
+
 if __name__ == "__main__":
     only = sys.argv[1] if len(sys.argv) > 1 else None
     table = [
@@ -316,6 +415,8 @@ if __name__ == "__main__":
         ("reversible_jump", reversible_jump),
         ("reversible_jump_regression", reversible_jump_regression),
         ("mixture", mixture),
+        ("lattice_smoother", lattice_smoother),
+        ("mixture_large", mixture_large),
     ]
     out_path = "/root/repo/reference_measured.json"
     import os
