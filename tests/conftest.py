@@ -29,6 +29,29 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Real-chip runs execute ONLY the TPU-gated statistical tests.
+
+    The rest of the suite is CPU coverage (interpret-mode kernel mirrors, the
+    8-device fake mesh, host-bit statistical CI) and is pathological on the
+    tunneled TPU backend: interpret-mode Pallas dispatches every kernel op
+    eagerly through the tunnel at 10-40 ms each, so a 2-second CPU test runs
+    for tens of minutes and can wedge the device for everything after it.
+    TPU-gated tests are recognized by their skipif reason mentioning TPU
+    (convention used by every gated test in this suite)."""
+    if not _REAL_TPU:
+        return
+    skip = pytest.mark.skip(
+        reason="CPU-suite test; OPENMCMC_TPU_TEST_BACKEND=tpu runs only the TPU-gated statistical tests"
+    )
+    for item in items:
+        tpu_gated = any(
+            "TPU" in str(m.kwargs.get("reason", "")) for m in item.iter_markers("skipif")
+        )
+        if not tpu_gated:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
