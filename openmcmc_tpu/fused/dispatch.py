@@ -2,7 +2,8 @@
 
 ``MCMC.run(engine="auto")`` calls :func:`match_fused_engine` with the driver object;
 if the model + sampler structure matches one of the fused families (and the run
-configuration is representable: n_thin == 1, scalar constant hyperparameters), the
+configuration is representable: scalar constant hyperparameters, bounded
+thinned sweep counts), the
 whole run executes as a single Pallas launch and is repackaged as an
 :class:`~openmcmc_tpu.mcmc.MCMCResult` with the generic driver's array conventions.
 
@@ -22,6 +23,7 @@ resume path.
 
 from __future__ import annotations
 
+import copy
 import functools
 from typing import Callable, Optional
 
@@ -93,6 +95,18 @@ def match_fused_engine(mcmc, resume=None) -> Optional[Callable]:
         # slice; cap the stored-draw buffer (and the single-launch runtime) --
         # longer runs fall back to the generic driver's O(n_iter) storage
         return None
+    # thinning is expressed by matching against a sweep-scaled shallow CLONE
+    # (never by temporarily mutating the live driver object, whose traced
+    # closures a cached concurrent trace could otherwise observe mid-mutation --
+    # the same rule _sharded follows for per-device chain counts): the matched
+    # runner closes over the clone's scaled counts, and _thinned strided-slices
+    # the stored draws back to the caller's n_iter
+    matched = mcmc
+    if mcmc.n_thin != 1:
+        matched = copy.copy(mcmc)
+        matched.n_burn = mcmc.n_burn * mcmc.n_thin
+        matched.n_iter = mcmc.n_iter * mcmc.n_thin
+        matched.n_thin = 1
     if jax.config.jax_enable_x64:
         # fused kernels are f32-only; silently dropping precision under
         # jax.enable_x64 would betray the generic driver's contract
@@ -113,7 +127,7 @@ def match_fused_engine(mcmc, resume=None) -> Optional[Callable]:
         # handles the mesh-resume combination
         return None
     for matcher in (_match_smoother, _match_linreg, _match_rw, _match_mmala, _match_rj, _match_mixture):
-        runner = matcher(mcmc)
+        runner = matcher(matched)
         if runner is not None:
             if resume is not None:
                 if not getattr(runner, "supports_resume", False):
@@ -169,20 +183,17 @@ def _thinned(runner, mcmc) -> Callable:
     runs n_thin sweeps; every n_thin-th post-burn sweep is stored).
 
     The kernels store every post-burn sweep, so a thinned run is the same launch
-    with n_thin-scaled iteration counts followed by a strided slice of the draw
-    axis. Stats need no correction: the accept/proposal counters accumulate per
-    sweep in both drivers, and the burn-in adaptation window scales with the
-    sweep count exactly like the generic driver's."""
+    with n_thin-scaled iteration counts (the runner was matched against a scaled
+    clone by match_fused_engine) followed by a strided slice of the draw axis.
+    Stats need no correction: the accept/proposal counters accumulate per sweep
+    in both drivers, and the burn-in adaptation window scales with the sweep
+    count exactly like the generic driver's."""
     if mcmc.n_thin == 1:
         return runner
 
     def run(seed, n_chains=None):
-        thin, nb, ni = mcmc.n_thin, mcmc.n_burn, mcmc.n_iter
-        mcmc.n_burn, mcmc.n_iter = nb * thin, ni * thin
-        try:
-            store, log_post, stats = runner(seed, n_chains=n_chains)
-        finally:
-            mcmc.n_burn, mcmc.n_iter = nb, ni
+        thin = mcmc.n_thin
+        store, log_post, stats = runner(seed, n_chains=n_chains)
         store = {name: draws[:, thin - 1 :: thin] for name, draws in store.items()}
         return store, log_post[:, thin - 1 :: thin], stats
 

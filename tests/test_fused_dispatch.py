@@ -592,3 +592,34 @@ def test_fused_mmala_resume_continues_exactly(rng):
     np.testing.assert_array_equal(np.asarray(full.stats["beta"]["accept"]),
                                   np.asarray(seg2.stats["beta"]["accept"]))
     assert int(np.asarray(seg2.stats["beta"]["proposal"])[0]) == 9
+
+
+def test_thinned_match_never_mutates_the_driver():
+    """Regression (round 4): thinning used to scale n_burn/n_iter by temporarily
+    mutating the LIVE MCMC object around the kernel call -- the same hazard the
+    per-device chain-count plumbing removed from _sharded (a cached concurrent
+    trace could observe the mid-mutation counts). match_fused_engine now matches
+    against a sweep-scaled shallow clone; the driver object must never see an
+    attribute write once handed to the dispatcher."""
+
+    class _Sealed(MCMC):
+        def __setattr__(self, name, value):
+            # the clone copies _seal_id but has a new id() -> writes allowed there
+            if getattr(self, "_seal_id", None) == id(self) and name in ("n_burn", "n_iter", "n_thin"):
+                raise AssertionError(f"fused dispatch mutated the live driver: {name}")
+            object.__setattr__(self, name, value)
+
+    y = np.array([150.0, 155.0, 190.0, 160.0, 173.0])
+    mdl = Model([Normal("y", mean="h", precision="tau"), Normal("h", mean="mu", precision="lambda")])
+    state = {"y": y.reshape(1, -1), "h": 200.0, "tau": jnp.eye(1) / 200.0,
+             "mu": 160.0, "lambda": jnp.eye(1) / 100.0}
+    m = _Sealed(state, [RandomWalk("h", mdl, step=5.0)], mdl,
+                n_burn=3, n_iter=4, n_thin=2, n_chains=8, seed=0)
+    m._seal_id = id(m)
+    runner = match_fused_engine(m)
+    assert runner is not None
+    with pltpu.force_tpu_interpret_mode():
+        res = m.run(engine="auto")
+    assert (m.n_burn, m.n_iter, m.n_thin) == (3, 4, 2)
+    assert res.store["h"].shape == (8, 4, 1, 1)
+    assert int(np.asarray(res.stats["h"]["proposal"])[0]) == (3 + 4) * 2

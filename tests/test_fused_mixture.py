@@ -383,3 +383,26 @@ def test_k16_matches_and_runs(interpret, rng):
     assert res.store["means"].shape == (8, 2, 16, 1)
     assert np.isfinite(np.asarray(res.store["means"])).all()
     assert np.asarray(res.store["lams"]).min() > 0.0
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
+)
+def test_streamed_mixture_tpu_recovers_components(rng):
+    """HBM-streaming data tier (n = 5000 > RESIDENT_N): posterior component
+    means/precisions must recover the generating values within MC error."""
+    n, k = 5000, 3
+    true_mu = np.array([-3.0, 0.0, 3.0])
+    alloc = rng.integers(0, k, n)
+    y = true_mu[alloc] + rng.normal(0, 0.7, n)
+    prior = np.full((n, k), 1.0)
+    out = mixture.run_fused_mixture(
+        11, y, prior, n_burn=100, n_iter=200, n_chains=256,
+        mu0=np.zeros(k), p0=np.full(k, 0.01), a0=np.full(k, 2.0), b0=np.ones(k),
+        mu_init=np.array([-1.0, 0.0, 1.0]), lam_init=np.ones(k),
+        conjugate_means=True,
+    )
+    mus = np.sort(np.asarray(out["means"]).mean(axis=(0, 1)))
+    assert np.allclose(mus, true_mu, atol=0.1), mus
+    lams = np.sort(np.asarray(out["lams"]).mean(axis=(0, 1)))
+    assert np.all(np.abs(lams - 1.0 / 0.49) < 0.3), lams

@@ -440,3 +440,85 @@ def test_smoother_p_cap():
     # the cap raises before P0 is touched, so a placeholder suffices
     with pytest.raises(ValueError, match="8192"):
         spectral.run_spectral_smoother(0, np.zeros(8200), np.zeros((1, 1)), 1, 1, 1)
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
+)
+def test_streamed_smoother_tpu_matches_analytic(rng):
+    """HBM-streaming tier (p = 1156 > MAX_P_SMOOTHER) against the ANALYTIC
+    conditional: huge Gamma hyperparameters pin (lam, tau) at (5, 4), making
+    b | y exactly N((lam P0 + tau D)^-1 (tau D y), (lam P0 + tau D)^-1); the
+    streamed engine's posterior mean/sd must match within MC error."""
+    from openmcmc_tpu.distributions import Gamma, Normal
+    from openmcmc_tpu.linalg import gmrf
+    from openmcmc_tpu.linalg import structured as st
+    from openmcmc_tpu.mcmc import MCMC
+    from openmcmc_tpu.model import Model
+    from openmcmc_tpu.parameters import ScaledMatrix
+    from openmcmc_tpu.samplers import NormalGamma, NormalNormal
+
+    Q = gmrf.precision_lattice(34, 34, ridge=1e-3)
+    p = st.dim(Q)
+    assert p > spectral.MAX_P_SMOOTHER
+    y = rng.normal(size=p)
+    lam_t, tau_t = 5.0, 4.0
+    big = 1e6
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+    state = {
+        "y": y, "b": y.copy(), "mu": np.zeros(p),
+        "lambda": lam_t, "P_lambda": Q, "a_lam": big, "b_lam": big / lam_t,
+        "tau": tau_t, "P_tau": st.Diagonal(jnp.ones(p)), "a_tau": big, "b_tau": big / tau_t,
+    }
+    m = MCMC(dict(state), samplers, mdl, n_burn=50, n_iter=200, n_chains=512, seed=5,
+             store_names=["b"])
+    res = m.run(engine="fused")
+    assert res.engine == "fused_smoother_spectral"
+    draws = np.asarray(res.store["b"]).reshape(512, 200, p)
+    A = lam_t * np.asarray(st.to_dense(Q)) + tau_t * np.eye(p)
+    mean_exact = np.linalg.solve(A, tau_t * y)
+    sd_exact = np.sqrt(np.diag(np.linalg.inv(A)))
+    n_eff = 512 * 200  # iid across chains; within-chain autocorr only loosens this
+    err = np.abs(draws.mean(axis=(0, 1)) - mean_exact) / (sd_exact / np.sqrt(n_eff))
+    # max over p dims inflates by ~sqrt(2 log p) ~ 3.75; gate at 6 + slack for
+    # the (big-but-finite) hyperparameter pinning bias
+    assert float(np.max(err)) < 8.0, float(np.max(err))
+    sd_ratio = draws.std(axis=(0, 1)) / sd_exact
+    assert abs(float(np.mean(sd_ratio)) - 1.0) < 0.02, float(np.mean(sd_ratio))
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
+)
+def test_spectral_mmala_adapt_tpu_matches_gls(rng):
+    """In-kernel adapted spectral mMALA on hardware: the posterior must match the
+    analytic GLS solution and the adapted acceptance must sit at the 0.574
+    target (the in-kernel Robbins-Monro actually steering)."""
+    from openmcmc_tpu.fused.spectral import run_spectral_mmala
+
+    N, d = 200, 24
+    X = rng.normal(size=(N, d))
+    y = X @ rng.normal(size=d) + 0.5 * rng.normal(size=N)
+    out = run_spectral_mmala(
+        1, X, y, n_burn=300, n_iter=500, n_chains=256, step=1.0,
+        ptau_diag=np.full(N, 4.0), plam_diag=np.full(d, 0.01),
+        adapt_step=True,
+    )
+    A = 4.0 * X.T @ X + 0.01 * np.eye(d)
+    mu_post = np.linalg.solve(A, 4.0 * X.T @ y)
+    sd_post = np.sqrt(np.diag(np.linalg.inv(A)))
+    bmean = np.asarray(out["beta"]).mean(axis=(0, 1))
+    assert float(np.max(np.abs(bmean - mu_post) / sd_post)) < 0.2
+    acc = float(np.asarray(out["accept_total"]).mean()) / 800.0
+    assert 0.45 < acc < 0.7, acc  # adapted toward 0.574
+    # per-chain adapted steps actually moved and are returned
+    ls = np.asarray(out["log_step"])
+    assert ls.std() > 0.0 and np.isfinite(ls).all()
