@@ -111,17 +111,6 @@ def match_fused_engine(mcmc, resume=None) -> Optional[Callable]:
         # fused kernels are f32-only; silently dropping precision under
         # jax.enable_x64 would betray the generic driver's contract
         return None
-    if mcmc.model.response is not None:
-        # fitted-value storage (reference mcmc.py:109-111): the kernels don't
-        # compute predictors in-flight, but MCMC._run_fused reproduces them
-        # post-hoc from the stored draws -- possible iff every input of each
-        # fitted predictor is either constant data or a stored (sampled) entry
-        available = set(mcmc.data) | set(mcmc.chain_state_names)
-        for response, predictor_name in mcmc.model.response.items():
-            dist = mcmc.model.get(response)
-            predictor = getattr(dist, predictor_name, None)
-            if predictor is None or not set(predictor.get_param_list()) <= available:
-                return None
     if resume is not None and mcmc.mesh is not None:
         # resume arrays would need per-shard slicing through shard_map; generic
         # handles the mesh-resume combination
@@ -129,6 +118,8 @@ def match_fused_engine(mcmc, resume=None) -> Optional[Callable]:
     for matcher in (_match_smoother, _match_linreg, _match_rw, _match_mmala, _match_rj, _match_mixture):
         runner = matcher(matched)
         if runner is not None:
+            if mcmc.model.response is not None and not _fitted_ok(mcmc, runner):
+                return None
             if resume is not None:
                 if not getattr(runner, "supports_resume", False):
                     return None
@@ -140,6 +131,25 @@ def match_fused_engine(mcmc, resume=None) -> Optional[Callable]:
                 runner = bound
             return _sharded(_thinned(runner, mcmc), mcmc)
     return None
+
+
+def _fitted_ok(mcmc, runner) -> bool:
+    """Can ``MCMC._run_fused`` reproduce every requested fitted response?
+
+    Fitted-value storage (reference mcmc.py:109-111): the kernels don't compute
+    predictors in-flight; the driver recomputes them post-hoc from constant
+    data + the STORE THE MATCHED ENGINE ACTUALLY RETURNS (``runner.store_keys``,
+    configuration-accurate per matcher). Checking against chain_state_names
+    instead would pass predictors that read sampled entries the kernel never
+    streams (e.g. a mixture allocation Z) and the fitted value would silently
+    vanish from the result — fall back to generic, which stores it."""
+    available = set(mcmc.data) | set(getattr(runner, "store_keys", ()))
+    for response, predictor_name in mcmc.model.response.items():
+        dist = mcmc.model.get(response)
+        predictor = getattr(dist, predictor_name, None)
+        if predictor is None or not set(predictor.get_param_list()) <= available:
+            return False
+    return True
 
 
 def _sharded(runner, mcmc) -> Callable:
@@ -363,6 +373,7 @@ def _match_smoother(mcmc) -> Optional[Callable]:
 
         run.engine_name = "fused_gmrf_smoother"
     run.supports_resume = True
+    run.store_keys = frozenset({latent, lam_name, tau_name})
     return run
 
 
@@ -461,6 +472,7 @@ def _match_linreg(mcmc) -> Optional[Callable]:
 
     run.engine_name = engine_name
     run.supports_resume = True
+    run.store_keys = frozenset({latent, lam_name, tau_name})
     return run
 
 
@@ -587,6 +599,7 @@ def _match_rw(mcmc) -> Optional[Callable]:
 
     run.engine_name = "fused_random_walk"
     run.supports_resume = True
+    run.store_keys = frozenset({h})
     return run
 
 
@@ -848,6 +861,9 @@ def _match_rj(mcmc) -> Optional[Callable]:
 
     run.engine_name = "fused_rj"
     run.supports_resume = True
+    run.store_keys = frozenset(
+        {count} | ({tau_name} if lik else set()) | ({beta, theta, omega} if stream else set())
+    )
 
     def _resume_ok(resume):
         # per-chain warm start needs the padded parameter finals: present after a
@@ -1038,6 +1054,7 @@ def _match_mixture(mcmc) -> Optional[Callable]:
 
     run.engine_name = "fused_mixture_conjugate" if conjugate else "fused_mixture"
     run.supports_resume = True
+    run.store_keys = frozenset({mu_name, lam_name})
     return run
 
 
@@ -1151,4 +1168,5 @@ def _match_mmala(mcmc) -> Optional[Callable]:
 
     run.engine_name = engine_name
     run.supports_resume = True  # both tiers take per-chain warm-start inputs
+    run.store_keys = frozenset({latent})
     return run

@@ -190,6 +190,29 @@ class MCMC:
                 carried.add(s.param)
         return frozenset(carried)
 
+    def _run_config_key(self) -> tuple:
+        """Hashable snapshot of every driver attribute a cached trace bakes in.
+
+        The fused-match closure and the jitted run/resume programs capture run
+        configuration at trace time (loop bounds, chain count, thinning, store
+        set, fitted responses, mesh, x64 mode); ``_fn_cache`` entries are keyed
+        on this snapshot so mutating any of them between runs misses the cache
+        instead of silently serving a program built for the old configuration.
+        Model/sampler/data contents are deliberately NOT keyed: those are
+        construction-time state — build a new MCMC object to change them."""
+        response = self.model.response
+        return (
+            self.n_chains,
+            self.n_burn,
+            self.n_iter,
+            self.n_thin,
+            tuple(self.store_names),
+            None if response is None else tuple(sorted(response.items())),
+            self.mesh,
+            self.chain_axis,
+            bool(jax.config.jax_enable_x64),
+        )
+
     # -- construction of the pure step functions ----------------------------
 
     def _full_state(self, chain_state: dict) -> dict:
@@ -358,11 +381,14 @@ class MCMC:
                 # cache the structural match: matching is host Python plus a few
                 # blocking device fetches (numeric checks on constants), ~10-40 ms
                 # each over a TPU tunnel -- repeated runs of the same MCMC object
-                # must not re-pay it (the matched closure depends only on
-                # construction-time state)
-                if "fused_match" not in self._fn_cache:
-                    self._fn_cache["fused_match"] = match_fused_engine(self)
-                runner = self._fn_cache["fused_match"]
+                # must not re-pay it. Keyed on the run-configuration snapshot:
+                # the matched closure bakes in chain counts, thinned sweep
+                # bounds, the store set and the x64 flag, so any of those
+                # changing must re-match (or re-fall-back to generic)
+                match_key = ("fused_match", self._run_config_key())
+                if match_key not in self._fn_cache:
+                    self._fn_cache[match_key] = match_fused_engine(self)
+                runner = self._fn_cache[match_key]
             else:
                 runner = match_fused_engine(self, resume=resume)
             if runner is not None:
@@ -398,13 +424,21 @@ class MCMC:
             carry_state = resume.final_state
             carry_stats = resume.stats
             if self.mesh is not None:
+                # stats leaves are per-chain (accept/proposal counters, carried
+                # logp rows): they must enter the process-spanning program as
+                # global chain-sharded arrays exactly like the carried state --
+                # a restored checkpoint hands back host-local numpy on every
+                # process
                 carry_state = put_global(carry_state, sharding)
+                carry_stats = put_global(carry_stats, sharding)
             n_burn, self.n_burn = self.n_burn, 0  # no re-burn on resume
             try:
-                # cache the jitted program (keyed by the loop bounds it bakes in):
-                # re-wrapping in jax.jit on every call would re-trace the full scan
-                # program (seconds) even on identical shapes
-                cache_key = ("resume", self.n_burn, self.n_iter, self.n_thin)
+                # cache the jitted program (keyed by the run configuration it
+                # bakes in at trace time: loop bounds, store set, fitted
+                # responses): re-wrapping in jax.jit on every call would
+                # re-trace the full scan program (seconds) even on identical
+                # shapes
+                cache_key = ("resume", self._run_config_key())
                 if cache_key not in self._fn_cache:
                     self._fn_cache[cache_key] = jax.jit(jax.vmap(self._single_chain_resume))
                 final_state, stats, records, final_keys = self._fn_cache[cache_key](
@@ -413,7 +447,7 @@ class MCMC:
             finally:
                 self.n_burn = n_burn
         else:
-            cache_key = ("run", self.n_burn, self.n_iter, self.n_thin)
+            cache_key = ("run", self._run_config_key())
             if cache_key not in self._fn_cache:
                 self._fn_cache[cache_key] = jax.jit(jax.vmap(self._single_chain_run))
             final_state, stats, records, final_keys = self._fn_cache[cache_key](chain_keys)
@@ -500,7 +534,7 @@ class MCMC:
             store, log_post, stats = runner(seed)
             final_state = {name: draws[:, -1] for name, draws in store.items()}
         else:
-            cache_key = ("fused", runner.engine_name, self.n_burn, self.n_iter, self.n_thin)
+            cache_key = ("fused", runner.engine_name, self._run_config_key())
             if cache_key not in self._fn_cache:
 
                 def packaged(s):
