@@ -890,7 +890,8 @@ def _match_mixture(mcmc) -> Optional[Callable]:
     path; the kernel then draws the means in closed form). Requires constant
     weights/hyperparameters, K <= 32, n <= 2^20 (the data block streams from HBM
     past n = 2048), every a0_k >= 1 (elementwise in-kernel Gamma), and
-    store_names within {mu, lam} (the kernel does not stream the n-sized Z).
+    store_names within {mu, lam, Z} -- storing Z (the driver's default) streams
+    the allocation draw from the kernel, capped at a 4 GB HBM buffer.
     Replicate response columns are fine: they share each point's allocation and
     collapse to per-point count/sum/sumsq at pack time."""
     from openmcmc_tpu.distributions.univariate import Categorical
@@ -1005,10 +1006,22 @@ def _match_mixture(mcmc) -> Optional[Callable]:
         domain = (dl[:, 0], dl[:, 1])
         if np.any(mu_i <= domain[0]) or np.any(mu_i >= domain[1]):
             return None  # initial means must start strictly inside the proposal box
-    # the kernel streams means/lams/log_post only; requesting the n-sized Z needs
-    # the generic driver
-    if not set(mcmc.store_names) <= {mu_name, lam_name}:
+    # the kernel streams means/lams/log_post always and the n-sized allocation
+    # draw on request (the driver's DEFAULT store set includes Z); the Z buffer
+    # is n_iter * n_pad * chains f32 in HBM, so cap it like the RJ param stream
+    store_z = z_name in mcmc.store_names
+    if not set(mcmc.store_names) <= {mu_name, lam_name, z_name}:
         return None
+    if store_z:
+        from openmcmc_tpu.fused.mixture import PAD as _PAD
+        from openmcmc_tpu.fused.mixture import RESIDENT_N, TILE_N, _block_b
+
+        unit = TILE_N if n > RESIDENT_N else _PAD
+        n_pad_z = n + ((-n) % unit)
+        bb = _block_b(TILE_N if n > RESIDENT_N else n_pad_z, k_comp, store_z=True)
+        b_total = mcmc.n_chains + ((-mcmc.n_chains) % bb)
+        if 4 * mcmc.n_iter * n_pad_z * b_total > 4 << 30:
+            return None
 
     mu0v = np.broadcast_to(np.asarray(mu0, np.float64).reshape(-1), (k_comp,))
 
@@ -1034,12 +1047,14 @@ def _match_mixture(mcmc) -> Optional[Callable]:
             n_burn=n_burn, n_iter=mcmc.n_iter, n_chains=nc,
             mu0=mu0v, p0=p0, a0=a0, b0=b0, mu_init=mu_i, lam_init=lam_i,
             step=0.2 if conjugate else float(np.asarray(rwl.step_size).reshape(())),
-            domain=domain, init=init, conjugate_means=conjugate,
+            domain=domain, init=init, conjugate_means=conjugate, store_z=store_z,
         )
         store = {
             mu_name: out["means"][..., None],
             lam_name: out["lams"][..., None],
         }
+        if store_z:
+            store[z_name] = out["z"][..., None]  # (chains, iter, n, 1) int32
         n_prop = n_burn + mcmc.n_iter  # one active column per sweep
         stats = {
             z_name: {},
@@ -1054,7 +1069,10 @@ def _match_mixture(mcmc) -> Optional[Callable]:
 
     run.engine_name = "fused_mixture_conjugate" if conjugate else "fused_mixture"
     run.supports_resume = True
-    run.store_keys = frozenset({mu_name, lam_name})
+    run.store_keys = frozenset({mu_name, lam_name} | ({z_name} if store_z else set()))
+    # a fused result's final_state holds only the STORED names; the kernel carry
+    # needs mu/lam, so a partial-store fused result cannot warm-start the kernel
+    run.resume_ok = lambda r: mu_name in r.final_state and lam_name in r.final_state
     return run
 
 

@@ -32,8 +32,13 @@ n <= 2048 points keep the data block resident in VMEM; beyond that it streams
 from HBM in TILE_N-row blocks (double-buffered DMA overlapping the allocation
 pass), scaling n to ~10^6. The allocation Z itself never crosses an iteration:
 the sweep order [allocation, means, precisions] redraws it from (mu, lam) before
-any use, so the loop carry is just the 2K+1 parameter rows and Z is a transient
-register value (storing Z is the one request that needs the generic driver).
+any use, so the loop carry is just the 2K+1 parameter rows and Z stays a
+transient register value. Users who STORE Z (the driver's default store set
+includes every sampled parameter) get it streamed out per stored iteration
+(``store_z=True``): the same tile pass that folds zidx into the sufficient
+statistics also DMAs it to an (iter, point, chain) HBM buffer, double-buffered
+like the parameter draws; the dispatcher caps that buffer's size and falls back
+to the generic driver past it.
 
 Chains ride the lane axis; draws stream to HBM via double-buffered DMA; all
 randomness from the on-chip PRNG (fused/prng.py). Parity with the generic driver
@@ -72,9 +77,10 @@ DATA_LANES = 128  # data block lane width: one full lane tile, so every DMA slic
 PAD = 8
 
 
-def _block_b(tile_n: int, k_comp: int) -> int:
+def _block_b(tile_n: int, k_comp: int, store_z: bool = False) -> int:
     # bound the ~(K+5) live (tile_n, B) f32 allocation-pass temporaries to ~24 MB
-    live = (k_comp + 5) * tile_n * 4
+    # (+2 tiles for the double-buffered Z-draw stage when allocations stream out)
+    live = (k_comp + 5 + (2 if store_z else 0)) * tile_n * 4
     for b in (2048, 1024, 512, 256):
         if live * b <= (24 << 20):
             return b
@@ -82,19 +88,20 @@ def _block_b(tile_n: int, k_comp: int) -> int:
 
 
 def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, block_b,
-                 warm=False, conjugate=False, stream=False):
+                 warm=False, conjugate=False, stream=False, store_z=False):
     n_tiles = n_pad // (TILE_N if stream else n_pad)
     tile_n = TILE_N if stream else n_pad
 
     def kernel(seed_ref, scal_ref, data_ref, *refs):
-        if warm and stream:
-            init_ref, out_ref, stage_ref, sems, dbuf_ref, dsem = refs
-        elif warm:
-            init_ref, out_ref, stage_ref, sems = refs
-        elif stream:
-            out_ref, stage_ref, sems, dbuf_ref, dsem = refs
-        else:
-            out_ref, stage_ref, sems = refs
+        refs = list(refs)
+        init_ref = refs.pop(0) if warm else None
+        out_ref = refs.pop(0)
+        out_z_ref = refs.pop(0) if store_z else None
+        stage_ref, sems = refs.pop(0), refs.pop(0)
+        if stream:
+            dbuf_ref, dsem = refs.pop(0), refs.pop(0)
+        if store_z:
+            z_stage, z_sems = refs.pop(0), refs.pop(0)
         # scal_ref (SMEM): [mu0 K | p0 K | a0 K | b0 K | mu_init K | lam_init K |
         #                   lb K | ub K | lgam K]   (lgam = a0 log b0 - gammaln(a0))
         pid = pl.program_id(0)
@@ -175,6 +182,36 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
                 for k in range(1, k_comp - 1):
                     cum = cum + w[k]
                     zidx = zidx + (u >= cum).astype(jnp.float32)
+                if store_z:
+                    # stream the allocation draw itself: stage this tile's zidx
+                    # and DMA it to the (iter, point, chain) Z out buffer,
+                    # double-buffered over the global stored-tile counter (every
+                    # stored iteration issues exactly n_tiles copies, so the
+                    # copy issued at counter c is waited at c + 2)
+                    @pl.when(it >= n_burn)
+                    def _(zidx=zidx, t=t):
+                        idx = it - n_burn
+                        zc = idx * n_tiles + t
+                        zslot = lax.rem(zc, 2)
+
+                        @pl.when(zc >= 2)
+                        def _():
+                            prev = zc - 2
+                            pi = lax.div(prev, n_tiles)
+                            pt = lax.rem(prev, n_tiles)
+                            pltpu.make_async_copy(
+                                z_stage.at[zslot],
+                                out_z_ref.at[pi, pl.ds(pt * tile_n, tile_n), pl.ds(pid * block_b, block_b)],
+                                z_sems.at[zslot],
+                            ).wait()
+
+                        z_stage[pl.ds(zslot, 1)] = zidx[None]
+                        pltpu.make_async_copy(
+                            z_stage.at[zslot],
+                            out_z_ref.at[idx, pl.ds(t * tile_n, tile_n), pl.ds(pid * block_b, block_b)],
+                            z_sems.at[zslot],
+                        ).start()
+
                 # padding rows (cnt = 0, lp = 0) draw too, but contribute zeros
                 for k in range(k_comp):
                     ind = (zidx == float(k)).astype(jnp.float32)
@@ -285,22 +322,34 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
                 stage_ref.at[slot], out_ref.at[last, :, pl.ds(pid * block_b, block_b)], sems.at[slot]
             ).wait()
 
+        if store_z:
+            totz = n_keep * n_tiles
+            for c in range(max(0, totz - 2), totz):
+                ci, ct = divmod(c, n_tiles)
+                pltpu.make_async_copy(
+                    z_stage.at[c % 2],
+                    out_z_ref.at[ci, pl.ds(ct * tile_n, tile_n), pl.ds(pid * block_b, block_b)],
+                    z_sems.at[c % 2],
+                ).wait()
+
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_burn", "n_iter", "n_chains", "step", "has_domain", "conjugate", "k_comp"),
+    static_argnames=("n_burn", "n_iter", "n_chains", "step", "has_domain", "conjugate", "k_comp",
+                     "store_z"),
 )
 def _run_fused_mixture_jit(seed, scal, data, n_burn, n_iter, n_chains, step, has_domain,
-                           k_comp, init=None, conjugate=False):
+                           k_comp, init=None, conjugate=False, store_z=False):
     n_pad = data.shape[0]
     stream = n_pad > RESIDENT_N
-    block_b = _block_b(TILE_N if stream else n_pad, k_comp)
+    block_b = _block_b(TILE_N if stream else n_pad, k_comp, store_z)
     b_total = n_chains + ((-n_chains) % block_b)
     out_rows = 2 * k_comp + 2 + ((-(2 * k_comp + 2)) % PAD)
     kernel = _make_kernel(n_pad, k_comp, float(step), has_domain, n_burn, n_iter, out_rows, block_b,
-                          warm=init is not None, conjugate=conjugate, stream=stream)
+                          warm=init is not None, conjugate=conjugate, stream=stream,
+                          store_z=store_z)
     data_spec = pl.BlockSpec(memory_space=pl.ANY) if stream else pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [data_spec]
     args = [jnp.asarray([seed], jnp.int32), scal, data]
@@ -322,12 +371,19 @@ def _run_fused_mixture_jit(seed, scal, data, n_burn, n_iter, n_chains, step, has
             pltpu.VMEM((2, TILE_N, DATA_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-    (out,) = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32)]
+    if store_z:
+        scratch += [
+            pltpu.VMEM((2, TILE_N if stream else n_pad, block_b), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        out_shape.append(jax.ShapeDtypeStruct((n_iter, n_pad, b_total), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=(b_total // block_b,),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
-        out_shape=(jax.ShapeDtypeStruct((n_iter, out_rows, b_total), jnp.float32),),
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in out_shape),
+        out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -337,13 +393,18 @@ def _run_fused_mixture_jit(seed, scal, data, n_burn, n_iter, n_chains, step, has
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(*args)
-    draws = jnp.transpose(chain_slice(out, n_chains), (2, 0, 1))
-    return {
+    draws = jnp.transpose(chain_slice(outs[0], n_chains), (2, 0, 1))
+    result = {
         "means": draws[:, :, :k_comp],
         "lams": draws[:, :, k_comp : 2 * k_comp],
         "log_post": draws[:, :, 2 * k_comp],
         "accept_total": draws[:, -1, 2 * k_comp + 1],
     }
+    if store_z:
+        # (n_iter, n_pad, chains) -> (chains, n_iter, n_pad); padding rows are
+        # sliced off (and the component index cast to int32) by the caller
+        result["z"] = jnp.transpose(chain_slice(outs[1], n_chains), (2, 0, 1))
+    return result
 
 
 def run_fused_mixture(
@@ -363,6 +424,7 @@ def run_fused_mixture(
     domain=None,
     init=None,
     conjugate_means=False,
+    store_z=False,
 ):
     """Run the full K-component Gaussian-mixture Gibbs chain in one fused kernel.
 
@@ -384,9 +446,17 @@ def run_fused_mixture(
     conjugate NormalNormal draw (the generic driver's mixture-means path in
     samplers/conjugate.py); step/domain are then ignored and accept_total stays 0.
 
+    ``store_z=True`` additionally streams each stored iteration's allocation
+    draw to HBM (double-buffered tile DMAs riding the same pass that
+    accumulates the sufficient statistics). The stored Z at iteration t is the
+    allocation drawn at the START of sweep t -- exactly the end-of-sweep state
+    the generic driver records, since no later sampler in the sweep touches Z.
+    The Z buffer is n_iter * n_pad * chains f32 in HBM; the dispatcher caps it
+    (falling back to the generic driver) rather than risk an OOM.
+
     Returns dict with means/lams: (n_chains, n_iter, K), log_post: (n_chains,
     n_iter), accept_total: (n_chains,) means-update accept counts over burn +
-    sampling."""
+    sampling; with store_z also z: (n_chains, n_iter, n) int32."""
     y = np.asarray(y, np.float64)
     if y.ndim == 1:
         y = y[:, None]
@@ -426,9 +496,14 @@ def run_fused_mixture(
         np.concatenate([vec(mu0), vec(p0), a0v, b0v, vec(mu_init), vec(lam_init), lbv, ubv, lgam]),
         jnp.float32,
     )
-    return _run_fused_mixture_jit(
+    out = _run_fused_mixture_jit(
         seed, scal, jnp.asarray(data, jnp.float32),
         n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
         step=float(step), has_domain=domain is not None and not conjugate_means,
         k_comp=k_comp, init=init, conjugate=bool(conjugate_means),
+        store_z=bool(store_z),
     )
+    if store_z:
+        z = out["z"]
+        out["z"] = (z if z.shape[2] == n else z[:, :, :n]).astype(jnp.int32)
+    return out

@@ -289,7 +289,8 @@ def test_mixture_engine_matches_generic(host_stats, rng):
 
     out = run_fused_mixture(8, y, prior, n_burn=200, n_iter=400, n_chains=2048,
                             mu0=mu0, p0=p0, a0=a0, b0=b0,
-                            mu_init=mu_init, lam_init=lam_init, conjugate_means=True)
+                            mu_init=mu_init, lam_init=lam_init, conjugate_means=True,
+                            store_z=True)
 
     mdl = Model([
         Normal("y", mean=MixtureParameterVector("mu", "Z"), precision=MixtureParameterMatrix("lam", "Z")),
@@ -306,9 +307,18 @@ def test_mixture_engine_matches_generic(host_stats, rng):
     m = MCMC(state, [MixtureAllocation("Z", mdl, response_param="y"),
                      NormalNormal("mu", mdl), NormalGamma("lam", mdl)],
              mdl, n_burn=200, n_iter=400, n_chains=96, seed=4,
-             store_names=["mu", "lam"])
+             store_names=["Z", "mu", "lam"])
     m.model.response = None
     gen = m.run()
+
+    # streamed allocation draws: per-point P(Z = lower-mean component) must match
+    # the generic driver's within MC error (identify by each draw's mean ordering)
+    low_f = np.argmin(np.asarray(out["means"]), axis=2)  # (2048, 400)
+    pz_f = (np.asarray(out["z"]) == low_f[:, :, None]).mean(axis=(0, 1))
+    gz = np.asarray(gen.store["Z"]).reshape(96, 400, n)
+    low_g = np.argmin(np.asarray(gen.store["mu"]).reshape(96, 400, K), axis=2)
+    pz_g = (gz == low_g[:, :, None]).mean(axis=(0, 1))
+    assert np.max(np.abs(pz_f - pz_g)) < 0.08, np.max(np.abs(pz_f - pz_g))
 
     # identify components by sorting each draw (label switching)
     mu_f = np.sort(np.asarray(out["means"]).reshape(-1, K), axis=1)

@@ -103,9 +103,16 @@ def test_dispatch_rejects_near_misses(rng):
     m = _build_mcmc(y, prior, 2, 4, 8)
     m.data["a0"] = jnp.full((3, 1), 0.5)
     assert match_fused_engine(m) is None
-    # storing Z requires the generic driver
+    # storing Z matches (streamed from the kernel) -- but only under the 4 GB
+    # HBM cap on the (iter, point, chain) Z buffer; past it the run falls back
     m = _build_mcmc(y, prior, 2, 4, 8)
     m.store_names = ["means", "lams", "Z"]
+    runner = match_fused_engine(m)
+    assert runner is not None and "Z" in runner.store_keys
+    m = _build_mcmc(y, prior, 2, 4, 8)
+    m.store_names = ["means", "lams", "Z"]
+    m.n_iter = 300_000  # 300k x 64-pad x 128-pad chains x 4 B > 4 GB
+    m.n_chains = 128
     assert match_fused_engine(m) is None
     # extra model term must not be silently dropped
     y2, prior2 = _mixture_data(rng)
@@ -130,7 +137,7 @@ def test_interpret_log_post_matches_model(interpret, rng, conjugate_means):
         mu0=np.zeros(k), p0=np.full(k, 0.01), a0=np.full(k, 2.0), b0=np.ones(k),
         mu_init=np.linspace(-1.0, 1.0, k), lam_init=np.ones(k),
         step=0.3, domain=(np.full(k, -20.0), np.full(k, 20.0)),
-        conjugate_means=conjugate_means,
+        conjugate_means=conjugate_means, store_z=True,
     )
     mdl = Model(
         [
@@ -162,6 +169,8 @@ def test_interpret_log_post_matches_model(interpret, rng, conjugate_means):
             w = np.exp(logits - logits.max(axis=1, keepdims=True))
             u = u_stub * w.sum(axis=1)
             z = (u[:, None] >= np.cumsum(w, axis=1)[:, :-1]).sum(axis=1)
+            # the streamed Z draw must be the exact allocation the stats used
+            np.testing.assert_array_equal(np.asarray(out["z"][c, t]), z, err_msg=str((c, t)))
             state = dict(base)
             state["Z"] = jnp.asarray(z).reshape(n, 1)
             state["means"] = jnp.asarray(out["means"][c, t]).reshape(k, 1)
@@ -169,6 +178,32 @@ def test_interpret_log_post_matches_model(interpret, rng, conjugate_means):
             want = float(mdl.log_p(state))
             got = float(out["log_post"][c, t])
             assert abs(got - want) < 5e-2 * max(1.0, abs(want)), (c, t, got, want)
+
+
+def test_dispatch_routes_default_store_with_z(interpret, rng):
+    """The driver's DEFAULT store set includes Z; that configuration must now
+    dispatch fused, store Z with the generic driver's (chains, iter, n, 1) int32
+    convention, and surface Z in final_state."""
+    from openmcmc_tpu.fused.dispatch import match_fused_engine
+
+    y, prior = _mixture_data(rng)
+    n = y.shape[0]
+    m = _build_mcmc(y, prior, n_burn=2, n_iter=4, n_chains=8)
+    m.store_names = ["Z", "means", "lams"]  # the constructor default
+    runner = match_fused_engine(m)
+    assert runner is not None and runner.engine_name == "fused_mixture"
+    res = m.run(engine="auto")
+    assert res.engine == "fused_mixture"
+    z = np.asarray(res.store["Z"])
+    assert z.shape == (8, 4, n, 1) and z.dtype == np.int32
+    assert set(np.unique(z)) <= set(range(prior.shape[1]))
+    assert np.asarray(res.final_state["Z"]).shape == (8, n, 1)
+    # generic parity of the stored-layout contract
+    m2 = _build_mcmc(y, prior, n_burn=2, n_iter=4, n_chains=8)
+    m2.store_names = ["Z", "means", "lams"]
+    g = m2.run(engine="generic")
+    assert np.asarray(g.store["Z"]).shape == z.shape
+    assert np.asarray(g.store["Z"]).dtype == z.dtype
 
 
 @pytest.mark.skipif(
@@ -185,10 +220,19 @@ def test_fused_mixture_tpu_matches_generic(rng):
     prior = np.full((200, k), 0.5)
 
     m = _build_mcmc(y, prior, n_burn=500, n_iter=1000, n_chains=512, seed=1)
+    m.store_names = ["Z", "means", "lams"]  # the constructor default: Z streams too
     res = m.run(engine="fused")
     assert res.engine == "fused_mixture"
     m2 = _build_mcmc(y, prior, n_burn=500, n_iter=1000, n_chains=512, seed=2)
+    m2.store_names = ["Z", "means", "lams"]
     res2 = m2.run(engine="generic")
+
+    # per-point posterior allocation frequencies agree within MC error (the
+    # components are well separated, so label switching is a non-issue)
+    pz_f = (np.asarray(res.store["Z"]).reshape(512, 1000, 200) == 0).mean(axis=(0, 1))
+    pz_g = (np.asarray(res2.store["Z"]).reshape(512, 1000, 200) == 0).mean(axis=(0, 1))
+    lab_f, lab_g = (pz_f, pz_g) if np.corrcoef(pz_f, pz_g)[0, 1] > 0 else (pz_f, 1.0 - pz_g)
+    assert np.max(np.abs(lab_f - lab_g)) < 0.05, np.max(np.abs(lab_f - lab_g))
 
     mu_f = np.asarray(res.store["means"]).reshape(512, 1000, k).mean(axis=(0, 1))
     mu_g = np.asarray(res2.store["means"]).reshape(512, 1000, k).mean(axis=(0, 1))
@@ -265,7 +309,7 @@ def test_fused_mixture_conjugate_tpu_matches_generic(rng):
 
 def test_dispatch_routes_large_n_and_replicates(rng):
     """n past the VMEM-resident limit (streamed from HBM) and replicate response
-    columns both match; K past MAX_K and storing Z still fall back."""
+    columns both match; K past MAX_K still falls back."""
     from openmcmc_tpu.fused.dispatch import match_fused_engine
 
     # n = 3000 > RESIDENT_N: streamed
@@ -301,7 +345,7 @@ def test_interpret_streamed_matches_resident(interpret, rng):
         n_burn=0, n_iter=3, n_chains=8,
         mu0=np.zeros(2), p0=np.full(2, 0.01), a0=np.full(2, 2.0), b0=np.ones(2),
         mu_init=np.array([-1.0, 1.0]), lam_init=np.ones(2), step=0.3,
-        domain=(np.full(2, -20.0), np.full(2, 20.0)),
+        domain=(np.full(2, -20.0), np.full(2, 20.0)), store_z=True,
     )
     res = mixture.run_fused_mixture(5, y, prior, **kwargs)
     # force the streaming layout for the same data
@@ -311,7 +355,7 @@ def test_interpret_streamed_matches_resident(interpret, rng):
         jax.clear_caches()
         stream = mixture.run_fused_mixture(5, y, prior, **kwargs)
         jax.clear_caches()
-    for key in ("means", "lams", "log_post"):
+    for key in ("means", "lams", "log_post", "z"):
         np.testing.assert_allclose(
             np.asarray(stream[key]), np.asarray(res[key]), rtol=2e-6, atol=1e-6, err_msg=key
         )
