@@ -444,9 +444,17 @@ def test_streamed_mixture_tpu_recovers_components(rng):
         11, y, prior, n_burn=100, n_iter=200, n_chains=256,
         mu0=np.zeros(k), p0=np.full(k, 0.01), a0=np.full(k, 2.0), b0=np.ones(k),
         mu_init=np.array([-1.0, 0.0, 1.0]), lam_init=np.ones(k),
-        conjugate_means=True,
+        conjugate_means=True, store_z=True,
     )
     mus = np.sort(np.asarray(out["means"]).mean(axis=(0, 1)))
     assert np.allclose(mus, true_mu, atol=0.1), mus
     lams = np.sort(np.asarray(out["lams"]).mean(axis=(0, 1)))
     assert np.all(np.abs(lams - 1.0 / 0.49) < 0.3), lams
+    # streamed-tier Z draws (tile DMAs at n_pad = 5120): the per-point modal
+    # allocation must recover the generating component for nearly every point
+    # (components are ~4.3 sd apart)
+    z = np.asarray(out["z"])  # (256, 200, 5000)
+    order = np.argsort(np.asarray(out["means"]).mean(axis=(0, 1)))
+    counts = np.stack([(z == c).sum(axis=(0, 1)) for c in range(k)])
+    z_mode = order.argsort()[np.argmax(counts, axis=0)]  # relabel to sorted means
+    assert (z_mode == alloc).mean() > 0.97, (z_mode == alloc).mean()
