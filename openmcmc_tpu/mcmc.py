@@ -392,7 +392,7 @@ class MCMC:
             else:
                 runner = match_fused_engine(self, resume=resume)
             if runner is not None:
-                return self._run_fused(runner, resumed=resume is not None)
+                return self._run_fused(runner, resume=resume)
             if engine == "fused":
                 if resume is not None:
                     raise ValueError(
@@ -519,7 +519,7 @@ class MCMC:
 
         return jax.tree.map(fmt, shapes)
 
-    def _run_fused(self, runner, resumed: bool = False) -> MCMCResult:
+    def _run_fused(self, runner, resume: Optional["MCMCResult"] = None) -> MCMCResult:
         """Execute a matched fused engine and repackage as an MCMCResult.
 
         The non-resume path jits the runner + repackaging into ONE device
@@ -528,9 +528,20 @@ class MCMC:
         host->device overhead (10-40 ms each over a TPU tunnel) is an order of
         magnitude more than the fused kernel itself. Resume runs stay eager --
         jitting would bake each resume's warm-start arrays in as constants and
-        the cache could serve chunk N-1's state to chunk N."""
-        seed = int(np.asarray(jax.random.key_data(self.key)).reshape(-1)[-1] & 0x7FFFFFFF)
-        if resumed:
+        the cache could serve chunk N-1's state to chunk N.
+
+        PRNG advancement: the on-chip seed derives from ``resume.final_key`` when
+        resuming (never from the run-invariant ``self.key``), and every fused run
+        returns an ADVANCED ``final_key`` (split of fold_in(run_key, 1)), so each
+        chunk of run_chunked -- and any checkpoint/resume loop, fused or a generic
+        continuation of a fused run -- draws a distinct stream instead of
+        replaying the previous launch's proposal noise."""
+        if resume is None:
+            run_key = self.key
+        else:
+            run_key = jnp.asarray(resume.final_key)[0]
+        seed = int(np.asarray(jax.random.key_data(run_key)).reshape(-1)[-1] & 0x7FFFFFFF)
+        if resume is not None:
             store, log_post, stats = runner(seed)
             final_state = {name: draws[:, -1] for name, draws in store.items()}
         else:
@@ -556,7 +567,7 @@ class MCMC:
             log_post=log_post,
             stats=stats,
             final_state=final_state,
-            final_key=jax.random.split(self.key, self.n_chains),
+            final_key=jax.random.split(jax.random.fold_in(run_key, 1), self.n_chains),
             engine=runner.engine_name,
         )
 

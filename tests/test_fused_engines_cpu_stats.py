@@ -400,3 +400,54 @@ def test_rj_likelihood_engine_matches_generic(host_stats):
     acc_g = {k: float(np.asarray(v).mean()) for k, v in gen_res.acceptance.items()}
     for name in ("beta", "theta", "omega", "n_basis"):
         assert abs(acc_f[name] - acc_g[name]) < 2.5, (name, acc_f[name], acc_g[name])
+
+
+# ---------------------------------------------------------------------------
+# resume/chunking: the on-chip stream must ADVANCE across chunks
+# ---------------------------------------------------------------------------
+
+
+def test_fused_resume_advances_prng_stream(host_stats):
+    """Round-4 regression (review finding): resumed/chunked fused runs must not
+    replay the previous launch's PRNG stream. Contract under test: (1) the
+    kernel seed derives from ``resume.final_key`` -- so altering ONLY final_key
+    changes the resumed draws; (2) every fused run returns an advanced
+    final_key, so successive run_chunked chunks (one MCMC object, chained
+    resumes) each see a fresh seed. Before the fix the seed came from the
+    run-invariant ``self.key`` and final_key was constant: chunk N replayed
+    chunk N-1's proposal noise exactly."""
+    import dataclasses
+
+    from openmcmc_tpu import MCMC, Model
+    from openmcmc_tpu.distributions import Normal
+    from openmcmc_tpu.samplers import RandomWalk
+
+    mdl = Model([Normal("y", mean="h", precision="tau"),
+                 Normal("h", mean="mu", precision="lambda")])
+    state = {"y": _Y.reshape(1, -1), "h": 170.0, "tau": jnp.eye(1) * _TAU,
+             "mu": _MU, "lambda": jnp.eye(1) * _LAM}
+    m = MCMC(dict(state), [RandomWalk("h", mdl, step=8.0)], mdl,
+             n_burn=10, n_iter=40, n_chains=8, seed=5)
+
+    seg1 = m.run(engine="fused")
+    seg2 = m.run(engine="fused", resume=seg1)
+    seg3 = m.run(engine="fused", resume=seg2)
+
+    # (2) final_key advances run-over-run (constant before the fix)
+    k1, k2, k3 = (np.asarray(s.final_key) for s in (seg1, seg2, seg3))
+    assert not np.array_equal(k1, k2)
+    assert not np.array_equal(k2, k3)
+    assert not np.array_equal(k1, k3)
+
+    # (1) the resumed stream is a function of resume.final_key: same warm-start
+    # state, different final_key => different draws (identical before the fix)
+    seg1_rekey = dataclasses.replace(
+        seg1, final_key=jax.random.split(jax.random.PRNGKey(999), m.n_chains))
+    seg2_alt = m.run(engine="fused", resume=seg1_rekey)
+    assert not np.allclose(np.asarray(seg2.store["h"]), np.asarray(seg2_alt.store["h"]))
+
+    # chained chunks draw DISTINCT noise: with the replayed stream the increment
+    # sequences of chunk 2 and chunk 3 would be bit-identical per chain
+    d2 = np.diff(np.asarray(seg2.store["h"]).reshape(8, -1), axis=1)
+    d3 = np.diff(np.asarray(seg3.store["h"]).reshape(8, -1), axis=1)
+    assert not np.allclose(d2, d3)
