@@ -18,6 +18,10 @@ import os
 import subprocess
 import sys
 
+# workers re-exec this file directly, so sys.path[0] is scripts/; make the
+# repo root importable whether or not the package is pip-installed
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def worker(process_id: int, port: int) -> None:
     import jax
