@@ -48,6 +48,24 @@ def _scalar(mcmc, name) -> Optional[float]:
     return float(arr.reshape(()))
 
 
+def _column(value) -> Optional[np.ndarray]:
+    """The single replicate column of a state entry as a 1-D float array.
+
+    Returns None when the entry has replicate columns (n > 1 under the
+    reference's (p, n) convention, distribution.py:7-14): the single-column
+    fused kernels cannot represent replicated responses/means, and a silent
+    reshape(-1) would concatenate the columns into a wrong-length vector --
+    the generic driver handles replicates, so the matcher must fall back."""
+    if value is None or isinstance(value, st.STRUCTURED_TYPES):
+        return None
+    arr = np.asarray(value)
+    if arr.ndim <= 1:
+        return arr.reshape(-1)
+    if arr.ndim == 2 and arr.shape[1] == 1:
+        return arr[:, 0]
+    return None
+
+
 def _initial_scalar(mcmc, name) -> Optional[float]:
     value = mcmc.initial_chain_state.get(name)
     if value is None:
@@ -284,11 +302,9 @@ def _match_smoother(mcmc) -> Optional[Callable]:
     spectral = st.dim(plam) <= (MAX_P_SMOOTHER if tridiag else MAX_P_SMOOTHER_STREAM)
     if not spectral and not tridiag:
         return None
-    mu = mcmc.data.get(_identity_mean_name(b_dist))
-    if mu is None:
-        return None
-    y = mcmc.data.get(y_dist.response)
-    if y is None:
+    mu = _column(mcmc.data.get(_identity_mean_name(b_dist)))
+    y = _column(mcmc.data.get(y_dist.response))
+    if mu is None or y is None:
         return None
     tau_name, lam_name = sp_y[1], sp_b[1]
     # the model must contain ONLY the matched distributions: any extra term
@@ -337,10 +353,10 @@ def _match_smoother(mcmc) -> Optional[Callable]:
         # preprocesses its array args with numpy (eigendecomposition), which must
         # see CONCRETE arrays -- the run closure is traced as one jit program by
         # MCMC._run_fused, where a jnp op on y would produce a tracer
-        y_host = np.asarray(y).reshape(-1)
+        y_host = y
         plam_dense = np.asarray(st.to_dense(plam))
         noise_host = np.asarray(ptau.diag_)
-        mu_host = np.asarray(mu).reshape(-1)
+        mu_host = mu
 
         def run(seed, resume=None, n_chains=None):
             init, n_burn = _resume_init(resume)
@@ -362,12 +378,12 @@ def _match_smoother(mcmc) -> Optional[Callable]:
         def run(seed, resume=None, n_chains=None):
             init, n_burn = _resume_init(resume)
             out = run_fused_smoother(
-                seed, jnp.asarray(y).reshape(-1), None,
+                seed, jnp.asarray(y), None,
                 n_burn=n_burn, n_iter=mcmc.n_iter,
                 n_chains=mcmc.n_chains if n_chains is None else n_chains,
                 a_lam=hyp_lam[0], b_lam=hyp_lam[1], a_tau=hyp_tau[0], b_tau=hyp_tau[1],
                 lam0=lam0, tau0=tau0, P0_bands=plam.bands,
-                noise_diag=ptau.diag_, mu0=jnp.asarray(mu).reshape(-1), init=init,
+                noise_diag=ptau.diag_, mu0=jnp.asarray(mu), init=init,
             )
             return _package(out)
 
@@ -407,8 +423,8 @@ def _match_linreg(mcmc) -> Optional[Callable]:
     if not isinstance(ptau, st.Diagonal) or not isinstance(plam, st.Diagonal):
         return None
     X = mcmc.data.get(y_dist.mean.form_dict[latent])
-    y = mcmc.data.get(y_dist.response)
-    mu = mcmc.data.get(_identity_mean_name(b_dist))
+    y = _column(mcmc.data.get(y_dist.response))
+    mu = _column(mcmc.data.get(_identity_mean_name(b_dist)))
     if X is None or y is None or mu is None:
         return None
     from openmcmc_tpu.fused.linreg import MAX_P
@@ -442,8 +458,8 @@ def _match_linreg(mcmc) -> Optional[Callable]:
     # host-concrete arg forms: the spectral variant preprocesses with numpy at
     # trace time (see _match_smoother)
     X_host = np.asarray(X)
-    y_host = np.asarray(y).reshape(-1)
-    mu_host = np.asarray(mu).reshape(-1)
+    y_host = y
+    mu_host = mu
 
     def run(seed, resume=None, n_chains=None):
         init, n_burn = None, mcmc.n_burn
@@ -499,8 +515,10 @@ def _match_rw(mcmc) -> Optional[Callable]:
             y_dist = dist
     if y_dist is None or not isinstance(h_dist, Normal) or y_dist.truncated or h_dist.truncated:
         return None
+    # replicate response columns are fine HERE: run_fused_rw reduces y to
+    # per-dimension sufficient statistics (sum, sum of squares) over columns
     y = mcmc.data.get(y_dist.response)
-    if y is None:
+    if y is None or isinstance(y, st.STRUCTURED_TYPES):
         return None
     from openmcmc_tpu.fused.random_walk import MAX_P
 
@@ -532,12 +550,14 @@ def _match_rw(mcmc) -> Optional[Callable]:
     tau = precision_diag(y_dist)
     lam = precision_diag(h_dist)
     mu_name = _identity_mean_name(h_dist)
-    mu = None if mu_name is None else mcmc.data.get(mu_name)
-    h0 = mcmc.initial_chain_state.get(h)
+    mu = None if mu_name is None else _column(mcmc.data.get(mu_name))
+    h0 = _column(mcmc.initial_chain_state.get(h))
     if tau is None or lam is None or mu is None or h0 is None:
         return None
-    mu = np.broadcast_to(np.asarray(mu, np.float64).reshape(-1), (p,))
-    h0 = np.broadcast_to(np.asarray(h0, np.float64).reshape(-1), (p,))
+    if mu.size not in (1, p) or h0.size not in (1, p):
+        return None  # replicated h columns need the generic driver
+    mu = np.broadcast_to(mu.astype(np.float64), (p,))
+    h0 = np.broadcast_to(h0.astype(np.float64), (p,))
 
     domain = None
     if rw.domain_limits is not None:
@@ -716,9 +736,9 @@ def _match_rj(mcmc) -> Optional[Callable]:
             return None
         hyp_tau = _gamma_hypers(mcmc, tau_name)
         tau0 = _initial_scalar(mcmc, tau_name)
-        y_data = mcmc.data.get(y_name)
+        y_data = _column(mcmc.data.get(y_name))
         if None in (hyp_tau, tau0) or y_data is None:
-            return None
+            return None  # replicate response columns need the generic driver
     k_dist = mcmc.model[count]
     if not (isinstance(k_dist, Poisson) and isinstance(k_dist.rate, Identity)):
         return None
@@ -1114,8 +1134,8 @@ def _match_mmala(mcmc) -> Optional[Callable]:
     tau = _scalar(mcmc, sp_y[1])
     lam = _scalar(mcmc, sp_b[1])  # constants: must live in data, not chain state
     X = mcmc.data.get(y_dist.mean.form_dict[latent])
-    y = mcmc.data.get(y_dist.response)
-    mu0 = mcmc.data.get(_identity_mean_name(b_dist))
+    y = _column(mcmc.data.get(y_dist.response))
+    mu0 = _column(mcmc.data.get(_identity_mean_name(b_dist)))
     if None in (tau, lam) or X is None or y is None or mu0 is None:
         return None
     # exact model inventory: no extra distribution may be dropped (see _match_smoother)
@@ -1128,6 +1148,10 @@ def _match_mmala(mcmc) -> Optional[Callable]:
     if p > SPECTRAL_MAX_P:
         return None
     beta0 = mcmc.initial_chain_state.get(latent)
+    if beta0 is not None:
+        beta0 = _column(beta0)
+        if beta0 is None:
+            return None  # replicated beta columns need the generic driver
 
     if p <= MAX_P:
         from openmcmc_tpu.fused.mmala import run_fused_mmala
@@ -1141,9 +1165,9 @@ def _match_mmala(mcmc) -> Optional[Callable]:
     # host-concrete arg forms (the spectral variant preprocesses with numpy at
     # trace time; see _match_smoother)
     X_host = np.asarray(X)
-    y_host = np.asarray(y).reshape(-1)
-    mu0_host = np.asarray(mu0).reshape(-1)
-    beta0_host = None if beta0 is None else np.asarray(beta0).reshape(-1)
+    y_host = y
+    mu0_host = mu0
+    beta0_host = beta0
 
     def run(seed, resume=None, n_chains=None):
         nc = mcmc.n_chains if n_chains is None else n_chains

@@ -623,3 +623,49 @@ def test_thinned_match_never_mutates_the_driver():
     assert (m.n_burn, m.n_iter, m.n_thin) == (3, 4, 2)
     assert res.store["h"].shape == (8, 4, 1, 1)
     assert int(np.asarray(res.stats["h"]["proposal"])[0]) == (3 + 4) * 2
+
+
+def test_replicated_response_columns_fall_back_to_generic(rng):
+    """Regression (round 4): a replicate-column response y of shape (p, n > 1)
+    (the reference's core data convention, reference distribution.py:7-14) used
+    to silently match the single-column smoother/linreg/mMALA kernels, which
+    read only the first flattened entries -- engine="auto" returned a wrong
+    posterior. Replicated responses must fall back to the generic driver
+    (which sums the likelihood over columns)."""
+    from openmcmc_tpu.samplers import ManifoldMALA
+
+    # smoother: y (p, 3)
+    m = _smoother_mcmc(rng)
+    m.data["y"] = jnp.tile(m.data["y"].reshape(-1, 1), (1, 3))
+    assert match_fused_engine(m) is None
+
+    # linreg: y (N, 2)
+    m2 = _linreg_mcmc(rng)
+    m2.data["y"] = jnp.tile(m2.data["y"].reshape(-1, 1), (1, 2))
+    assert match_fused_engine(m2) is None
+
+    # replicated prior mean mu (p, 2) is equally unrepresentable
+    m3 = _smoother_mcmc(rng)
+    m3.data["mu"] = jnp.zeros((16, 2))
+    assert match_fused_engine(m3) is None
+
+    # mMALA: y (N, 2)
+    N, d = 20, 3
+    X = rng.normal(size=(N, d))
+    y = X @ rng.normal(size=d)
+    mdl = Model(
+        [
+            Normal("y", mean=LinearCombination(form={"beta": "X"}), precision=ScaledMatrix("P", "tau")),
+            Normal("beta", mean="mu0", precision=ScaledMatrix("P0", "one")),
+        ]
+    )
+    state = {
+        "y": np.stack([y, y], 1), "X": X, "beta": np.zeros((d, 1)), "P": st.Diagonal(jnp.ones(N)),
+        "tau": 1.0, "P0": st.Diagonal(jnp.ones(d)), "mu0": np.zeros((d, 1)), "one": 1.0,
+    }
+    m4 = MCMC(state, [ManifoldMALA("beta", mdl, step=1.0)], mdl, n_burn=2, n_iter=3, n_chains=4, seed=0)
+    assert match_fused_engine(m4) is None
+
+    # the fused RANDOM WALK, by contrast, reduces y to per-dimension sufficient
+    # statistics over columns, so its replicated y (1, 5) still matches
+    assert match_fused_engine(_rw_mcmc()).engine_name == "fused_random_walk"

@@ -347,3 +347,13 @@ def test_fused_rj_likelihood_posterior_tpu():
     acc = {n: float(np.asarray(v).mean()) for n, v in res.acceptance.items()}
     for name, want in (("beta", 97.7), ("theta", 71.7), ("omega", 50.2), ("n_basis", 14.2)):
         assert abs(acc[name] - want) < 2.5, (name, acc[name], want)
+
+
+def test_rj_likelihood_no_match_replicated_response():
+    """Regression (round 4): a replicate-column y (n, r > 1) must fall back to
+    generic -- the kernel's residual quadratic reads one response column, and
+    the old reshape(-1) silently concatenated the columns into a wrong-length
+    vector."""
+    rng = np.random.default_rng(3)
+    m = build_rj_regression_mcmc(y=rng.normal(size=(30, 2)))
+    assert match_fused_engine(m) is None
