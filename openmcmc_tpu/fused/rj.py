@@ -342,7 +342,8 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, stream, warm=False):
                     c_new = basis_col(th_rows[j], om_new, aj)
                     dc = (c_new - bas[j]) * beta_rows[j]
                     om_safe_c = jnp.where(om_rows[j] > 0.0, om_rows[j], 1.0)
-                    dtarget = (a_om - 1.0) * (jnp.log(om_new) - jnp.log(om_safe_c)) - b_om * (
+                    om_safe_p = jnp.where(om_new > 0.0, om_new, 1.0)
+                    dtarget = (a_om - 1.0) * (jnp.log(om_safe_p) - jnp.log(om_safe_c)) - b_om * (
                         om_new - om_rows[j]
                     )
                     d_ll = tau * jnp.sum(r * dc, axis=0, keepdims=True) - 0.5 * tau * jnp.sum(
@@ -354,6 +355,10 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, stream, warm=False):
                     acc_j = jnp.logical_and(
                         jnp.log(uniform((1, B))) < (dtarget + d_ll + corr), aj > 0.0
                     )
+                    # an exact-0 f32 proposal (om_lo == 0 boxes) would zero the
+                    # basis width and NaN the Gram; rejecting the measure-zero
+                    # float is statistically free and keeps the lane finite
+                    acc_j = jnp.logical_and(acc_j, om_new > 0.0)
                     om_rows[j] = jnp.where(acc_j, om_new, om_rows[j])
                     bas[j] = jnp.where(acc_j, c_new, bas[j])
                     r = jnp.where(acc_j, r - dc, r)

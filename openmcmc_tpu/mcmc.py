@@ -158,6 +158,7 @@ class MCMC:
         self.store_names = list(store_names)
         self._stats_names = [s.param for s in self.samplers]
         self._fn_cache = {}
+        self._data_pins = {}
         self._carry_logp = self._carried_logp_params()
 
     def _carried_logp_params(self) -> frozenset:
@@ -198,8 +199,23 @@ class MCMC:
         set, fitted responses, mesh, x64 mode); ``_fn_cache`` entries are keyed
         on this snapshot so mutating any of them between runs misses the cache
         instead of silently serving a program built for the old configuration.
-        Model/sampler/data contents are deliberately NOT keyed: those are
-        construction-time state — build a new MCMC object to change them."""
+
+        Data/initial-state entries are keyed by IDENTITY: rebinding
+        ``m.data['y'] = new_y`` between runs re-matches and re-traces with the
+        new array (entries themselves are immutable jax arrays / structured
+        pytrees, so rebinding is the only mutation route). Each distinct data
+        generation is pinned on the object so a freed array's id can never be
+        reused by a later binding. Model/sampler composition is still
+        construction-time state — build a new MCMC object to change it."""
+        data_key = tuple(
+            (k, id(v)) for k, v in (*self.data.items(), *self.initial_chain_state.items())
+        )
+        if data_key not in self._data_pins:
+            # hold a reference to every array in this generation: ids stay valid
+            self._data_pins[data_key] = (
+                tuple(self.data.values()),
+                tuple(self.initial_chain_state.values()),
+            )
         response = self.model.response
         return (
             self.n_chains,
@@ -211,6 +227,7 @@ class MCMC:
             self.mesh,
             self.chain_axis,
             bool(jax.config.jax_enable_x64),
+            data_key,
         )
 
     # -- construction of the pure step functions ----------------------------
@@ -558,6 +575,17 @@ class MCMC:
                 )
             store, log_post, stats, final_state = self._fn_cache[cache_key](seed)
         self.last_engine = runner.engine_name
+        declared = getattr(runner, "store_keys", None)
+        if declared is not None and not declared <= set(store):
+            # store_keys is maintained by hand per matcher; the fitted-value
+            # match gate (_fitted_ok) trusts it, so drift from the store the
+            # runner actually returns must fail loudly, not silently drop a
+            # fitted response the gate promised
+            raise RuntimeError(
+                f"fused engine {runner.engine_name}: declared store_keys "
+                f"{sorted(declared - set(store))} missing from the returned store "
+                f"{sorted(store)} — matcher store_keys out of sync with its kernel"
+            )
         fitted = self._fused_fitted(store)
         # honor store_names exactly like the generic driver's _record
         store = {name: draws for name, draws in store.items() if name in self.store_names}

@@ -103,8 +103,23 @@ def worker(process_id: int, port: int) -> None:
     print(f"[proc {process_id}] resume ok", flush=True)
 
 
+def _free_port() -> int:
+    """Bind port 0 to get an OS-assigned free port for the coordinator.
+
+    Deriving a port from the pid can collide with a live listener (another
+    dryrun, anything in 29xxx), in which case both workers fail to rendezvous
+    and the run only dies at the 600 s communicate() timeout. The socket is
+    closed before the workers start: the tiny reuse race is far rarer than a
+    pid-derived collision."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def parent() -> int:
-    port = 29000 + (os.getpid() % 1000)
+    port = _free_port()
     env = dict(os.environ)
     procs = [
         subprocess.Popen(

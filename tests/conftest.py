@@ -29,6 +29,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: statistical test that needs the real chip PRNG; the only tests "
+        "executed under OPENMCMC_TPU_TEST_BACKEND=tpu",
+    )
+
+
 def pytest_collection_modifyitems(config, items):
     """Real-chip runs execute ONLY the TPU-gated statistical tests.
 
@@ -37,18 +45,25 @@ def pytest_collection_modifyitems(config, items):
     tunneled TPU backend: interpret-mode Pallas dispatches every kernel op
     eagerly through the tunnel at 10-40 ms each, so a 2-second CPU test runs
     for tens of minutes and can wedge the device for everything after it.
-    TPU-gated tests are recognized by their skipif reason mentioning TPU
-    (convention used by every gated test in this suite)."""
+    TPU-gated tests carry the explicit ``tpu`` marker; a TPU-worded skipif
+    without the marker is a collection error (it would otherwise be skipped on
+    every backend and silently never run anywhere)."""
+    for item in items:
+        tpu_worded = any(
+            "TPU" in str(m.kwargs.get("reason", "")) for m in item.iter_markers("skipif")
+        )
+        if tpu_worded and item.get_closest_marker("tpu") is None:
+            raise pytest.UsageError(
+                f"{item.nodeid}: TPU-gated skipif without @pytest.mark.tpu -- "
+                "it would be skipped on every backend; add the marker"
+            )
     if not _REAL_TPU:
         return
     skip = pytest.mark.skip(
         reason="CPU-suite test; OPENMCMC_TPU_TEST_BACKEND=tpu runs only the TPU-gated statistical tests"
     )
     for item in items:
-        tpu_gated = any(
-            "TPU" in str(m.kwargs.get("reason", "")) for m in item.iter_markers("skipif")
-        )
-        if not tpu_gated:
+        if item.get_closest_marker("tpu") is None:
             item.add_marker(skip)
 
 

@@ -669,3 +669,43 @@ def test_replicated_response_columns_fall_back_to_generic(rng):
     # the fused RANDOM WALK, by contrast, reduces y to per-dimension sufficient
     # statistics over columns, so its replicated y (1, 5) still matches
     assert match_fused_engine(_rw_mcmc()).engine_name == "fused_random_walk"
+
+
+def test_data_rebinding_invalidates_cached_programs(rng):
+    """Regression (round 4): the run-config cache key used to exclude data, so
+    ``m.data['y'] = new_y`` between two runs of the SAME MCMC object silently
+    served the cached program (generic trace or fused match) built for the OLD
+    response. Data entries are immutable jax arrays, so rebinding is the only
+    mutation route; the key now folds in entry identity and must re-trace.
+    A rebound-data second run is exactly a fresh object's run (same seed)."""
+    y = np.array([[150.0, 155.0, 190.0, 160.0, 173.0]])
+    mdl = Model([Normal("y", mean="h", precision="tau"), Normal("h", mean="mu", precision="lambda")])
+
+    def make(y_arr):
+        state = {"y": y_arr, "h": 200.0, "tau": jnp.eye(1) / 200.0,
+                 "mu": 160.0, "lambda": jnp.eye(1) / 100.0}
+        return MCMC(state, [RandomWalk("h", mdl, step=5.0)], mdl,
+                    n_burn=3, n_iter=4, n_chains=8, seed=0)
+
+    # generic path: warm the trace cache, rebind, re-run
+    m = make(y)
+    m.run(engine="generic")
+    key_before = m._run_config_key()
+    y2 = y + 40.0
+    m.data["y"] = jnp.asarray(y2)
+    assert m._run_config_key() != key_before
+    got = m.run(engine="generic")
+    want = make(y2).run(engine="generic")
+    np.testing.assert_array_equal(np.asarray(got.store["h"]), np.asarray(want.store["h"]))
+
+    # fused path: the cached MATCH must also be invalidated (its closure bakes y)
+    m = make(y)
+    with pltpu.force_tpu_interpret_mode():
+        m.run(engine="auto")
+        assert m.last_engine == "fused_random_walk"
+        m.data["y"] = jnp.asarray(y2)
+        got = m.run(engine="auto")
+        fresh = make(y2)
+        want = fresh.run(engine="auto")
+    assert fresh.last_engine == "fused_random_walk"
+    np.testing.assert_array_equal(np.asarray(got.store["h"]), np.asarray(want.store["h"]))

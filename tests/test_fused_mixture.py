@@ -206,6 +206,7 @@ def test_dispatch_routes_default_store_with_z(interpret, rng):
     assert np.asarray(g.store["Z"]).dtype == z.dtype
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
 )
@@ -270,6 +271,7 @@ def test_fused_mixture_resume_continues_exactly(interpret, rng, conjugate):
                                       np.asarray(seg2.stats["means"]["accept"]))
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
 )
@@ -429,6 +431,7 @@ def test_k16_matches_and_runs(interpret, rng):
     assert np.asarray(res.store["lams"]).min() > 0.0
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(
     __import__("jax").default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
 )

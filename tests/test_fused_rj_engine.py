@@ -162,6 +162,7 @@ def test_interpret_engine_run():
     assert set(res.acceptance.keys()) == {"beta", "theta", "omega", "n_basis"}
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(
     __import__("jax").default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
 )
@@ -328,6 +329,7 @@ def test_rj_likelihood_resume_continues_exactly():
         np.testing.assert_allclose(np.asarray(full.store[name]), cat, rtol=1e-5, err_msg=name)
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(
     __import__("jax").default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
 )

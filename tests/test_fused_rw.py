@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 ON_TPU = jax.default_backend() == "tpu"
-pytestmark = pytest.mark.skipif(not ON_TPU, reason="fused engine statistics require TPU hardware")
+pytestmark = [pytest.mark.tpu, pytest.mark.skipif(not ON_TPU, reason="fused engine statistics require TPU hardware")]
 
 
 def test_fused_rw_matches_generic_and_analytic():

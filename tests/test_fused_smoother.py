@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 ON_TPU = jax.default_backend() == "tpu"
-pytestmark = pytest.mark.skipif(not ON_TPU, reason="fused engine requires TPU hardware")
+pytestmark = [pytest.mark.tpu, pytest.mark.skipif(not ON_TPU, reason="fused engine requires TPU hardware")]
 
 
 def test_fused_smoother_matches_generic_driver(rng):

@@ -45,6 +45,7 @@ def test_vmapped_cpu_fallback_moments(key, rng):
     np.testing.assert_allclose(mean, want, atol=0.02)
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not ON_TPU, reason="fused Pallas kernel requires TPU hardware")
 def test_pallas_batched_moments(key, rng):
     """On TPU, vmapped calls dispatch to the fused kernel; check mean/cov parity."""

@@ -187,6 +187,7 @@ def test_dispatch_routes_lattice_smoother_to_spectral(rng):
     assert np.isfinite(np.asarray(res.log_post)).all()
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(
     __import__("jax").default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
 )
@@ -442,6 +443,7 @@ def test_smoother_p_cap():
         spectral.run_spectral_smoother(0, np.zeros(8200), np.zeros((1, 1)), 1, 1, 1)
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(
     __import__("jax").default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
 )
@@ -495,6 +497,7 @@ def test_streamed_smoother_tpu_matches_analytic(rng):
     assert abs(float(np.mean(sd_ratio)) - 1.0) < 0.02, float(np.mean(sd_ratio))
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(
     __import__("jax").default_backend() != "tpu", reason="statistical test requires the real TPU PRNG"
 )
