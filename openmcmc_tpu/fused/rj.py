@@ -384,6 +384,10 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, stream, warm=False):
                 om_safe_p = jnp.where(om_prop > 0.0, om_prop, 1.0)
                 dtarget = (a_om - 1.0) * (jnp.log(om_safe_p) - jnp.log(om_safe_c)) - b_om * (om_prop - omega)
                 acc_cols = jnp.logical_and(jnp.log(uniform((p, B))) < (dtarget + lr - lf), m_arr > 0.0)
+                # mirror the per-row guard: an exact-0 f32 proposal (om_lo == 0
+                # boxes) is finite under om_safe_p but would zero a live basis
+                # width and feed log(0) into later RJ ratios; reject it
+                acc_cols = jnp.logical_and(acc_cols, om_prop > 0.0)
                 omega = jnp.where(acc_cols, om_prop, omega)
                 acc_o = acc_o + jnp.sum(acc_cols.astype(jnp.float32), axis=0, keepdims=True)
                 prop_o = prop_o + kf

@@ -62,6 +62,24 @@ def _coerce_state(state: dict) -> dict:
     return out
 
 
+class _StateDict(dict):
+    """State-entry dict whose item assignment re-coerces.
+
+    ``m.data['y'] = new_y`` is the advertised data-rebinding route; raw dict
+    assignment would bypass :func:`_coerce_state` (no column reshape, no dtype
+    coercion) and could store a *mutable* numpy array whose later in-place
+    mutation keeps its ``id()`` and silently serves a stale cached program.
+    Coercing on assignment stores an immutable jax array with the exact shape
+    construction would have given it."""
+
+    def __setitem__(self, name, value):
+        super().__setitem__(name, _coerce_state({name: value})[name])
+
+    def update(self, *args, **kwargs):
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
+
+
 @dataclasses.dataclass
 class MCMCResult:
     """Output of a run: stacked draws plus final carry for checkpoint/resume.
@@ -145,8 +163,10 @@ class MCMC:
             if name not in chain_names:
                 chain_names.append(name)
         self.chain_state_names = chain_names
-        self.data = {k: v for k, v in coerced.items() if k not in chain_names}
-        self.initial_chain_state = {k: v for k, v in coerced.items() if k in chain_names}
+        self.data = _StateDict({k: v for k, v in coerced.items() if k not in chain_names})
+        self.initial_chain_state = _StateDict(
+            {k: v for k, v in coerced.items() if k in chain_names}
+        )
 
         if store_names is None:
             store_names = list(chain_names)
@@ -159,6 +179,7 @@ class MCMC:
         self._stats_names = [s.param for s in self.samplers]
         self._fn_cache = {}
         self._data_pins = {}
+        self._PIN_CAP = 4  # most-recent data generations kept alive (LRU)
         self._carry_logp = self._carried_logp_params()
 
     def _carried_logp_params(self) -> frozenset:
@@ -202,20 +223,36 @@ class MCMC:
 
         Data/initial-state entries are keyed by IDENTITY: rebinding
         ``m.data['y'] = new_y`` between runs re-matches and re-traces with the
-        new array (entries themselves are immutable jax arrays / structured
-        pytrees, so rebinding is the only mutation route). Each distinct data
-        generation is pinned on the object so a freed array's id can never be
-        reused by a later binding. Model/sampler composition is still
-        construction-time state — build a new MCMC object to change it."""
+        new array (``data``/``initial_chain_state`` are :class:`_StateDict`, so
+        assignment re-coerces to an immutable jax array — rebinding is the only
+        mutation route). Each distinct data generation is pinned on the object
+        so a freed array's id can never be reused by a later binding, and the
+        pin set is LRU-bounded (``_PIN_CAP`` most-recent generations): evicting
+        a generation also evicts every ``_fn_cache`` program that baked its
+        arrays in, so a streaming rebind-and-rerun loop (one dataset per run)
+        holds O(1) stale programs instead of leaking them all. Model/sampler
+        composition is still construction-time state — build a new MCMC object
+        to change it."""
         data_key = tuple(
             (k, id(v)) for k, v in (*self.data.items(), *self.initial_chain_state.items())
         )
-        if data_key not in self._data_pins:
+        if data_key in self._data_pins:
+            self._data_pins[data_key] = self._data_pins.pop(data_key)  # refresh LRU order
+        else:
             # hold a reference to every array in this generation: ids stay valid
             self._data_pins[data_key] = (
                 tuple(self.data.values()),
                 tuple(self.initial_chain_state.values()),
             )
+            while len(self._data_pins) > self._PIN_CAP:
+                evicted = next(iter(self._data_pins))
+                del self._data_pins[evicted]
+                # every cache key ends in the run-config snapshot whose last
+                # element is the data generation; drop programs for the
+                # evicted generation (their device constants die with them)
+                self._fn_cache = {
+                    k: v for k, v in self._fn_cache.items() if k[-1][-1] != evicted
+                }
         response = self.model.response
         return (
             self.n_chains,
@@ -387,9 +424,13 @@ class MCMC:
             store, log_post, stats, final_state = runner(seed)
             store.update(self._fused_fitted(store))
             self.last_engine = runner.engine_name
+            # ADVANCED final_key (fold_in before split), matching the fused
+            # path: a later generic resume of this result must draw a stream
+            # distinct from what a fresh run would use, never replay it
             return MCMCResult(
                 store=store, log_post=log_post, stats=stats, final_state=final_state,
-                final_key=jax.random.split(self.key, self.n_chains), engine=runner.engine_name,
+                final_key=jax.random.split(jax.random.fold_in(self.key, 1), self.n_chains),
+                engine=runner.engine_name,
             )
         if engine in ("auto", "fused"):
             from openmcmc_tpu.fused.dispatch import match_fused_engine

@@ -45,12 +45,17 @@ def pytest_collection_modifyitems(config, items):
     tunneled TPU backend: interpret-mode Pallas dispatches every kernel op
     eagerly through the tunnel at 10-40 ms each, so a 2-second CPU test runs
     for tens of minutes and can wedge the device for everything after it.
-    TPU-gated tests carry the explicit ``tpu`` marker; a TPU-worded skipif
-    without the marker is a collection error (it would otherwise be skipped on
-    every backend and silently never run anywhere)."""
+    TPU-gated tests carry the explicit ``tpu`` marker; a skipif written in the
+    requires-TPU gating idiom without the marker is a collection error (it
+    would otherwise be skipped on every backend and silently never run
+    anywhere). Only the gating idiom is matched — a reversed-polarity skip
+    that merely *mentions* TPU (e.g. "flaky on TPU tunnel") is left alone."""
+    import re
+
+    gating = re.compile(r"(requires?|needs?)\s+(the\s+)?(real\s+)?(chip|TPU)", re.IGNORECASE)
     for item in items:
         tpu_worded = any(
-            "TPU" in str(m.kwargs.get("reason", "")) for m in item.iter_markers("skipif")
+            gating.search(str(m.kwargs.get("reason", ""))) for m in item.iter_markers("skipif")
         )
         if tpu_worded and item.get_closest_marker("tpu") is None:
             raise pytest.UsageError(
