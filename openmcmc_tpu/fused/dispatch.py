@@ -1033,11 +1033,9 @@ def _match_mixture(mcmc) -> Optional[Callable]:
     if not set(mcmc.store_names) <= {mu_name, lam_name, z_name}:
         return None
     if store_z:
-        from openmcmc_tpu.fused.mixture import PAD as _PAD
-        from openmcmc_tpu.fused.mixture import RESIDENT_N, TILE_N, _block_b
+        from openmcmc_tpu.fused.mixture import RESIDENT_N, TILE_N, _block_b, pad_unit
 
-        unit = TILE_N if n > RESIDENT_N else _PAD
-        n_pad_z = n + ((-n) % unit)
+        n_pad_z = n + ((-n) % pad_unit(n))
         bb = _block_b(TILE_N if n > RESIDENT_N else n_pad_z, k_comp, store_z=True)
         b_total = mcmc.n_chains + ((-mcmc.n_chains) % bb)
         if 4 * mcmc.n_iter * n_pad_z * b_total > 4 << 30:

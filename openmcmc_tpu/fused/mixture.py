@@ -59,6 +59,8 @@ from jax.experimental.pallas import tpu as pltpu
 from openmcmc_tpu.fused.prng import (
     LOG_2PI,
     begin_iteration as _begin_iteration,
+    begin_inner as _begin_inner,
+    end_inner as _end_inner,
     seed_bits as _seed_bits,
     gamma_mt_elem,
     normal_icdf,
@@ -75,6 +77,21 @@ TILE_N = 1024  # streamed tile rows (multiple of 8; one DMA per tile per iterati
 DATA_LANES = 128  # data block lane width: one full lane tile, so every DMA slice
 #                   is tile-aligned on both axes (cols beyond 3 + K are zero)
 PAD = 8
+
+
+# Streamed tiles statically unrolled per fori_loop step. Measured at
+# n = 10^5, K = 16 (conjugate engine): full unroll ~17 min compile / 0.48 s
+# wall; UNROLL=8 308 s / 1.52 s; UNROLL=2 34 s / 1.58 s; a 1-tile fori body
+# with a traced-slot buffer read 18 s / 1.70 s. The runtime is tile-math bound
+# (not unroll-bound), so the small static-slot body wins the trade.
+UNROLL = 2
+
+
+def pad_unit(n: int) -> int:
+    """Row-padding unit for the packed data block: streamed data pads to a
+    multiple of UNROLL tiles (the stream loop is a fori over UNROLL-tile groups
+    with static DMA slots); resident data pads to the sublane tile."""
+    return UNROLL * TILE_N if n > RESIDENT_N else PAD
 
 
 def _block_b(tile_n: int, k_comp: int, store_z: bool = False) -> int:
@@ -145,20 +162,15 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
             # inverse CDF (one uniform per point); Z is only ever needed through
             # the per-component sufficient statistics, accumulated tile by tile
             zr = jnp.zeros((1, block_b), jnp.float32)
-            s0 = [zr for _ in range(k_comp)]
-            s1 = [zr for _ in range(k_comp)]
-            s2 = [zr for _ in range(k_comp)]
-            s3 = [zr for _ in range(k_comp)]
-            if stream:
-                d_dma(0, 0).start()
-            for t in range(n_tiles):
-                if stream:
-                    if t + 1 < n_tiles:
-                        d_dma((t + 1) % 2, t + 1).start()
-                    d_dma(t % 2, t).wait()
-                    blk = dbuf_ref[t % 2]  # (tile_n, DATA_LANES)
-                else:
-                    blk = data_ref[:, :]
+
+            def tile_stats(blk, t, s0, s1, s2, s3):
+                """One data tile's allocation draw + sufficient-stat fold.
+
+                ``t`` may be a TRACED tile index: the streamed path runs this
+                body under lax.fori_loop (a 98-tile Python unroll at n = 10^5
+                compiled for ~17 minutes, measured round 5; the fori body
+                compiles once)."""
+                s0, s1, s2, s3 = list(s0), list(s1), list(s2), list(s3)
                 cnt = blk[:, 0:1]  # per-point replicate count (0 on padding rows)
                 sm = blk[:, 1:2]  # per-point replicate sum
                 sq = blk[:, 2:3]  # per-point replicate sum of squares
@@ -219,16 +231,55 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
                     s1[k] = s1[k] + jnp.sum(ind * sm, axis=0, keepdims=True)
                     s2[k] = s2[k] + jnp.sum(ind * sq, axis=0, keepdims=True)
                     s3[k] = s3[k] + jnp.sum(ind * blk[:, 3 + k : 4 + k], axis=0, keepdims=True)
+                return tuple(s0), tuple(s1), tuple(s2), tuple(s3)
+
+            zeros_k = tuple(zr for _ in range(k_comp))
+            if not stream:
+                s0, s1, s2, s3 = tile_stats(data_ref[:, :], 0, zeros_k, zeros_k, zeros_k, zeros_k)
+            else:
+                # fori over UNROLL-tile groups with all DMA slots STATIC inside
+                # the body: full unrolling costs ~17 min of compile at n = 10^5
+                # while a 1-tile fori body with a traced-slot read costs ~3x
+                # runtime; the group body keeps the unrolled kernel's static
+                # addressing at 1/(n_tiles/UNROLL)th the program size. Pack
+                # time guarantees n_tiles is a multiple of UNROLL.
+                d_dma(0, 0).start()
+
+                def group_body(i, carry):
+                    t0 = UNROLL * i
+                    for u in range(UNROLL):
+                        nxt = u + 1
+                        if nxt < UNROLL:
+                            d_dma(nxt % 2, t0 + nxt).start()
+                        else:
+
+                            @pl.when(t0 + nxt < n_tiles)
+                            def _(nxt=nxt):
+                                d_dma(nxt % 2, t0 + nxt).start()
+
+                        d_dma(u % 2, t0 + u).wait()
+                        _begin_inner(t0 + u)
+                        carry = tile_stats(dbuf_ref[u % 2], t0 + u, *carry)
+                    return carry
+
+                s0, s1, s2, s3 = lax.fori_loop(
+                    0, n_tiles // UNROLL, group_body, (zeros_k, zeros_k, zeros_k, zeros_k)
+                )
+                _end_inner()
+            s0, s1, s2, s3 = list(s0), list(s1), list(s2), list(s3)
 
             if conjugate:
                 # ---- conjugate NormalNormal over the component means (the
                 # generic driver's mixture-means path in samplers/conjugate.py):
-                # q_k = p0_k + lam_k S0_k, mean_k = (p0_k mu0_k + lam_k S1_k)/q_k
+                # q_k = p0_k + lam_k S0_k, mean_k = (p0_k mu0_k + lam_k S1_k)/q_k.
+                # One STACKED (K, B) normal draw: K separate (1, B) calls each
+                # burn a full 8-sublane register tile per op (see prng.gamma_mt2)
+                zs = normal_icdf((k_comp, block_b))
                 mu_new = []
                 for k in range(k_comp):
                     q = p0(k) + lam[k] * s0[k]
                     post_mean = (p0(k) * mu0(k) + lam[k] * s1[k]) / q
-                    mu_new.append(post_mean + normal_icdf((1, block_b)) * lax.rsqrt(q))
+                    mu_new.append(post_mean + zs[k : k + 1, :] * lax.rsqrt(q))
                 acc_new = acc  # no MH step: accept counters stay zero
             else:
                 # ---- RandomWalkLoop over the single replicate column of mu: one
@@ -473,7 +524,7 @@ def run_fused_mixture(
 
     r = y.shape[1]
     stream = n > RESIDENT_N
-    unit = TILE_N if stream else PAD
+    unit = pad_unit(n)
     n_pad = n + ((-n) % unit)
     data = np.zeros((n_pad, DATA_LANES), np.float64)
     data[:n, 0] = float(r)

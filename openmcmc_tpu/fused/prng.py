@@ -60,6 +60,7 @@ class HostBitSource:
     def __init__(self, collide_programs: bool = False):
         self.collide_programs = collide_programs
         self._key_it = None
+        self._key_cur = None
         self._base = None
         self._site = 0
 
@@ -70,18 +71,33 @@ class HostBitSource:
             seed_val = jnp.asarray(seed_val, jnp.int32) * 0
         self._base = jax.random.PRNGKey(jnp.asarray(seed_val, jnp.int32))
         self._key_it = self._base  # draws before any begin_iteration
+        self._key_cur = self._base
         self._site = 0
 
     def begin(self, it):
         import jax
 
         self._key_it = jax.random.fold_in(self._base, it)
+        self._key_cur = self._key_it
         self._site = 0
+
+    def begin_inner(self, t):
+        import jax
+
+        # inner traced loop (e.g. a streamed tile fori_loop): the body traces
+        # once, so per-tile stream variation must fold the traced index in;
+        # offset keeps inner keys structurally distinct from outer sites
+        self._key_cur = jax.random.fold_in(self._key_it, 1_000_000 + t)
+        self._site = 0
+
+    def end_inner(self):
+        self._key_cur = self._key_it
+        self._site = 500  # outer sites after an inner loop never collide
 
     def __call__(self, shape):
         import jax
 
-        key = jax.random.fold_in(self._key_it, self._site)
+        key = jax.random.fold_in(self._key_cur, self._site)
         self._site += 1
         return jax.random.bits(key, tuple(shape), jnp.uint32)
 
@@ -116,6 +132,22 @@ def begin_iteration(it) -> None:
     folds the traced loop index into the host stream under statistical CI)."""
     if _HOST_SOURCE is not None:
         _HOST_SOURCE.begin(it)
+
+
+def begin_inner(t) -> None:
+    """Kernel hook: start of an INNER traced loop pass (e.g. one streamed data
+    tile). No-op in production (the hardware PRNG is stateful, so a fori body
+    traced once still draws fresh bits every pass); folds the traced inner index
+    into the host stream under statistical CI, where the trace-once body would
+    otherwise replay identical bits for every pass."""
+    if _HOST_SOURCE is not None:
+        _HOST_SOURCE.begin_inner(t)
+
+
+def end_inner() -> None:
+    """Kernel hook: end of an inner traced loop (pairs with :func:`begin_inner`)."""
+    if _HOST_SOURCE is not None:
+        _HOST_SOURCE.end_inner()
 
 
 def _resolve(bit_source):

@@ -25,17 +25,24 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 
-def cholesky_small(A: jnp.ndarray) -> jnp.ndarray:
+def cholesky_small(A: jnp.ndarray, clamp: Optional[float] = None) -> jnp.ndarray:
     """Lower Cholesky of SPD ``A`` (..., p, p), unrolled over the static p columns.
 
     Right-looking rank-1 updates: p steps of broadcast multiplies (VPU-only), no
     custom call. Equivalent to ``jnp.linalg.cholesky`` for SPD input.
+
+    ``clamp``: optional pivot floor -- an intrinsic (rank-deficient) precision's
+    numerically-zero pivot can round slightly negative in f32; flooring keeps the
+    factor finite (same convention as the banded kernels in structured.py).
     """
     p = A.shape[-1]
     R = A
     cols = []
     for j in range(p):
-        d = jnp.sqrt(R[..., j, j])
+        piv = R[..., j, j]
+        if clamp is not None:
+            piv = jnp.maximum(piv, clamp)
+        d = jnp.sqrt(piv)
         col = R[..., :, j] / d[..., None]
         # zero strictly-above-diagonal entries (static mask)
         col = col * (jnp.arange(p) >= j)

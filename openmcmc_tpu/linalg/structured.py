@@ -184,6 +184,40 @@ def permuted(inner, perm) -> Permuted:
     return Permuted(inner, perm if isinstance(perm, _StaticPerm) else _StaticPerm(perm))
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BlockBand:
+    """Lower Cholesky factor of a Banded matrix in MXU-blocked form.
+
+    ``blocks`` has shape (k, q + 1, s, s): ``blocks[c, j]`` is the (s, s) block
+    ``L[c + j, c]`` of the factor partitioned into k block-rows of size s
+    (p padded up to k * s with identity rows); q is the block bandwidth
+    (q * s >= bw). Produced by :func:`cholesky` for Banded matrices with
+    bw >= ``_BLOCK_BW_MIN``: the scalar column recurrence is a p-step
+    sequential scan with O(bw^2) row work that crawls at lattice bandwidths
+    (measured 3.7 it/s on the 64 x 64 lattice smoother, VERDICT r4), while the
+    blocked recurrence runs p/s steps of (s, s) matmuls on the MXU.
+
+    This type only ever represents a FACTOR -- it flows through solve_lower /
+    solve_upper_t / chol_matvec_t / diag / chol_log_det / to_dense_lower, never
+    through add/scale/matvec, exactly like Banded Cholesky factors do.
+    """
+
+    blocks: jnp.ndarray
+    p: int
+
+    def tree_flatten(self):
+        return (self.blocks,), self.p
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+    @property
+    def shape(self):
+        return (self.p, self.p)
+
+
 Structured = Union[Dense, Diagonal, Banded, Permuted]
 
 #: every structured matrix type, for isinstance checks across the framework
@@ -252,6 +286,8 @@ def dim(a: Structured) -> int:
         return a.diag_.shape[-1]
     if isinstance(a, Permuted):
         return dim(a.inner)
+    if isinstance(a, BlockBand):
+        return a.p
     return a.bands.shape[-1]
 
 
@@ -296,6 +332,8 @@ def to_dense_lower(chol: Structured) -> jnp.ndarray:
         return to_dense_lower(chol.inner)[chol.perm.inverse]
     if isinstance(chol, Diagonal):
         return _diag_embed_offset(chol.diag_, chol.diag_.shape[-1], 0)
+    if isinstance(chol, BlockBand):
+        return _blockband_to_dense_lower(chol)
     p = dim(chol)
     out = _diag_embed_offset(chol.bands[0], p, 0)
     for j in range(1, chol.bw + 1):
@@ -311,6 +349,8 @@ def diag(a: Structured) -> jnp.ndarray:
         return a.diag_
     if isinstance(a, Permuted):
         return a.unpermute(diag(a.inner))
+    if isinstance(a, BlockBand):
+        return _blockband_diag(a)
     return a.bands[0]
 
 
@@ -442,6 +482,8 @@ def cholesky(a: Structured) -> Structured:
         return Permuted(cholesky(a.inner), a.perm)
     if a.bw == 1:
         return Banded(_tridiag_cholesky(a.bands))
+    if a.bw >= _BLOCK_BW_MIN:
+        return _banded_cholesky_blocked(a.bands)
     return Banded(_banded_cholesky(a.bands))
 
 
@@ -545,6 +587,192 @@ def _banded_cholesky(bands: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# MXU-blocked banded Cholesky (bw >= _BLOCK_BW_MIN)
+# ---------------------------------------------------------------------------
+
+# Above this bandwidth the scalar column scan (p steps, O(bw^2) VPU row work) is
+# replaced by the block recurrence (p/s steps of (s, s) MXU matmuls). Below it
+# the scalar scan's tiny steps beat block setup; tridiagonal keeps its log-depth
+# associative scan.
+_BLOCK_BW_MIN = 9
+
+
+def _block_size(bw: int) -> int:
+    """Block size s: the smallest multiple of 8 covering bw, capped at 64.
+
+    s >= bw makes the matrix block-TRIdiagonal (q = 1); past 64 the unrolled
+    (s, s) smallmat kernels' trace size dominates compile, so s caps and the
+    block bandwidth q = ceil(bw / s) grows instead."""
+    return min(64, 8 * -(-bw // 8))
+
+
+def _band_to_blocks(bands: jnp.ndarray, s: int):
+    """Partition band storage (bw+1, p) into (k, q+1, s, s) lower block storage.
+
+    out[c, m] = A[c + m, c] as s x s blocks, p padded to k * s with identity
+    rows (the padding factors to identity and decouples from the real rows).
+    Index arrays are static, so the gathers constant-fold at compile time.
+    """
+    bw = bands.shape[0] - 1
+    p = bands.shape[-1]
+    q = -(-bw // s)
+    k = -(-p // s)
+    p_pad = k * s
+    bp = jnp.pad(bands, ((0, (q + 1) * s - bands.shape[0]), (0, p_pad - p)))
+    if p_pad > p:
+        bp = bp.at[0, p:].set(jnp.ones((p_pad - p,), bands.dtype))
+    bpr = bp.reshape((q + 1) * s, k, s)
+    a_i = np.arange(s)[:, None]
+    b_i = np.arange(s)[None, :]
+    bb = np.broadcast_to(b_i, (s, s))
+    # A[c*s + a + m*s, c*s + b] = bands[m*s + a - b, c*s + b]
+    out = []
+    for m in range(q + 1):
+        idx = m * s + a_i - b_i  # (s, s) static
+        valid = (idx >= 0) & (idx <= bw)
+        g = bpr[np.clip(idx, 0, (q + 1) * s - 1), :, bb]  # (s, s, k)
+        g = jnp.where(jnp.asarray(valid)[..., None], g, 0.0)
+        blk = jnp.moveaxis(g, -1, 0)  # (k, s, s)
+        if m == 0:
+            # stored lower triangle only; symmetrize the diagonal block
+            diag_part = jnp.eye(s, dtype=bands.dtype) * jnp.diagonal(blk, axis1=-2, axis2=-1)[..., None, :]
+            blk = blk + jnp.swapaxes(blk, -1, -2) - diag_part
+        out.append(blk)
+    return jnp.stack(out, axis=1), q, k  # (k, q+1, s, s)
+
+
+def _banded_cholesky_blocked(bands: jnp.ndarray) -> "BlockBand":
+    """Block-banded Cholesky: scan over block-columns, (s, s) MXU ops per step.
+
+    Block recurrence (block-column c; L[c, c-m] lives in earlier columns):
+        S        = A[c, c] - sum_{m=1..q} L[c, c-m] L[c, c-m]^T
+        L[c, c]  = chol(S)
+        L[c+j, c]= (A[c+j, c] - sum_{m=1..q-j} L[c+j, c-m] L[c, c-m]^T) L[c, c]^{-T}
+    The carry holds the last q factor block-columns.
+    """
+    from openmcmc_tpu.linalg import smallmat as _sm
+
+    bw = bands.shape[0] - 1
+    p = bands.shape[-1]
+    s = _block_size(bw)
+    acols, q, k = _band_to_blocks(bands, s)
+
+    def step(w, a_col):
+        # w: (q, q+1, s, s) factor block-columns c-1 .. c-q
+        S = a_col[0]
+        for m in range(1, q + 1):
+            lcm = w[m - 1, m]
+            S = S - mm(lcm, jnp.swapaxes(lcm, -1, -2))
+        l_c = _sm.cholesky_small(S, clamp=1e-30)
+        cols = [l_c]
+        for j in range(1, q + 1):
+            r = a_col[j]
+            for m in range(1, q - j + 1):
+                r = r - mm(w[m - 1, m + j], jnp.swapaxes(w[m - 1, m], -1, -2))
+            # C = R L^{-T}  <=>  L C^T = R^T (forward substitution)
+            c_blk = jnp.swapaxes(_sm.solve_lower_small(l_c, jnp.swapaxes(r, -1, -2)), -1, -2)
+            cols.append(c_blk)
+        col = jnp.stack(cols)
+        w_new = jnp.concatenate([col[None], w[:-1]], axis=0) if q > 1 else col[None]
+        return w_new, col
+
+    w0 = jnp.zeros((q, q + 1, s, s), bands.dtype)
+    _, cols = lax.scan(step, w0, acols)
+    return BlockBand(cols, p)
+
+
+def _blockband_rhs(f: "BlockBand", b: jnp.ndarray):
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]
+    k, _, s, _ = f.blocks.shape
+    bp = jnp.pad(b, ((0, k * s - f.p), (0, 0))).reshape(k, s, b.shape[1])
+    return bp, vec
+
+
+def _blockband_out(f: "BlockBand", xs: jnp.ndarray, vec: bool):
+    k, _, s, _ = f.blocks.shape
+    out = xs.reshape(k * s, -1)[: f.p]
+    return out[:, 0] if vec else out
+
+
+def _blockband_solve_lower(f: "BlockBand", b: jnp.ndarray) -> jnp.ndarray:
+    """Forward substitution by block rows: p/s scan steps of (s, s) matmuls."""
+    from openmcmc_tpu.linalg import smallmat as _sm
+
+    bp, vec = _blockband_rhs(f, b)
+    k, q1, s, _ = f.blocks.shape
+    q = q1 - 1
+    n = bp.shape[-1]
+
+    def step(carry, inp):
+        xs, cols = carry  # xs[m-1] = x_{c-m}; cols[m-1] = factor column c-m
+        col_c, b_c = inp
+        acc = b_c
+        for m in range(1, q + 1):
+            acc = acc - mm(cols[m - 1, m], xs[m - 1])
+        x_c = _sm.solve_lower_small(col_c[0], acc)
+        xs_new = jnp.concatenate([x_c[None], xs[:-1]], axis=0) if q > 1 else x_c[None]
+        cols_new = jnp.concatenate([col_c[None], cols[:-1]], axis=0) if q > 1 else col_c[None]
+        return (xs_new, cols_new), x_c
+
+    carry0 = (jnp.zeros((q, s, n), bp.dtype), jnp.zeros((q, q1, s, s), f.blocks.dtype))
+    _, xs = lax.scan(step, carry0, (f.blocks, bp))
+    return _blockband_out(f, xs, vec)
+
+
+def _blockband_solve_upper_t(f: "BlockBand", b: jnp.ndarray) -> jnp.ndarray:
+    """Back substitution on L^T by block rows (reverse scan); every needed block
+    L[c+j, c] lives in block-column c itself, so only the x carry is needed."""
+    from openmcmc_tpu.linalg import smallmat as _sm
+
+    bp, vec = _blockband_rhs(f, b)
+    k, q1, s, _ = f.blocks.shape
+    q = q1 - 1
+    n = bp.shape[-1]
+
+    def step(xs, inp):
+        # xs[j-1] = x_{c+j}
+        col_c, b_c = inp
+        acc = b_c
+        for j in range(1, q + 1):
+            acc = acc - mm(jnp.swapaxes(col_c[j], -1, -2), xs[j - 1])
+        x_c = _sm.solve_upper_small(jnp.swapaxes(col_c[0], -1, -2), acc)
+        xs_new = jnp.concatenate([x_c[None], xs[:-1]], axis=0) if q > 1 else x_c[None]
+        return xs_new, x_c
+
+    xs0 = jnp.zeros((q, s, n), bp.dtype)
+    _, xs = lax.scan(step, xs0, (f.blocks, bp), reverse=True)
+    return _blockband_out(f, xs, vec)
+
+
+def _blockband_matvec_t(f: "BlockBand", x: jnp.ndarray) -> jnp.ndarray:
+    """(L^T x)_c = L[c, c]^T x_c + sum_j L[c+j, c]^T x_{c+j} -- no scan, one
+    batched (k, s, s) x (k, s, n) matmul per block diagonal."""
+    xp, vec = _blockband_rhs(f, x)
+    k, q1, s, _ = f.blocks.shape
+    y = mm(jnp.swapaxes(f.blocks[:, 0], -1, -2), xp)
+    for j in range(1, q1):
+        x_shift = jnp.concatenate([xp[j:], jnp.zeros((j, s, xp.shape[-1]), xp.dtype)], axis=0)
+        y = y + mm(jnp.swapaxes(f.blocks[:, j], -1, -2), x_shift)
+    return _blockband_out(f, y, vec)
+
+
+def _blockband_diag(f: "BlockBand") -> jnp.ndarray:
+    return jnp.diagonal(f.blocks[:, 0], axis1=-2, axis2=-1).reshape(-1)[: f.p]
+
+
+def _blockband_to_dense_lower(f: "BlockBand") -> jnp.ndarray:
+    k, q1, s, _ = f.blocks.shape
+    out = jnp.zeros((k * s, k * s), f.blocks.dtype)
+    for c in range(k):
+        for j in range(q1):
+            if c + j < k:
+                out = out.at[(c + j) * s : (c + j + 1) * s, c * s : (c + 1) * s].set(f.blocks[c, j])
+    return out[: f.p, : f.p]
+
+
+# ---------------------------------------------------------------------------
 # Triangular solves against a lower Cholesky factor
 # ---------------------------------------------------------------------------
 
@@ -570,6 +798,8 @@ def solve_lower(chol: Structured, b: jnp.ndarray) -> jnp.ndarray:
     if isinstance(chol, Diagonal):
         d = chol.diag_ if b.ndim == 1 else chol.diag_[:, None]
         return b / d
+    if isinstance(chol, BlockBand):
+        return _blockband_solve_lower(chol, b)
     return _banded_solve_lower(chol.bands, b)
 
 
@@ -594,6 +824,8 @@ def solve_upper_t(chol: Structured, b: jnp.ndarray) -> jnp.ndarray:
     if isinstance(chol, Diagonal):
         d = chol.diag_ if b.ndim == 1 else chol.diag_[:, None]
         return b / d
+    if isinstance(chol, BlockBand):
+        return _blockband_solve_upper_t(chol, b)
     return _banded_solve_upper_t(chol.bands, b)
 
 
@@ -692,6 +924,8 @@ def chol_matvec_t(chol: Structured, x: jnp.ndarray) -> jnp.ndarray:
     if isinstance(chol, Diagonal):
         d = chol.diag_ if x.ndim == 1 else chol.diag_[:, None]
         return d * x
+    if isinstance(chol, BlockBand):
+        return _blockband_matvec_t(chol, x)
     # (L^T)[i, i+j] = C[j, i]
     bands = chol.bands
     vec = x.ndim == 1

@@ -451,3 +451,43 @@ def test_fused_resume_advances_prng_stream(host_stats):
     d2 = np.diff(np.asarray(seg2.store["h"]).reshape(8, -1), axis=1)
     d3 = np.diff(np.asarray(seg3.store["h"]).reshape(8, -1), axis=1)
     assert not np.allclose(d2, d3)
+
+
+def test_streamed_conjugate_mixture_posterior(host_stats, rng):
+    """The STREAMED tier of the conjugate-means mixture engine (HBM tile DMA +
+    per-tile host-bit streams via prng.begin_inner) must sample the exact
+    conditional posterior: with well-separated components the means' posterior
+    is N((p0 mu0 + lam S1)/(p0 + lam n_k), 1/(p0 + lam n_k)) to high accuracy.
+    Forces the streaming layout on small data via the RESIDENT_N/TILE_N knobs
+    (same approach as test_fused_mixture.test_interpret_streamed_matches_resident)."""
+    from unittest import mock
+
+    from openmcmc_tpu.fused import mixture
+
+    n, K = 96, 2
+    mu_true = np.array([-8.0, 8.0])
+    z_true = (rng.random(n) > 0.5).astype(int)
+    lam_true = 4.0
+    y = mu_true[z_true] + rng.normal(size=n) / np.sqrt(lam_true)
+    prior = np.full((n, K), 0.5)
+    p0, mu0 = np.full(K, 0.1), np.zeros(K)
+    with mock.patch.object(mixture, "RESIDENT_N", 32), mock.patch.object(mixture, "TILE_N", 32):
+        out = mixture.run_fused_mixture(
+            13, y, prior, n_burn=100, n_iter=200, n_chains=1024,
+            mu0=mu0, p0=p0, a0=np.full(K, 2.0), b0=np.ones(K),
+            mu_init=np.array([-5.0, 5.0]), lam_init=np.full(K, lam_true),
+            conjugate_means=True,
+        )
+    mu_draws = np.asarray(out["means"]).reshape(-1, K)
+    mu_draws = np.sort(mu_draws, axis=1)
+    lam_hat = np.asarray(out["lams"]).mean()
+    for k, sign in ((0, -1), (1, +1)):
+        sel = z_true == (0 if sign < 0 else 1)
+        n_k = sel.sum()
+        # conditional posterior at the (essentially fixed) true allocation
+        prec = p0[k] + lam_hat * n_k
+        want = (p0[k] * mu0[k] + lam_hat * y[sel].sum()) / prec
+        got = mu_draws[:, k].mean()
+        sd_post = 1.0 / np.sqrt(prec)
+        assert abs(got - want) < 5.0 * sd_post / np.sqrt(200) + 0.05, (k, got, want)
+        assert abs(mu_draws[:, k].std() / sd_post - 1.0) < 0.2, (k, mu_draws[:, k].std(), sd_post)

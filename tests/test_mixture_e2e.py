@@ -179,3 +179,61 @@ def test_conjugate_mixture_means_recovery(rng):
     x = srt - srt.mean(1, keepdims=True)
     ac1 = (x[:, 1:] * x[:, :-1]).sum((0, 1)) / (x**2).sum((0, 1))
     assert np.all(ac1 < 0.6), ac1
+
+
+def test_rw_and_conjugate_sweeps_same_posterior(rng):
+    """The jointly-blocked conjugate means update (NormalNormal mixture path)
+    targets the SAME posterior as the reference-style RandomWalkLoop sweep:
+    posterior means/precisions from the two sweeps agree within MC error
+    (VERDICT r5 item 1 parity gate for switching the large-mixture benchmark
+    to the conjugate sweep; reference semantics sampler.py:291-355)."""
+    n, m = 150, 2
+    true_means = np.array([-2.0, 3.0])
+    true_alloc = rng.integers(0, m, n)
+    y = rng.normal(true_means[true_alloc], 0.6).reshape(n, 1)
+
+    def build(conjugate):
+        mdl = Model(
+            [
+                Normal(
+                    "y",
+                    mean=MixtureParameterVector(param="means", allocation="Z"),
+                    precision=MixtureParameterMatrix(param="lams", allocation="Z"),
+                ),
+                Categorical("Z", prob="prior"),
+                Normal("means", mean="mu0", precision="P0"),
+                Gamma("lams", shape="a0", rate="b0"),
+            ]
+        )
+        means_sampler = (
+            NormalNormal("means", mdl)
+            if conjugate
+            else RandomWalkLoop("means", mdl, step=0.3)
+        )
+        samplers = [MixtureAllocation("Z", mdl, response_param="y"), means_sampler, NormalGamma("lams", mdl)]
+        state = {
+            "y": y,
+            "Z": (y > 0).astype(np.int32),
+            "means": np.array([-1.0, 1.0]).reshape(m, 1),
+            "lams": np.ones((m, 1)),
+            "prior": np.full((n, m), 0.5),
+            "mu0": np.zeros((m, 1)),
+            "P0": st.Diagonal(jnp.full((m,), 0.01)),
+            "a0": np.full((m, 1), 2.0),
+            "b0": np.full((m, 1), 1.0),
+        }
+        mc = MCMC(state, samplers, mdl, n_burn=300, n_iter=500, n_chains=64, seed=3,
+                  store_names=["means", "lams"])
+        mc.model.response = None
+        return mc
+
+    res_rw = build(False).run()
+    res_cj = build(True).run()
+    mu_rw = np.asarray(res_rw.store["means"]).reshape(-1, m)
+    mu_cj = np.asarray(res_cj.store["means"]).reshape(-1, m)
+    sd = mu_rw.std(0)
+    assert np.all(np.abs(mu_rw.mean(0) - mu_cj.mean(0)) < 0.2 * sd), (mu_rw.mean(0), mu_cj.mean(0))
+    assert np.all(np.abs(mu_cj.std(0) / sd - 1.0) < 0.25)
+    lam_rw = np.asarray(res_rw.store["lams"]).reshape(-1, m)
+    lam_cj = np.asarray(res_cj.store["lams"]).reshape(-1, m)
+    assert np.all(np.abs(lam_rw.mean(0) - lam_cj.mean(0)) < 0.25 * lam_rw.std(0))
