@@ -632,7 +632,10 @@ def main():
     # same models are run tiny (their sequential scans cost minutes at scale);
     # ESS/s is a rate, so configs need not match across rows.
     if "lattice_smoother" in ref:
-        mcmc, param = lattice_smoother(n_chains=64, n_burn=10, n_iter=30)
+        # 256 chains: the blocked banded factorization (structured.BlockBand)
+        # made the generic sweep ~7x faster per iteration (round 5), so the
+        # generic row affords a real chain batch
+        mcmc, param = lattice_smoother(n_chains=256, n_burn=10, n_iter=30)
         _, entry = run_workload("lattice_smoother", mcmc, param, ess_chunk=4)
         entry["vs_baseline"] = round(entry["ess_per_s"] / ref["lattice_smoother"]["ess_per_s"], 1)
         entry["baseline_ess_per_s"] = ref["lattice_smoother"]["ess_per_s"]

@@ -598,12 +598,16 @@ _BLOCK_BW_MIN = 9
 
 
 def _block_size(bw: int) -> int:
-    """Block size s: the smallest multiple of 8 covering bw, capped at 64.
+    """Block size s: the smallest multiple of 8 covering bw, capped at 32.
 
-    s >= bw makes the matrix block-TRIdiagonal (q = 1); past 64 the unrolled
-    (s, s) smallmat kernels' trace size dominates compile, so s caps and the
-    block bandwidth q = ceil(bw / s) grows instead."""
-    return min(64, 8 * -(-bw // 8))
+    s >= bw makes the matrix block-TRIdiagonal (q = 1); past the cap the block
+    bandwidth q = ceil(bw / s) grows instead. The cap is measured, not
+    aesthetic: the unrolled (s, s) smallmat kernels do full-matrix rank-1
+    updates per column, so their memory traffic grows ~s^3 per block while the
+    extra cross-block matmuls at higher q ride the MXU -- on the 64 x 64
+    lattice conditional (bw = 64, 256 chains) cap 64 ran 141 ms per
+    factor+solve, cap 32 ran 44 ms, cap 16 ran 46 ms."""
+    return min(32, 8 * -(-bw // 8))
 
 
 def _band_to_blocks(bands: jnp.ndarray, s: int):
