@@ -465,6 +465,48 @@ def mixture_large(n_chains=256, n_burn=50, n_iter=150, conjugate=True):
     return m, "means"
 
 
+def truncated_smoother(n_chains=512, n_burn=100, n_iter=250):
+    """Box-truncated GMRF smoother (same config as measure_reference.
+    truncated_smoother): the latent prior is truncated to [0, 3.5], so the
+    b-draw is a chromatic truncated Gibbs sweep -- in the fused Thomas kernel
+    when engine='auto' (fused_gmrf_smoother_truncated), the red-black schedule
+    in the generic driver (reference gmrf.py:201-266 runs one sequential scipy
+    truncnorm draw per dimension instead)."""
+    import pandas as pd
+
+    np.random.seed(0)
+    n_time = 100
+    TIME = pd.date_range("2022-04-01T01:00:00", "2022-04-01T01:01:00", periods=n_time)
+    P_lam = gmrf.precision_temporal(time=TIME)
+    P_lam = st.Banded(P_lam.bands.at[0, 0].add(0.001))
+    t = (TIME - TIME[0]).total_seconds().to_numpy()
+    b_true = np.sin(t / 20) + 2 * np.cos(t / 12) + 2
+    from scipy.stats import norm as _norm
+
+    y = b_true + _norm.rvs(loc=0, scale=1.0, size=n_time)
+    lo, hi = 0.0, 3.5
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda"),
+                   domain_response_lower=np.full(n_time, lo),
+                   domain_response_upper=np.full(n_time, hi)),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+    state = {
+        "y": y, "b": np.clip(y, lo + 1e-3, hi - 1e-3), "mu": np.zeros(n_time),
+        "lambda": 100.0, "P_lambda": P_lam, "a_lam": 10.0, "b_lam": 1.0,
+        "tau": 1.0, "P_tau": st.Diagonal(jnp.ones(n_time)), "a_tau": 1.0, "b_tau": 1.0,
+    }
+    m = MCMC(state, samplers, mdl, n_burn=n_burn, n_iter=n_iter, n_chains=n_chains, seed=0)
+    m.store_names = ["b", "tau", "lambda"]
+    m.model.response = None
+    return m, "b"
+
+
 def fused_workloads(ref):
     """The two fused whole-run engines, measured on the same configs as their generic
     counterparts and compared to the same reference numbers."""
@@ -662,6 +704,19 @@ def main():
         entry["vs_baseline"] = round(entry["ess_per_s"] / ref["mixture_large"]["ess_per_s"], 1)
         entry["baseline_ess_per_s"] = ref["mixture_large"]["ess_per_s"]
         print(json.dumps({"workload": "mixture_large_fused", **entry}), flush=True)
+
+    if "truncated_smoother" in ref:
+        mcmc, param = truncated_smoother(n_chains=512, n_burn=100, n_iter=250)
+        _, entry = run_workload("truncated_smoother", mcmc, param)
+        entry["vs_baseline"] = round(entry["ess_per_s"] / ref["truncated_smoother"]["ess_per_s"], 1)
+        entry["baseline_ess_per_s"] = ref["truncated_smoother"]["ess_per_s"]
+        print(json.dumps({"workload": "truncated_smoother", **entry}), flush=True)
+
+        mcmc, param = truncated_smoother(n_chains=4096, n_burn=100, n_iter=250)
+        _, entry = run_workload("truncated_smoother_fused", mcmc, param, reps=3, engine="auto")
+        entry["vs_baseline"] = round(entry["ess_per_s"] / ref["truncated_smoother"]["ess_per_s"], 1)
+        entry["baseline_ess_per_s"] = ref["truncated_smoother"]["ess_per_s"]
+        print(json.dumps({"workload": "truncated_smoother_fused", **entry}), flush=True)
 
     with open("BENCH_ALL.json", "w") as f:
         json.dump(RESULTS, f, indent=1)

@@ -273,7 +273,14 @@ def _match_smoother(mcmc) -> Optional[Callable]:
         if key != latent and isinstance(dist, Normal) and _identity_mean_name(dist) == latent:
             y_dist = dist
     b_dist = mcmc.model.get(latent)
-    if y_dist is None or not isinstance(b_dist, Normal) or y_dist.truncated or b_dist.truncated:
+    if y_dist is None or not isinstance(b_dist, Normal) or y_dist.truncated:
+        return None
+    # box-truncated latent prior: the Thomas kernel runs the chromatic
+    # red-black truncated Gibbs sweep in-kernel (the generic driver's banded
+    # schedule); the spectral engine cannot (no coordinate sweep exists in
+    # eigencoordinates), so truncation requires a TRIDIAGONAL P0
+    truncated = b_dist.truncated
+    if truncated and getattr(b_dist, "n_active", None) is not None:
         return None
     sp_y = _scaled_precision(y_dist)
     sp_b = _scaled_precision(b_dist)
@@ -300,6 +307,10 @@ def _match_smoother(mcmc) -> Optional[Callable]:
     # the generic driver's sequential banded scans (bw ~ sqrt(p) on lattices
     # makes the generic cost the same O(p^2) but latency-bound)
     spectral = st.dim(plam) <= (MAX_P_SMOOTHER if tridiag else MAX_P_SMOOTHER_STREAM)
+    if truncated:
+        if not tridiag:
+            return None  # chromatic sweep is implemented for 2 colors (bw = 1)
+        spectral = False
     if not spectral and not tridiag:
         return None
     mu = _column(mcmc.data.get(_identity_mean_name(b_dist)))
@@ -332,13 +343,17 @@ def _match_smoother(mcmc) -> Optional[Callable]:
     def _resume_init(resume):
         """Per-chain (lam, tau) warm start -- the conjugate kernels' whole carry:
         the latent redraws from its full conditional each sweep, so continuing
-        from the final scales IS the generic continuation semantics."""
+        from the final scales IS the generic continuation semantics. A
+        truncated latent is CARRIED (the chromatic sweep conditions on it), so
+        its final draws join the warm start."""
         if resume is None:
             return None, mcmc.n_burn
         init = {
             "lam": jnp.asarray(resume.final_state[lam_name]).reshape(-1),
             "tau": jnp.asarray(resume.final_state[tau_name]).reshape(-1),
         }
+        if truncated:
+            init["b"] = jnp.asarray(resume.final_state[latent])
         return init, 0
 
     if spectral:
@@ -375,6 +390,19 @@ def _match_smoother(mcmc) -> Optional[Callable]:
     else:
         from openmcmc_tpu.fused.gmrf_smoother import run_fused_smoother
 
+        p_lat = st.dim(plam)
+        if truncated:
+            lo_t = b_dist.domain_response_lower
+            hi_t = b_dist.domain_response_upper
+            lower_v = None if lo_t is None else np.broadcast_to(np.asarray(lo_t, np.float64), (p_lat,))
+            upper_v = None if hi_t is None else np.broadcast_to(np.asarray(hi_t, np.float64), (p_lat,))
+            b0 = mcmc.initial_chain_state.get(latent)
+            b_init_v = None if b0 is None else np.asarray(b0, np.float64).reshape(-1)
+            if b_init_v is not None and b_init_v.shape[0] != p_lat:
+                return None  # per-chain initial latents are not representable
+        else:
+            lower_v = upper_v = b_init_v = None
+
         def run(seed, resume=None, n_chains=None):
             init, n_burn = _resume_init(resume)
             out = run_fused_smoother(
@@ -383,11 +411,12 @@ def _match_smoother(mcmc) -> Optional[Callable]:
                 n_chains=mcmc.n_chains if n_chains is None else n_chains,
                 a_lam=hyp_lam[0], b_lam=hyp_lam[1], a_tau=hyp_tau[0], b_tau=hyp_tau[1],
                 lam0=lam0, tau0=tau0, P0_bands=plam.bands,
-                noise_diag=ptau.diag_, mu0=jnp.asarray(mu), init=init,
+                noise_diag=ptau.diag_, mu0=jnp.asarray(mu),
+                lower=lower_v, upper=upper_v, b_init=b_init_v, init=init,
             )
             return _package(out)
 
-        run.engine_name = "fused_gmrf_smoother"
+        run.engine_name = "fused_gmrf_smoother_truncated" if truncated else "fused_gmrf_smoother"
     run.supports_resume = True
     run.store_keys = frozenset({latent, lam_name, tau_name})
     return run

@@ -35,6 +35,7 @@ from openmcmc_tpu.fused.prng import LOG_2PI as _LOG_2PI
 from openmcmc_tpu.fused.layout import chain_slice
 from openmcmc_tpu.fused.prng import gamma_mt as _gamma_mt
 from openmcmc_tpu.fused.prng import normal_icdf as _normal
+from openmcmc_tpu.fused.prng import truncnorm_draw as _truncnorm_draw
 from openmcmc_tpu.fused.prng import begin_iteration as _begin_iteration, seed_bits as _seed_bits
 from openmcmc_tpu.linalg import gmrf
 from openmcmc_tpu.linalg import structured as st
@@ -54,7 +55,8 @@ def _block_b(p_pad: int) -> int:
 CHUNK = 8
 
 
-def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau0, block_b, warm=False):
+def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau0, block_b,
+                 warm=False, truncated=False):
     n_chunks = p_pad // CHUNK
     half_p = 0.5 * p_real
     a_lam_star = a_lam + half_p
@@ -67,6 +69,11 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
 
     def kernel(seed_ref, logdet_ref, p0d_ref, p0c_ref, p0cprev_ref, y_ref, mask_ref, d_ref, mu_ref,
                p0mu_ref, *refs):
+        refs = list(refs)
+        if truncated:
+            lo_ref = refs.pop(0)
+            hi_ref = refs.pop(0)
+            bi_ref = refs.pop(0)
         if warm:
             (init_ref, out_b_ref, out_s_ref, ld_ref, u_ref, x_ref,
              stage_ref, small_ref, sems, small_sems) = refs
@@ -90,12 +97,49 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
             down = jnp.concatenate([jnp.zeros((1, block_b), jnp.float32), (p0c * b)[:-1, :]], axis=0)
             return p0d * b + p0c * up + down
 
-        x_ref[:, :] = jnp.broadcast_to(yv * mask, (p_pad, block_b))  # init latent field at the data
+        if truncated:
+            lov = lo_ref[:, :]
+            hiv = hi_ref[:, :]
+            # carried latent: the chromatic Gibbs sweep conditions on the
+            # CURRENT b, unlike the untruncated exact redraw
+            if warm:
+                x_ref[:, :] = init_ref[2:, :]
+            else:
+                x_ref[:, :] = jnp.broadcast_to(bi_ref[:, :] * mask, (p_pad, block_b))
+            row_idx = lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
+            even_rows = (lax.rem(row_idx, 2) == 0)
+        else:
+            x_ref[:, :] = jnp.broadcast_to(yv * mask, (p_pad, block_b))  # init latent field at the data
 
         def iteration(it, carry):
 
             _begin_iteration(it)
             lam, tau = carry  # (1, block_b) each
+
+            if truncated:
+                # ---- truncated NormalNormal: ONE chromatic (red-black) Gibbs
+                # sweep of the box-truncated canonical Gaussian, exactly the
+                # generic driver's banded schedule (linalg/gmrf.py
+                # _gibbs_truncated_red_black; reference gmrf.py:201-266
+                # semantics). Tridiagonal Q has 2 colors; each color class is
+                # conditionally independent given the other, so a class updates
+                # in one vectorized (p, B) truncated draw.
+                qd = lam * p0d + tau * dv * mask + (1.0 - mask)
+                rhs = (tau * (dv * yv) + lam * p0mu_ref[:, :]) * mask
+                sd = lax.rsqrt(qd)
+                x = x_ref[:, :]
+                for want_even in (True, False):
+                    up = jnp.concatenate([x[1:, :], jnp.zeros((1, block_b), jnp.float32)], axis=0)
+                    down = jnp.concatenate(
+                        [jnp.zeros((1, block_b), jnp.float32), (p0c * x)[:-1, :]], axis=0
+                    )
+                    cond = (rhs - lam * (p0c * up + down)) / qd
+                    z = _truncnorm_draw(cond, sd, lov, hiv, (p_pad, block_b))
+                    sel = jnp.logical_and(even_rows if want_even else jnp.logical_not(even_rows), mask > 0)
+                    x = jnp.where(sel, z, x)
+                x_ref[:, :] = x
+                b_draw = x * mask
+                return _finish_iteration(it, lam, tau, b_draw)
 
             # ---- NormalNormal: draw b | y, lam, tau -------------------------
             # Q = lam P0 + tau D (identity rows on the padding), canonical mean
@@ -146,7 +190,9 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
 
             lax.fori_loop(0, n_chunks, bwd, zeros_row)
             b_draw = x_ref[:, :] * mask
+            return _finish_iteration(it, lam, tau, b_draw)
 
+        def _finish_iteration(it, lam, tau, b_draw):
             # ---- NormalGamma: lam | b --------------------------------------
             r_prior = (b_draw - muv) * mask
             quad_lam = jnp.sum(r_prior * p0_matvec(r_prior), axis=0, keepdims=True)
@@ -238,6 +284,9 @@ def run_fused_smoother(
     P0_bands: Optional[jnp.ndarray] = None,
     noise_diag: Optional[jnp.ndarray] = None,
     mu0: Optional[jnp.ndarray] = None,
+    lower: Optional[jnp.ndarray] = None,
+    upper: Optional[jnp.ndarray] = None,
+    b_init: Optional[jnp.ndarray] = None,
     init=None,
 ):
     """Run the full GMRF smoother MCMC in one fused kernel.
@@ -249,6 +298,16 @@ def run_fused_smoother(
     D = diag(``noise_diag``) an arbitrary positive noise penalty (default I),
     and prior mean ``mu0`` (default 0) -- the general smoother family, not just
     the identity-penalty / zero-mean benchmark shape.
+
+    ``lower``/``upper`` (scalars or (p,) vectors; +-1e30 for an open side) box-
+    truncate the latent prior: the exact Thomas redraw is replaced by ONE
+    chromatic red-black truncated Gibbs sweep per iteration over the carried b
+    (the generic driver's banded schedule, linalg/gmrf.py
+    _gibbs_truncated_red_black; reference gmrf.py:201-266), with the
+    reference's UNrenormalized truncation semantics so the Gamma conditionals
+    and the stored log-posterior keep their untruncated forms (reference
+    location_scale.py:148-151). ``b_init`` warm-starts the carried latent
+    (default: y clipped into the box).
     """
     y = jnp.asarray(y, jnp.float32).reshape(-1)
     p_real = y.shape[0]
@@ -279,22 +338,47 @@ def run_fused_smoother(
     muv = _pad_col(mu_vec)
     p0muv = _pad_col(p0mu)
 
+    truncated = lower is not None or upper is not None
     block_b = _block_b(p_pad)
     b_total = n_chains + ((-n_chains) % block_b)
     kernel = _make_kernel(
         p_pad, float(p_real), n_burn, n_iter, float(a_lam), float(b_lam), float(a_tau), float(b_tau),
-        float(lam0), float(tau0), block_b, warm=init is not None,
+        float(lam0), float(tau0), block_b, warm=init is not None, truncated=truncated,
     )
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 8
     args = [jnp.asarray([seed], jnp.int32), logdets, p0d, p0c, p0cprev, yv, mask, dv, muv, p0muv]
+    if truncated:
+        def _bound(v, default):
+            if v is None:
+                v = default
+            return jnp.broadcast_to(jnp.asarray(v, jnp.float32).reshape(-1), (p_real,))
+
+        lov = _bound(lower, -1e30)
+        hiv = _bound(upper, 1e30)
+        bi = jnp.clip(y, lov, hiv) if b_init is None else jnp.clip(
+            jnp.asarray(b_init, jnp.float32).reshape(-1), lov, hiv
+        )
+        # padding rows keep an open box (they are never selected anyway)
+        args += [
+            jnp.concatenate([lov, jnp.full((pad,), -1e30, jnp.float32)]).reshape(p_pad, 1),
+            jnp.concatenate([hiv, jnp.full((pad,), 1e30, jnp.float32)]).reshape(p_pad, 1),
+            _pad_col(bi),
+        ]
+        in_specs += [shared] * 3
     if init is not None:
-        rows_in = jnp.stack([
-            jnp.asarray(init["lam"], jnp.float32).reshape(-1),
-            jnp.asarray(init["tau"], jnp.float32).reshape(-1),
-        ])
+        rows = [
+            jnp.asarray(init["lam"], jnp.float32).reshape(1, -1),
+            jnp.asarray(init["tau"], jnp.float32).reshape(1, -1),
+        ]
+        if truncated:
+            # carried latent: resume needs the final b draws (p_pad rows)
+            b_rows = jnp.asarray(init["b"], jnp.float32).reshape(n_chains, p_real).T
+            rows.append(jnp.pad(b_rows, ((0, p_pad - p_real), (0, 0))))
+        rows_in = jnp.concatenate(rows, axis=0)
         rows_in = jnp.pad(rows_in, ((0, 0), (0, b_total - n_chains)))
-        in_specs.append(pl.BlockSpec((2, block_b), lambda i: (0, i)))
+        n_init_rows = rows_in.shape[0]
+        in_specs.append(pl.BlockSpec((n_init_rows, block_b), lambda i: (0, i)))
         args.append(rows_in)
     out_b, out_s = pl.pallas_call(
         kernel,

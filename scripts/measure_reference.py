@@ -198,6 +198,52 @@ def gmrf_smoother():
     return m.store["b"], 700
 
 
+def truncated_smoother():
+    """gmrf_smoother with a box-truncated latent prior: the reference's
+    NormalNormal then runs gibbs_canonical_truncated_normal (one sequential
+    scipy truncnorm draw per dimension per sweep, reference gmrf.py:201-266,
+    sampler.py:199-206)."""
+    from openmcmc import gmrf
+    from openmcmc.distribution.distribution import Gamma
+    from openmcmc.distribution.location_scale import Normal
+    from openmcmc.mcmc import MCMC
+    from openmcmc.model import Model
+    from openmcmc.parameter import ScaledMatrix
+    from openmcmc.sampler.sampler import NormalGamma, NormalNormal
+
+    np.random.seed(0)
+    n_time = 100
+    TIME = pd.date_range("2022-04-01T01:00:00", "2022-04-01T01:01:00", periods=n_time)
+    P_lambda = sparse.lil_matrix(gmrf.precision_temporal(time=TIME))
+    P_lambda[0, 0] += 0.001
+    P_lambda = P_lambda.tocsc()
+    t = (TIME - TIME[0]).total_seconds()
+    b = np.sin(t / 20) + 2 * np.cos(t / 12) + 2
+    y = b + norm.rvs(loc=0, scale=1.0, size=n_time)
+    lo, hi = 0.0, 3.5  # actively truncates: b_true spans ~[-1, 5]
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            # the reference's gibbs_canonical_truncated_normal requires SCALAR
+            # bounds (its `lower == -np.inf` fast-path check, gmrf.py:231,
+            # raises on arrays; scalars are then broadcast at gmrf.py:241-242)
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda"),
+                   domain_response_lower=lo, domain_response_upper=hi),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    state = {
+        "y": y, "b": np.clip(y, lo + 1e-3, hi - 1e-3), "mu": np.zeros(n_time),
+        "lambda": 100, "P_lambda": P_lambda, "a_lam": 10, "b_lam": 1,
+        "tau": 1, "P_tau": sparse.csc_matrix(np.eye(n_time)), "a_tau": 1, "b_tau": 1,
+    }
+    samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+    m = MCMC(state, samplers, model=mdl, n_burn=100, n_iter=250)
+    m.run_mcmc()
+    return m.store["b"], 350
+
+
 def reversible_jump():
     sys.path.insert(0, "/root/reference/tests")
     import importlib
@@ -417,6 +463,7 @@ if __name__ == "__main__":
         ("mixture", mixture),
         ("lattice_smoother", lattice_smoother),
         ("mixture_large", mixture_large),
+        ("truncated_smoother", truncated_smoother),
     ]
     out_path = "/root/repo/reference_measured.json"
     import os
