@@ -507,6 +507,52 @@ def truncated_smoother(n_chains=512, n_burn=100, n_iter=250):
     return m, "b"
 
 
+def car_smoother(n_chains=512, n_burn=20, n_iter=60):
+    """CAR smoother on an ERDOS-RENYI expander graph (p = 1024, mean degree 6):
+    the bad-bandwidth regime — RCM cannot reduce the pattern below bw ~ 735
+    (linalg.ordering emits BadBandwidthWarning and from_sparse densifies), so
+    the generic path runs dense; engine='auto' dispatches the spectral engine,
+    whose per-iteration work is O(p) in eigencoordinates regardless of the
+    pattern. Reference side factors the same sparse Q with SuperLU every sweep
+    (gmrf.py:489-520); config matches measure_reference.car_smoother."""
+    import sys as _sys
+
+    _sys.path.insert(0, "scripts")
+    from measure_reference import _small_world_Q
+
+    rng = np.random.default_rng(0)
+    p = 1024
+    Q_sp = _small_world_Q(p)
+    field = np.sin(np.linspace(0, 12, p))
+    from scipy.stats import norm as _norm
+
+    np.random.seed(0)
+    y = field + _norm.rvs(loc=0, scale=0.5, size=p)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")  # BadBandwidthWarning, by design
+        Q = st.from_sparse(Q_sp)
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+    state = {
+        "y": y, "b": y.copy(), "mu": np.zeros(p),
+        "lambda": 2.0, "P_lambda": Q, "a_lam": 2.0, "b_lam": 1.0,
+        "tau": 1.0, "P_tau": st.Diagonal(jnp.ones(p)), "a_tau": 1.0, "b_tau": 1.0,
+    }
+    m = MCMC(state, samplers, mdl, n_burn=n_burn, n_iter=n_iter, n_chains=n_chains, seed=0)
+    m.store_names = ["b", "tau", "lambda"]
+    m.model.response = None
+    return m, "b"
+
+
 def fused_workloads(ref):
     """The two fused whole-run engines, measured on the same configs as their generic
     counterparts and compared to the same reference numbers."""
@@ -717,6 +763,20 @@ def main():
         entry["vs_baseline"] = round(entry["ess_per_s"] / ref["truncated_smoother"]["ess_per_s"], 1)
         entry["baseline_ess_per_s"] = ref["truncated_smoother"]["ess_per_s"]
         print(json.dumps({"workload": "truncated_smoother_fused", **entry}), flush=True)
+
+    if "car_smoother" in ref:
+        mcmc, param = car_smoother(n_chains=16, n_burn=5, n_iter=15)
+        _, entry = run_workload("car_smoother", mcmc, param, ess_chunk=4)
+        entry["vs_baseline"] = round(entry["ess_per_s"] / ref["car_smoother"]["ess_per_s"], 1)
+        entry["baseline_ess_per_s"] = ref["car_smoother"]["ess_per_s"]
+        print(json.dumps({"workload": "car_smoother", **entry}), flush=True)
+
+        mcmc, param = car_smoother(n_chains=512, n_burn=20, n_iter=60)
+        _, entry = run_workload("car_smoother_fused", mcmc, param, ess_chunk=4,
+                                reps=3, engine="auto")
+        entry["vs_baseline"] = round(entry["ess_per_s"] / ref["car_smoother"]["ess_per_s"], 1)
+        entry["baseline_ess_per_s"] = ref["car_smoother"]["ess_per_s"]
+        print(json.dumps({"workload": "car_smoother_fused", **entry}), flush=True)
 
     with open("BENCH_ALL.json", "w") as f:
         json.dump(RESULTS, f, indent=1)

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from openmcmc_tpu.fused.prng import LOG_2PI as _LOG_2PI
-from openmcmc_tpu.fused.layout import chain_slice
+from openmcmc_tpu.fused.layout import chain_slice, store_index as _store_index
 from openmcmc_tpu.fused.prng import gamma_mt as _gamma_mt
 from openmcmc_tpu.fused.prng import normal_icdf as _normal
 from openmcmc_tpu.fused.prng import truncnorm_draw as _truncnorm_draw
@@ -56,7 +56,7 @@ CHUNK = 8
 
 
 def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau0, block_b,
-                 warm=False, truncated=False):
+                 warm=False, truncated=False, n_thin=1):
     n_chunks = p_pad // CHUNK
     half_p = 0.5 * p_real
     a_lam_star = a_lam + half_p
@@ -213,9 +213,10 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
             log_post = log_like + log_prior_b + log_lam + log_tau
 
             # ---- store (double-buffered DMA to HBM) ------------------------
-            @pl.when(it >= n_burn)
+            idx = _store_index(it, n_burn, n_thin)
+
+            @pl.when(idx >= 0)
             def _():
-                idx = it - n_burn
                 slot = lax.rem(idx, 2)
 
                 @pl.when(idx >= 2)
@@ -248,7 +249,7 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
         else:
             lam0_row = jnp.full((1, block_b), lam0, jnp.float32)
             tau0_row = jnp.full((1, block_b), tau0, jnp.float32)
-        lax.fori_loop(0, n_burn + n_keep, iteration, (lam0_row, tau0_row))
+        lax.fori_loop(0, n_burn + n_keep * n_thin, iteration, (lam0_row, tau0_row))
 
         # drain the (up to two) in-flight copies; n_keep is static
         for last in range(max(0, n_keep - 2), n_keep):
@@ -265,7 +266,7 @@ def _make_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_burn", "n_iter", "n_chains", "a_lam", "b_lam", "a_tau", "b_tau", "lam0", "tau0"),
+    static_argnames=("n_burn", "n_iter", "n_chains", "n_thin", "a_lam", "b_lam", "a_tau", "b_tau", "lam0", "tau0"),
 )
 def run_fused_smoother(
     seed: int,
@@ -284,6 +285,7 @@ def run_fused_smoother(
     P0_bands: Optional[jnp.ndarray] = None,
     noise_diag: Optional[jnp.ndarray] = None,
     mu0: Optional[jnp.ndarray] = None,
+    n_thin: int = 1,
     lower: Optional[jnp.ndarray] = None,
     upper: Optional[jnp.ndarray] = None,
     b_init: Optional[jnp.ndarray] = None,
@@ -344,6 +346,7 @@ def run_fused_smoother(
     kernel = _make_kernel(
         p_pad, float(p_real), n_burn, n_iter, float(a_lam), float(b_lam), float(a_tau), float(b_tau),
         float(lam0), float(tau0), block_b, warm=init is not None, truncated=truncated,
+        n_thin=n_thin,
     )
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [shared] * 8

@@ -41,13 +41,13 @@ from openmcmc_tpu.fused.prng import (
     normal_icdf,
     seed_bits as _seed_bits,
 )
-from openmcmc_tpu.fused.layout import chain_slice
+from openmcmc_tpu.fused.layout import chain_slice, store_index as _store_index
 
 BLOCK_B = 2048
 MAX_P = 16
 
 
-def _make_kernel(p, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau0, out_rows, warm=False):
+def _make_kernel(p, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau0, out_rows, warm=False, n_thin=1):
     a_tau_star = a_tau + 0.5 * n_obs
     a_lam_star = a_lam + 0.5 * p
     from scipy.special import gammaln
@@ -139,9 +139,10 @@ def _make_kernel(p, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau
             log_post = log_like + log_beta + log_lam + log_tau
 
             # ---- store (double-buffered DMA to HBM) ------------------------
-            @pl.when(it >= n_burn)
+            idx = _store_index(it, n_burn, n_thin)
+
+            @pl.when(idx >= 0)
             def _():
-                idx = it - n_burn
                 slot = lax.rem(idx, 2)
 
                 @pl.when(idx >= 2)
@@ -166,7 +167,7 @@ def _make_kernel(p, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau
         else:
             lam0_row = jnp.full((1, BLOCK_B), lam0, jnp.float32)
             tau0_row = jnp.full((1, BLOCK_B), tau0, jnp.float32)
-        lax.fori_loop(0, n_burn + n_keep, iteration, (lam0_row, tau0_row))
+        lax.fori_loop(0, n_burn + n_keep * n_thin, iteration, (lam0_row, tau0_row))
 
         for last in range(max(0, n_keep - 2), n_keep):
             slot = last % 2
@@ -180,7 +181,7 @@ def _make_kernel(p, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau, lam0, tau
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_burn", "n_iter", "n_chains", "a_lam", "b_lam", "a_tau", "b_tau", "lam0", "tau0",
+        "n_burn", "n_iter", "n_chains", "n_thin", "a_lam", "b_lam", "a_tau", "b_tau", "lam0", "tau0",
     ),
 )
 def run_fused_linreg(
@@ -196,6 +197,7 @@ def run_fused_linreg(
     b_lam: float = 1e-3,
     lam0: float = 0.01,
     tau0: float = 1.0,
+    n_thin: int = 1,
     mu=None,
     plam_diag=None,
     ptau_diag=None,
@@ -230,7 +232,7 @@ def run_fused_linreg(
     b_total = n_chains + ((-n_chains) % BLOCK_B)
     kernel = _make_kernel(
         p, float(n_obs), n_burn, n_iter, float(a_lam), float(b_lam), float(a_tau), float(b_tau),
-        float(lam0), float(tau0), out_rows, warm=init is not None,
+        float(lam0), float(tau0), out_rows, warm=init is not None, n_thin=n_thin,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
     args = [jnp.asarray([seed], jnp.int32), scal]

@@ -68,7 +68,7 @@ from openmcmc_tpu.fused.prng import (
     truncnorm_logpdf,
     uniform,
 )
-from openmcmc_tpu.fused.layout import chain_slice
+from openmcmc_tpu.fused.layout import chain_slice, store_index as _store_index
 
 MAX_K = 32
 MAX_N = 1 << 20  # streamed data blocks: the cap is HBM for the (n, 128) pack
@@ -105,7 +105,7 @@ def _block_b(tile_n: int, k_comp: int, store_z: bool = False) -> int:
 
 
 def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, block_b,
-                 warm=False, conjugate=False, stream=False, store_z=False):
+                 warm=False, conjugate=False, stream=False, store_z=False, n_thin=1):
     n_tiles = n_pad // (TILE_N if stream else n_pad)
     tile_n = TILE_N if stream else n_pad
 
@@ -199,10 +199,13 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
                     # and DMA it to the (iter, point, chain) Z out buffer,
                     # double-buffered over the global stored-tile counter (every
                     # stored iteration issues exactly n_tiles copies, so the
-                    # copy issued at counter c is waited at c + 2)
-                    @pl.when(it >= n_burn)
-                    def _(zidx=zidx, t=t):
-                        idx = it - n_burn
+                    # copy issued at counter c is waited at c + 2). Thinned runs
+                    # store the Z drawn at the start of each stored iteration's
+                    # LAST sweep (the end-of-sweep state the driver records).
+                    idx = _store_index(it, n_burn, n_thin)
+
+                    @pl.when(idx >= 0)
+                    def _(zidx=zidx, t=t, idx=idx):
                         zc = idx * n_tiles + t
                         zslot = lax.rem(zc, 2)
 
@@ -335,9 +338,10 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
                 lp_total = lp_total + 0.5 * (jnp.log(p0(k)) - LOG_2PI) - 0.5 * p0(k) * (mu_new[k] - mu0(k)) ** 2
                 lp_total = lp_total + lgam(k) + (a0(k) - 1.0) * log_lam - b0(k) * lam_new[k]
 
-            @pl.when(it >= n_burn)
+            idx = _store_index(it, n_burn, n_thin)
+
+            @pl.when(idx >= 0)
             def _():
-                idx = it - n_burn
                 slot = lax.rem(idx, 2)
 
                 @pl.when(idx >= 2)
@@ -365,7 +369,7 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
             lam_init = tuple(jnp.full((1, block_b), 0.0, jnp.float32) + scal_ref[5 * k_comp + k] for k in range(k_comp))
             acc0 = jnp.zeros((1, block_b), jnp.float32)
         carry0 = mu_init + lam_init + (acc0,)
-        lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
+        lax.fori_loop(0, n_burn + n_keep * n_thin, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
             slot = last % 2
@@ -388,11 +392,11 @@ def _make_kernel(n_pad, k_comp, step, has_domain, n_burn, n_keep, out_rows, bloc
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_burn", "n_iter", "n_chains", "step", "has_domain", "conjugate", "k_comp",
+    static_argnames=("n_burn", "n_iter", "n_chains", "n_thin", "step", "has_domain", "conjugate", "k_comp",
                      "store_z"),
 )
 def _run_fused_mixture_jit(seed, scal, data, n_burn, n_iter, n_chains, step, has_domain,
-                           k_comp, init=None, conjugate=False, store_z=False):
+                           k_comp, init=None, conjugate=False, store_z=False, n_thin=1):
     n_pad = data.shape[0]
     stream = n_pad > RESIDENT_N
     block_b = _block_b(TILE_N if stream else n_pad, k_comp, store_z)
@@ -400,7 +404,7 @@ def _run_fused_mixture_jit(seed, scal, data, n_burn, n_iter, n_chains, step, has
     out_rows = 2 * k_comp + 2 + ((-(2 * k_comp + 2)) % PAD)
     kernel = _make_kernel(n_pad, k_comp, float(step), has_domain, n_burn, n_iter, out_rows, block_b,
                           warm=init is not None, conjugate=conjugate, stream=stream,
-                          store_z=store_z)
+                          store_z=store_z, n_thin=n_thin)
     data_spec = pl.BlockSpec(memory_space=pl.ANY) if stream else pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [data_spec]
     args = [jnp.asarray([seed], jnp.int32), scal, data]
@@ -476,6 +480,7 @@ def run_fused_mixture(
     init=None,
     conjugate_means=False,
     store_z=False,
+    n_thin=1,
 ):
     """Run the full K-component Gaussian-mixture Gibbs chain in one fused kernel.
 
@@ -552,7 +557,7 @@ def run_fused_mixture(
         n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
         step=float(step), has_domain=domain is not None and not conjugate_means,
         k_comp=k_comp, init=init, conjugate=bool(conjugate_means),
-        store_z=bool(store_z),
+        store_z=bool(store_z), n_thin=int(n_thin),
     )
     if store_z:
         z = out["z"]

@@ -40,13 +40,13 @@ from openmcmc_tpu.fused.prng import (
     seed_bits as _seed_bits,
     uniform,
 )
-from openmcmc_tpu.fused.layout import chain_slice
+from openmcmc_tpu.fused.layout import chain_slice, store_index as _store_index
 
 BLOCK_B = 2048
 MAX_P = 16
 
 
-def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows, adapt, target, rate, warm):
+def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows, adapt, target, rate, warm, n_thin=1):
     s2 = step * step
 
     def kernel(seed_ref, scal_ref, *refs):
@@ -137,9 +137,10 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows, adapt, targ
                 nudged = log_step + rate * (alpha - target)
                 log_step = jnp.where(it < n_burn, nudged, log_step)
 
-            @pl.when(it >= n_burn)
+            idx = _store_index(it, n_burn, n_thin)
+
+            @pl.when(idx >= 0)
             def _():
-                idx = it - n_burn
                 slot = lax.rem(idx, 2)
 
                 @pl.when(idx >= 2)
@@ -167,7 +168,7 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows, adapt, targ
             ls0 = jnp.full((1, BLOCK_B), float(np.log(step)), jnp.float32)
             acc0 = jnp.zeros((1, BLOCK_B), jnp.float32)
         carry0 = b_init + (log_target(list(b_init)), acc0, ls0)
-        lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
+        lax.fori_loop(0, n_burn + n_keep * n_thin, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
             slot = last % 2
@@ -180,7 +181,7 @@ def _make_kernel(p, n_obs, tau, lam, step, n_burn, n_keep, out_rows, adapt, targ
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_burn", "n_iter", "n_chains", "tau", "lam", "step", "adapt_step", "target_accept", "adapt_rate"),
+    static_argnames=("n_burn", "n_iter", "n_chains", "n_thin", "tau", "lam", "step", "adapt_step", "target_accept", "adapt_rate"),
 )
 def run_fused_mmala(
     seed: int,
@@ -199,6 +200,7 @@ def run_fused_mmala(
     adapt_step: bool = False,
     target_accept: float = 0.574,
     adapt_rate: float = 0.05,
+    n_thin: int = 1,
     init=None,
 ):
     """Run the full manifold-MALA chain for beta | y in one fused kernel.
@@ -240,6 +242,7 @@ def run_fused_mmala(
     kernel = _make_kernel(
         p, float(n_obs), float(tau), float(lam), float(step), n_burn, n_iter, out_rows,
         bool(adapt_step), float(target_accept), float(adapt_rate), init is not None,
+        n_thin=n_thin,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
     args = [jnp.asarray([seed], jnp.int32), scal]

@@ -37,13 +37,13 @@ from openmcmc_tpu.fused.prng import (
     truncnorm_logpdf,
     uniform,
 )
-from openmcmc_tpu.fused.layout import chain_slice
+from openmcmc_tpu.fused.layout import chain_slice, store_index as _store_index
 
 BLOCK_B = 2048
 MAX_P = 32
 
 
-def _make_kernel(p, n_obs, n_burn, n_keep, out_rows, adapt, target, rate, trunc, warm):
+def _make_kernel(p, n_obs, n_burn, n_keep, out_rows, adapt, target, rate, trunc, warm, n_thin=1):
     def kernel(seed_ref, scal_ref, *refs):
         if warm:
             init_ref, out_ref, stage_ref, sems = refs
@@ -136,9 +136,10 @@ def _make_kernel(p, n_obs, n_burn, n_keep, out_rows, adapt, target, rate, trunc,
                 nudged = log_scale + rate * (alpha - target)
                 log_scale = jnp.where(it < n_burn, nudged, log_scale)
 
-            @pl.when(it >= n_burn)
+            idx = _store_index(it, n_burn, n_thin)
+
+            @pl.when(idx >= 0)
             def _():
-                idx = it - n_burn
                 slot = lax.rem(idx, 2)
 
                 @pl.when(idx >= 2)
@@ -171,7 +172,7 @@ def _make_kernel(p, n_obs, n_burn, n_keep, out_rows, adapt, target, rate, trunc,
             scale0 = jnp.zeros((1, BLOCK_B), jnp.float32)
             acc0 = jnp.zeros((1, BLOCK_B), jnp.float32)
         carry0 = h_init + (log_post(list(h_init)), acc0, scale0)
-        lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
+        lax.fori_loop(0, n_burn + n_keep * n_thin, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
             slot = last % 2
@@ -184,7 +185,7 @@ def _make_kernel(p, n_obs, n_burn, n_keep, out_rows, adapt, target, rate, trunc,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_burn", "n_iter", "n_chains", "adapt_step", "target_accept", "adapt_rate"),
+    static_argnames=("n_burn", "n_iter", "n_chains", "n_thin", "adapt_step", "target_accept", "adapt_rate"),
 )
 def run_fused_rw(
     seed: int,
@@ -201,6 +202,7 @@ def run_fused_rw(
     target_accept: float = 0.234,
     adapt_rate: float = 0.05,
     domain=None,
+    n_thin: int = 1,
     init=None,
 ):
     """Run the full random-walk MH chain for h | y in one fused kernel.
@@ -247,7 +249,7 @@ def run_fused_rw(
     kernel = _make_kernel(
         p, float(n_obs), n_burn, n_iter, out_rows,
         bool(adapt_step), float(target_accept), float(adapt_rate), domain is not None,
-        init is not None,
+        init is not None, n_thin=n_thin,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
     args = [jnp.asarray([seed], jnp.int32), scal]

@@ -71,7 +71,7 @@ from openmcmc_tpu.fused.prng import (
     truncnorm_draw as _truncnorm_draw,
     truncnorm_logpdf as _truncnorm_logpdf,
 )
-from openmcmc_tpu.fused.layout import chain_slice
+from openmcmc_tpu.fused.layout import chain_slice, store_index as _store_index
 
 BLOCK_B = 1024
 OUT_ROWS = 8  # [k, log_post, acc_mmala, acc_theta, acc_omega, acc_rj, prop_cols_theta, prop_cols_omega]
@@ -83,7 +83,7 @@ _SQRT_2PI = 2.5066282746310002
 _RIDGE = 1e-6
 
 
-def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, stream, warm=False):
+def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, stream, warm=False, n_thin=1):
     # n_rows is the PADDED output-row count (multiple of 8: DMA slices of the
     # stage/out memrefs must be tile-aligned on the sublane dim); rows beyond
     # the logical set are zero filler
@@ -571,9 +571,10 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, stream, warm=False):
                 log_post = jnp.where(acc, lp_prop, lp_cur)
 
             # ---- store ---------------------------------------------------
-            @pl.when(it >= n_burn)
+            idx = _store_index(it, n_burn, n_thin)
+
+            @pl.when(idx >= 0)
             def _():
-                idx = it - n_burn
                 slot = lax.rem(idx, 2)
 
                 @pl.when(idx >= 2)
@@ -634,7 +635,7 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, stream, warm=False):
             if lik:
                 head = head + (jnp.full((1, BLOCK_B), tau0, jnp.float32) + nz,)
             carry0 = head + tuple(zr[i : i + 1, :] for i in range(1, 7))
-        lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
+        lax.fori_loop(0, n_burn + n_keep * n_thin, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
             slot = last % 2
@@ -645,8 +646,8 @@ def _make_kernel(p, n_data, n_burn, n_keep, cfg, n_rows, stream, warm=False):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_burn", "n_iter", "n_chains", "cfg_static"))
-def _run_fused_rj_jit(seed, packed, n_burn, n_iter, n_chains, cfg_static, init=None):
+@functools.partial(jax.jit, static_argnames=("n_burn", "n_iter", "n_chains", "n_thin", "cfg_static"))
+def _run_fused_rj_jit(seed, packed, n_burn, n_iter, n_chains, cfg_static, init=None, n_thin=1):
     cfg = dict(cfg_static)
     p = cfg.pop("n_max")
     n_data = cfg.pop("n_data")
@@ -655,7 +656,8 @@ def _run_fused_rj_jit(seed, packed, n_burn, n_iter, n_chains, cfg_static, init=N
     lik = bool(cfg.get("likelihood", False))
     n_rows = OUT_ROWS + (1 if lik else 0) + (3 * p if stream else 0)
     n_rows = n_rows + ((-n_rows) % 8)  # sublane tile alignment for the DMA slices
-    kernel = _make_kernel(p, n_data, n_burn, n_iter, cfg, n_rows, stream, warm=init is not None)
+    kernel = _make_kernel(p, n_data, n_burn, n_iter, cfg, n_rows, stream, warm=init is not None,
+                          n_thin=n_thin)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -719,6 +721,7 @@ def run_fused_rj(
     step_theta: float = 0.1,
     step_omega: float = 0.1,
     stream_params: bool = False,
+    n_thin: int = 1,
     init=None,
     y=None,
     a_tau: float = 2.0,
@@ -772,7 +775,7 @@ def run_fused_rj(
     )
     draws = _run_fused_rj_jit(
         seed, jnp.asarray(packed), n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
-        cfg_static=cfg_static, init=init,
+        cfg_static=cfg_static, init=init, n_thin=n_thin,
     )
     out = {
         "n_basis": draws[:, :, 0],
@@ -783,7 +786,7 @@ def run_fused_rj(
         "accept_rj": draws[:, -1, 5],
         "proposal_theta": draws[:, -1, 6],
         "proposal_omega": draws[:, -1, 7],
-        "n_proposals": float(n_burn + n_iter),
+        "n_proposals": float(n_burn + n_iter * n_thin),
     }
     base = 8
     if lik:

@@ -45,7 +45,7 @@ from openmcmc_tpu.fused.prng import (
     seed_bits as _seed_bits,
     uniform,
 )
-from openmcmc_tpu.fused.layout import chain_slice
+from openmcmc_tpu.fused.layout import chain_slice, store_index as _store_index
 
 MAX_P = 256
 MAX_P_SMOOTHER = 1024  # V is (p, p) f32 in VMEM: 4 MB at the limit
@@ -92,7 +92,7 @@ def _eigenbasis(G: np.ndarray, plam: np.ndarray):
 
 
 def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau,
-                        lam0, tau0, block_b, warm=False):
+                        lam0, tau0, block_b, warm=False, n_thin=1):
     a_tau_star = a_tau + 0.5 * n_obs
     a_lam_star = a_lam + 0.5 * p_real
     from scipy.special import gammaln
@@ -161,9 +161,10 @@ def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_ta
             # Mosaic reliably lowers here (jnp.dot(V, w) hits "Not implemented:
             # Sublane broadcast" on real hardware), and it lands the draw in the
             # (chains, field) orientation the out buffer wants anyway.
-            @pl.when(it >= n_burn)
+            idx = _store_index(it, n_burn, n_thin)
+
+            @pl.when(idx >= 0)
             def _():
-                idx = it - n_burn
                 slot = lax.rem(idx, 2)
 
                 @pl.when(idx >= 2)
@@ -196,7 +197,7 @@ def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_ta
         else:
             lam0_row = jnp.full((1, block_b), lam0, jnp.float32)
             tau0_row = jnp.full((1, block_b), tau0, jnp.float32)
-        lax.fori_loop(0, n_burn + n_keep, iteration, (lam0_row, tau0_row))
+        lax.fori_loop(0, n_burn + n_keep * n_thin, iteration, (lam0_row, tau0_row))
 
         for last in range(max(0, n_keep - 2), n_keep):
             wait_store(last % 2, last)
@@ -206,11 +207,11 @@ def _make_linreg_kernel(p_pad, p_real, n_obs, n_burn, n_keep, a_lam, b_lam, a_ta
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_burn", "n_iter", "n_chains", "a_lam", "b_lam", "a_tau", "b_tau", "lam0", "tau0", "n_obs", "p_real"),
+    static_argnames=("n_burn", "n_iter", "n_chains", "n_thin", "a_lam", "b_lam", "a_tau", "b_tau", "lam0", "tau0", "n_obs", "p_real"),
 )
 def _run_spectral_linreg_jit(seed, V, svec, wmu, cv, yPy, logdet_plam, logdet_ptau,
                              n_burn, n_iter, n_chains, a_lam, b_lam, a_tau, b_tau, lam0, tau0,
-                             n_obs, p_real, init=None):
+                             n_obs, p_real, init=None, n_thin=1):
     p128, p_pad = V.shape
     block_b = _block_b(p_pad)
     b_total = n_chains + ((-n_chains) % block_b)
@@ -218,7 +219,7 @@ def _run_spectral_linreg_jit(seed, V, svec, wmu, cv, yPy, logdet_plam, logdet_pt
     kernel = _make_linreg_kernel(
         p_pad, float(p_real), float(n_obs), n_burn, n_iter,
         float(a_lam), float(b_lam), float(a_tau), float(b_tau), float(lam0), float(tau0), block_b,
-        warm=init is not None,
+        warm=init is not None, n_thin=n_thin,
     )
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
     scal = jnp.stack([yPy, logdet_plam, logdet_ptau]).astype(jnp.float32)
@@ -264,7 +265,7 @@ def _run_spectral_linreg_jit(seed, V, svec, wmu, cv, yPy, logdet_plam, logdet_pt
 def run_spectral_linreg(
     seed, X, y, n_burn, n_iter, n_chains,
     a_tau=1e-3, b_tau=1e-3, a_lam=1e-3, b_lam=1e-3, lam0=0.01, tau0=1.0,
-    mu=None, plam_diag=None, ptau_diag=None, init=None,
+    mu=None, plam_diag=None, ptau_diag=None, init=None, n_thin=1,
 ):
     """Bayesian linear regression, whole run in one launch, p <= 256.
 
@@ -306,6 +307,7 @@ def run_spectral_linreg(
         n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
         a_lam=float(a_lam), b_lam=float(b_lam), a_tau=float(a_tau), b_tau=float(b_tau),
         lam0=float(lam0), tau0=float(tau0), n_obs=n_obs, p_real=p, init=init,
+        n_thin=int(n_thin),
     )
 
 
@@ -315,7 +317,7 @@ def run_spectral_linreg(
 
 
 def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_tau,
-                          lam0, tau0, block_b, warm=False, stream=False):
+                          lam0, tau0, block_b, warm=False, stream=False, n_thin=1):
     a_lam_star = a_lam + 0.5 * p_real
     a_tau_star = a_tau + 0.5 * p_real
     from scipy.special import gammaln
@@ -409,9 +411,10 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
             # trivial 8x8 identity contraction into their own stage. No
             # post-kernel transpose or row-slice of the ~GB store is ever
             # materialized (they cost ~10 ms at benchmark sizes).
-            @pl.when(it >= n_burn)
+            idx = _store_index(it, n_burn, n_thin)
+
+            @pl.when(idx >= 0)
             def _():
-                idx = it - n_burn
                 slot = lax.rem(idx, 2)
 
                 @pl.when(idx >= 2)
@@ -464,7 +467,7 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
         else:
             lam0_row = jnp.full((1, block_b), lam0, jnp.float32)
             tau0_row = jnp.full((1, block_b), tau0, jnp.float32)
-        lax.fori_loop(0, n_burn + n_keep, iteration, (lam0_row, tau0_row))
+        lax.fori_loop(0, n_burn + n_keep * n_thin, iteration, (lam0_row, tau0_row))
 
         for last in range(max(0, n_keep - 2), n_keep):
             wait_store(last % 2, last)
@@ -480,11 +483,11 @@ def _make_smoother_kernel(p_pad, p_real, n_burn, n_keep, a_lam, b_lam, a_tau, b_
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_burn", "n_iter", "n_chains", "a_lam", "b_lam", "a_tau", "b_tau", "lam0", "tau0", "p_real", "stream"),
+    static_argnames=("n_burn", "n_iter", "n_chains", "n_thin", "a_lam", "b_lam", "a_tau", "b_tau", "lam0", "tau0", "p_real", "stream"),
 )
 def _run_spectral_smoother_jit(seed, M, svec, wy, wmu, logdet_p0, logdet_d,
                                n_burn, n_iter, n_chains, a_lam, b_lam, a_tau, b_tau,
-                               lam0, tau0, p_real, init=None, stream=False):
+                               lam0, tau0, p_real, init=None, stream=False, n_thin=1):
     # M is (p128, p_pad) in every tier: field rows on sublanes (so the streaming
     # DMA slices the tile-8 sublane axis), eigen axis on lanes
     p128, p_pad = M.shape
@@ -495,7 +498,7 @@ def _run_spectral_smoother_jit(seed, M, svec, wy, wmu, logdet_p0, logdet_d,
     kernel = _make_smoother_kernel(
         p_pad, float(p_real), n_burn, n_iter,
         float(a_lam), float(b_lam), float(a_tau), float(b_tau), float(lam0), float(tau0), block_b,
-        warm=init is not None, stream=stream,
+        warm=init is not None, stream=stream, n_thin=n_thin,
     )
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
     scal = jnp.stack([logdet_p0, logdet_d]).astype(jnp.float32)
@@ -565,7 +568,7 @@ def _run_spectral_smoother_jit(seed, M, svec, wy, wmu, logdet_p0, logdet_d,
 def run_spectral_smoother(
     seed, y, P0, n_burn, n_iter, n_chains,
     a_lam=10.0, b_lam=1.0, a_tau=1.0, b_tau=1.0, lam0=100.0, tau0=1.0,
-    noise_diag=None, mu0=None, logdet_p0=None, init=None,
+    noise_diag=None, mu0=None, logdet_p0=None, init=None, n_thin=1,
 ):
     """GMRF smoother with ARBITRARY symmetric prior precision, one launch, p <= 8192.
 
@@ -640,6 +643,7 @@ def run_spectral_smoother(
         n_burn=n_burn, n_iter=n_iter, n_chains=n_chains,
         a_lam=float(a_lam), b_lam=float(b_lam), a_tau=float(a_tau), b_tau=float(b_tau),
         lam0=float(lam0), tau0=float(tau0), p_real=p, init=init, stream=stream,
+        n_thin=int(n_thin),
     )
 
 
@@ -649,7 +653,7 @@ def run_spectral_smoother(
 
 
 def _make_mmala_kernel(p_pad, p_real, n_obs, step, n_burn, n_keep, block_b,
-                       adapt=False, target=0.574, rate=0.05, warm=False):
+                       adapt=False, target=0.574, rate=0.05, warm=False, n_thin=1):
     s2_const = step * step
 
     def kernel(seed_ref, scal_ref, V_ref, dvec_ref, vw_ref, w0_ref, mask_ref,
@@ -725,9 +729,10 @@ def _make_mmala_kernel(p_pad, p_real, n_obs, step, n_burn, n_keep, block_b,
                 nudged = log_step + rate * (alpha_b - target)
                 log_step = jnp.where(it < n_burn, nudged, log_step)
 
-            @pl.when(it >= n_burn)
+            idx = _store_index(it, n_burn, n_thin)
+
+            @pl.when(idx >= 0)
             def _():
-                idx = it - n_burn
                 slot = lax.rem(idx, 2)
 
                 def wait_store(wslot, widx):
@@ -780,7 +785,7 @@ def _make_mmala_kernel(p_pad, p_real, n_obs, step, n_burn, n_keep, block_b,
             ls0 = jnp.full((ls_rows, block_b), np.log(step), jnp.float32)
             acc0 = jnp.zeros((1, block_b), jnp.float32)
         carry0 = (w0, log_target(w0), acc0, ls0)
-        lax.fori_loop(0, n_burn + n_keep, iteration, carry0)
+        lax.fori_loop(0, n_burn + n_keep * n_thin, iteration, carry0)
 
         for last in range(max(0, n_keep - 2), n_keep):
             slot = last % 2
@@ -797,13 +802,13 @@ def _make_mmala_kernel(p_pad, p_real, n_obs, step, n_burn, n_keep, block_b,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_burn", "n_iter", "n_chains", "step", "n_obs", "p_real",
+    "n_burn", "n_iter", "n_chains", "n_thin", "step", "n_obs", "p_real",
     "adapt_step", "target_accept", "adapt_rate",
 ))
 def _run_spectral_mmala_jit(seed, V, dvec, vw, w0, yPy, logdet_tauP, logdet_lamPlam,
                             half_logdetA, n_burn, n_iter, n_chains, step, n_obs, p_real,
                             adapt_step=False, target_accept=0.574, adapt_rate=0.05,
-                            init=None):
+                            init=None, n_thin=1):
     p128, p_pad = V.shape
     block_b = _block_b(p_pad)
     b_total = n_chains + ((-n_chains) % block_b)
@@ -811,7 +816,7 @@ def _run_spectral_mmala_jit(seed, V, dvec, vw, w0, yPy, logdet_tauP, logdet_lamP
     kernel = _make_mmala_kernel(
         p_pad, float(p_real), float(n_obs), float(step), n_burn, n_iter, block_b,
         adapt=bool(adapt_step), target=float(target_accept), rate=float(adapt_rate),
-        warm=init is not None,
+        warm=init is not None, n_thin=n_thin,
     )
     shared = pl.BlockSpec(memory_space=pltpu.VMEM)
     scal = jnp.stack([yPy, logdet_tauP, logdet_lamPlam, half_logdetA]).astype(jnp.float32)
@@ -862,7 +867,7 @@ def _run_spectral_mmala_jit(seed, V, dvec, vw, w0, yPy, logdet_tauP, logdet_lamP
 def run_spectral_mmala(
     seed, X, y, n_burn, n_iter, n_chains,
     tau=1.0, lam=1.0, step=1.0, ptau_diag=None, plam_diag=None, mu0=None, beta0=None,
-    adapt_step=False, target_accept=0.574, adapt_rate=0.05, init=None,
+    adapt_step=False, target_accept=0.574, adapt_rate=0.05, init=None, n_thin=1,
 ):
     """Constant-metric manifold MALA, whole run in one launch, p <= 256.
 
@@ -918,4 +923,5 @@ def run_spectral_mmala(
         n_burn=n_burn, n_iter=n_iter, n_chains=n_chains, step=float(step),
         n_obs=n_obs, p_real=p, adapt_step=bool(adapt_step),
         target_accept=float(target_accept), adapt_rate=float(adapt_rate), init=init,
+        n_thin=int(n_thin),
     )

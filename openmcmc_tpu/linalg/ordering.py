@@ -81,6 +81,11 @@ def bands_from_sparse(A, bw: int) -> np.ndarray:
     return bands
 
 
+# Past this many sub-diagonals the O(p * bw^2) blocked band kernels are genuinely
+# expensive per sweep even on the MXU; see the warning below.
+BAD_BANDWIDTH = 256
+
+
 def structured_from_sparse(A, bw_limit_fraction: float = 0.5):
     """Pick the best structured representation for a scipy.sparse SPD matrix.
 
@@ -88,7 +93,17 @@ def structured_from_sparse(A, bw_limit_fraction: float = 0.5):
       diagonal pattern -> Diagonal; banded in natural order -> Banded; smaller
       bandwidth under RCM -> Permuted(Banded); otherwise (bandwidth above
       ``bw_limit_fraction * p`` both ways, where band kernels stop paying) -> Dense.
+
+    Patterns whose RCM bandwidth stays large — expander-ish adjacencies such as
+    small-world CAR graphs, where the reference's fill-in-aware SuperLU
+    factorization (reference gmrf.py:489-520) still works — get no silent
+    O(p * bw^2) cliff here: a :class:`BadBandwidthWarning` names the cost and
+    points at ``MCMC.run(engine="auto")``, whose spectral smoother engine
+    handles ANY structure up to p = 8192 with O(p) per-iteration work after a
+    one-time host eigendecomposition.
     """
+    import warnings
+
     import jax.numpy as jnp
     import scipy.sparse as sp
 
@@ -109,8 +124,23 @@ def structured_from_sparse(A, bw_limit_fraction: float = 0.5):
     Ap = A[perm][:, perm].tocoo()
     bw_p = half_bandwidth(Ap.row, Ap.col)
 
+    if min(bw0, bw_p, bw_limit) > BAD_BANDWIDTH:
+        warnings.warn(
+            f"sparse precision ({p} x {p}) keeps bandwidth {min(bw0, bw_p)} even "
+            f"after RCM reordering (> {BAD_BANDWIDTH}): the generic banded kernels "
+            "cost O(p * bw^2) per factorization and will be slow. For the "
+            "conjugate smoother family, MCMC.run(engine='auto') dispatches the "
+            "spectral engine (any structure, p <= 8192, O(p) per iteration); "
+            "otherwise consider a sparser model graph.",
+            BadBandwidthWarning,
+            stacklevel=3,
+        )
     if bw0 <= min(bw_p, bw_limit):
         return st.Banded(jnp.asarray(bands_from_sparse(A, bw0), dtype))
     if bw_p <= bw_limit:
         return st.permuted(st.Banded(jnp.asarray(bands_from_sparse(Ap.tocsr(), bw_p), dtype)), perm)
     return st.Dense(jnp.asarray(A.toarray(), dtype))
+
+
+class BadBandwidthWarning(UserWarning):
+    """An irreducibly wide sparse pattern routed onto O(p * bw^2) band kernels."""

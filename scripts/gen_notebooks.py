@@ -303,6 +303,45 @@ print(f"fused: 700 iters x 8192 chains in {time.perf_counter()-t0:.3f}s")"""
     return "4_gmrf_smoother", cells
 
 
+def nb_from_script(path: Path):
+    """Notebook form of an example script (reference parity: the reference
+    ships every example as a .ipynb). The module docstring becomes the
+    narrative markdown cell; the code is split into cells at top-level
+    blank-line + comment-block boundaries so each logical section reads as a
+    notebook step."""
+    import ast
+
+    src = path.read_text()
+    tree = ast.parse(src)
+    doc = ast.get_docstring(tree) or ""
+    lines = src.splitlines()
+    # drop the docstring from the code body
+    body_start = 0
+    if tree.body and isinstance(tree.body[0], ast.Expr):
+        body_start = tree.body[0].end_lineno
+    code = "\n".join(lines[body_start:]).strip("\n")
+    # split into cells on a blank line followed by a top-level comment
+    cells_src, cur = [], []
+    prev_blank = True
+    for line in code.splitlines():
+        if prev_blank and line.startswith("# ") and cur:
+            cells_src.append("\n".join(cur).strip("\n"))
+            cur = []
+        cur.append(line)
+        prev_blank = line.strip() == ""
+    if cur:
+        cells_src.append("\n".join(cur).strip("\n"))
+    title = path.stem.replace("_", " ")
+    cells = [new_markdown_cell(f"# {title}\n\n{doc}")]
+    cells += [new_code_cell(c) for c in cells_src if c.strip()]
+    return path.stem, cells
+
+
+# examples whose notebook form is written UNEXECUTED: they spawn subprocesses /
+# require a multi-device backend the notebook kernel does not guarantee
+NO_EXECUTE = {"6_multichip", "7_distributed_gmrf", "12_multihost"}
+
+
 def main():
     execute = "--no-execute" not in sys.argv
     only = None
@@ -310,9 +349,16 @@ def main():
         if a.isdigit():
             only = int(a)
     OUT.mkdir(parents=True, exist_ok=True)
-    builders = (nb1, nb2, nb3, nb4)
+    examples_dir = OUT.parent
+    script_names = sorted(
+        (p for p in examples_dir.glob("*.py")),
+        key=lambda p: int(p.stem.split("_")[0]),
+    )
+    builders = [nb1, nb2, nb3, nb4] + [
+        (lambda p=p: nb_from_script(p)) for p in script_names if int(p.stem.split("_")[0]) >= 5
+    ]
     if only is not None:
-        builders = (builders[only - 1],)
+        builders = [builders[only - 1]]
     for build in builders:
         name, cells = build()
         nb = new_notebook(cells=cells, metadata={
@@ -320,10 +366,10 @@ def main():
             "language_info": {"name": "python"},
         })
         path = OUT / f"{name}.ipynb"
-        if execute:
+        if execute and name not in NO_EXECUTE:
             from nbclient import NotebookClient
 
-            client = NotebookClient(nb, timeout=900)
+            client = NotebookClient(nb, timeout=1800)
             client.execute()
             print(f"executed {name}")
         nbformat.write(nb, path)

@@ -244,6 +244,57 @@ def truncated_smoother():
     return m.store["b"], 350
 
 
+def _small_world_Q(p=1024, mean_degree=6, seed=0):
+    """Proper CAR precision on an Erdos-Renyi expander graph: the adjacency
+    whose RCM bandwidth stays large (measured bw ~ 735 at p = 1024; ring
+    graphs with a few long links still compress to bw ~ 100) — the regime
+    where banded orderings cannot help and the reference's SuperLU generality
+    is the capability under test (reference gmrf.py:489-520)."""
+    rng = np.random.default_rng(seed)
+    ne = p * mean_degree // 2
+    a = rng.integers(0, p, ne * 2)
+    b = rng.integers(0, p, ne * 2)
+    keep = a != b
+    A = sparse.coo_matrix((np.ones(keep.sum()), (a[keep], b[keep])), shape=(p, p))
+    A = ((A + A.T) > 0).astype(np.float64)
+    deg = np.asarray(A.sum(axis=1)).ravel()
+    return (sparse.diags(deg + 0.5) - A).tocsc()
+
+
+def car_smoother():
+    """CAR smoother on the small-world graph: reference factors the sparse
+    conditional precision with SuperLU every sweep (gmrf.py:489-520)."""
+    from openmcmc.distribution.distribution import Gamma
+    from openmcmc.distribution.location_scale import Normal
+    from openmcmc.mcmc import MCMC
+    from openmcmc.model import Model
+    from openmcmc.parameter import ScaledMatrix
+    from openmcmc.sampler.sampler import NormalGamma, NormalNormal
+
+    np.random.seed(0)
+    p = 1024
+    Q = _small_world_Q(p)
+    field = np.sin(np.linspace(0, 12, p))
+    y = field + norm.rvs(loc=0, scale=0.5, size=p)
+    mdl = Model(
+        [
+            Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+            Normal("b", mean="mu", precision=ScaledMatrix("P_lambda", "lambda")),
+            Gamma("lambda", shape="a_lam", rate="b_lam"),
+            Gamma("tau", shape="a_tau", rate="b_tau"),
+        ]
+    )
+    state = {
+        "y": y, "b": y.copy(), "mu": np.zeros(p),
+        "lambda": 2.0, "P_lambda": Q, "a_lam": 2.0, "b_lam": 1.0,
+        "tau": 1.0, "P_tau": sparse.identity(p, format="csc"), "a_tau": 1.0, "b_tau": 1.0,
+    }
+    samplers = [NormalNormal("b", mdl), NormalGamma("lambda", mdl), NormalGamma("tau", mdl)]
+    m = MCMC(state, samplers, model=mdl, n_burn=20, n_iter=60)
+    m.run_mcmc()
+    return m.store["b"], 80
+
+
 def reversible_jump():
     sys.path.insert(0, "/root/reference/tests")
     import importlib
@@ -464,6 +515,7 @@ if __name__ == "__main__":
         ("lattice_smoother", lattice_smoother),
         ("mixture_large", mixture_large),
         ("truncated_smoother", truncated_smoother),
+        ("car_smoother", car_smoother),
     ]
     out_path = "/root/repo/reference_measured.json"
     import os

@@ -89,3 +89,26 @@ def test_run_chunked(rng, tmp_path, capsys):
     np.testing.assert_allclose(
         np.asarray(res.store["mu"]).mean((0, 1)), np.asarray(res_full.store["mu"]).mean((0, 1)), atol=0.2
     )
+
+
+def test_run_chunked_offload(rng, tmp_path):
+    """offload=True streams each chunk's draws to the host (and npz shards when
+    a checkpoint path is given): draws identical to the on-device accumulation,
+    store returned as numpy, one shard file per chunk (VERDICT r5 item 8)."""
+    mcmc = _make(rng, n_iter=40)
+    res = mcmc.run_chunked(4, progress=False)
+    mcmc2 = _make(np.random.default_rng(42), n_iter=40)
+    res_off = mcmc2.run_chunked(
+        4, checkpoint_path=str(tmp_path / "off.npz"), progress=False, offload=True
+    )
+    assert isinstance(res_off.store["mu"], np.ndarray)
+    assert isinstance(res_off.log_post, np.ndarray)
+    np.testing.assert_allclose(
+        res_off.store["mu"], np.asarray(res.store["mu"]), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(res_off.log_post, np.asarray(res.log_post), rtol=1e-6, atol=1e-5)
+    shards = sorted(tmp_path.glob("off.npz.chunk*.npz"))
+    assert len(shards) == 4
+    first = np.load(shards[0])
+    np.testing.assert_allclose(first["mu"], res_off.store["mu"][:, :10], rtol=1e-6)
+    assert first["log_post"].shape == (4, 10)

@@ -201,3 +201,18 @@ def test_data_pins_and_fn_cache_bounded(rng):
     live = set(mcmc._data_pins)
     assert all(k[-1][-1] in live for k in mcmc._fn_cache)
     assert len(mcmc._fn_cache) <= 2 * mcmc._PIN_CAP
+
+
+def test_progress_callback(rng, capsys):
+    """run(progress_every=N) reports in-flight from inside the jitted scan --
+    once per iteration (not once per vmapped chain), custom callback honored."""
+    mcmc, _, _, _ = _linreg(rng, n_chains=4, n_burn=5, n_iter=20)
+    mcmc.run(progress_every=10)
+    out = capsys.readouterr().out
+    assert out.count("[openmcmc_tpu]") == 2
+    assert "10/20 iterations" in out and "20/20 iterations" in out
+
+    seen = []
+    mcmc2, _, _, _ = _linreg(np.random.default_rng(42), n_chains=4, n_burn=5, n_iter=20)
+    mcmc2.run(progress_every=5, progress_callback=lambda done, total: seen.append((done, total)))
+    assert seen == [(5, 20), (10, 20), (15, 20), (20, 20)]

@@ -324,3 +324,41 @@ def test_car_model_full_gibbs_e2e(rng):
     assert np.isfinite(np.asarray(res.log_post)).all()
     tau_mean = float(np.asarray(res.store["tau"]).mean())
     assert 1.5 < tau_mean < 12.0  # concentrates near tau_true with wide MC slack
+
+
+def test_bad_bandwidth_warns_and_still_solves():
+    """An expander-ish (small-world) pattern that RCM cannot compress: no
+    silent O(p * bw^2) cliff — from_sparse emits BadBandwidthWarning naming
+    the cost and the spectral-engine escape hatch, and whatever structure it
+    picks still factors/solves correctly (VERDICT r5 item 7; reference
+    handles the same pattern via SuperLU, gmrf.py:489-520)."""
+    import warnings
+
+    import scipy.sparse as sp
+
+    from openmcmc_tpu.linalg.ordering import BadBandwidthWarning
+
+    # an Erdos-Renyi expander: ring + FEW long links RCM still compresses to
+    # bw ~ 100 (measured), but uniformly random edges at mean degree 4 keep
+    # bw ~ 370 at p = 600 under any BFS ordering (no small separators)
+    rng = np.random.default_rng(0)
+    p = 600
+    ne = p * 2
+    a = rng.integers(0, p, ne * 2)
+    b = rng.integers(0, p, ne * 2)
+    keep = a != b
+    A = sp.coo_matrix((np.ones(keep.sum()), (a[keep], b[keep])), shape=(p, p))
+    A = ((A + A.T) > 0).astype(np.float64)
+    deg = np.asarray(A.sum(axis=1)).ravel()
+    Q_sp = (sp.diags(deg + 0.5) - A).tocsr()
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        Q = st.from_sparse(Q_sp)
+    assert any(issubclass(w.category, BadBandwidthWarning) for w in caught)
+    assert any("spectral" in str(w.message) for w in caught)
+
+    rhs = rng.normal(size=(p, 1))
+    x = np.asarray(st.solve(Q, jnp.asarray(rhs, jnp.float32)))
+    x_ref = np.linalg.solve(Q_sp.toarray(), rhs)
+    np.testing.assert_allclose(x, x_ref, atol=5e-3 * np.abs(x_ref).max())
