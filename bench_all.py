@@ -515,9 +515,10 @@ def car_smoother(n_chains=512, n_burn=20, n_iter=60):
     whose per-iteration work is O(p) in eigencoordinates regardless of the
     pattern. Reference side factors the same sparse Q with SuperLU every sweep
     (gmrf.py:489-520); config matches measure_reference.car_smoother."""
+    import os as _os
     import sys as _sys
 
-    _sys.path.insert(0, "scripts")
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "scripts"))
     from measure_reference import _small_world_Q
 
     rng = np.random.default_rng(0)
@@ -765,7 +766,11 @@ def main():
         print(json.dumps({"workload": "truncated_smoother_fused", **entry}), flush=True)
 
     if "car_smoother" in ref:
-        mcmc, param = car_smoother(n_chains=16, n_burn=5, n_iter=15)
+        # generic row runs DENSE (from_sparse densifies the incompressible
+        # pattern): jnp.linalg.cholesky custom-calls serialize over the chain
+        # batch, so ESS/s saturates ~128 chains -- the BadBandwidthWarning +
+        # spectral auto-routing is the real answer for this regime
+        mcmc, param = car_smoother(n_chains=128, n_burn=5, n_iter=15)
         _, entry = run_workload("car_smoother", mcmc, param, ess_chunk=4)
         entry["vs_baseline"] = round(entry["ess_per_s"] / ref["car_smoother"]["ess_per_s"], 1)
         entry["baseline_ess_per_s"] = ref["car_smoother"]["ess_per_s"]
