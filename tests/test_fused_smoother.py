@@ -52,3 +52,67 @@ def test_fused_smoother_matches_generic_driver(rng):
     np.testing.assert_allclose(float(out["tau"].mean()), float(np.asarray(res.store["tau"]).mean()), rtol=0.02)
     np.testing.assert_allclose(float(out["lam"].mean()), float(np.asarray(res.store["lambda"]).mean()), rtol=0.03)
     np.testing.assert_allclose(float(out["log_post"].mean()), float(np.asarray(res.log_post).mean()), rtol=0.01)
+
+
+def test_truncated_fused_smoother_matches_generic_on_chip(rng):
+    """Real-PRNG statistical parity of the truncated Thomas engine: the
+    in-kernel chromatic red-black truncated Gibbs sweep must match the generic
+    driver's truncated sweep posterior on the actively-truncated box (round-5
+    engine; the host-bits CPU version of this test lives in
+    test_fused_engines_cpu_stats.py)."""
+    import jax.numpy as jnp
+
+    from openmcmc_tpu.distributions import Gamma, Normal
+    from openmcmc_tpu.linalg import gmrf
+    from openmcmc_tpu.linalg import structured as st
+    from openmcmc_tpu.mcmc import MCMC
+    from openmcmc_tpu.model import Model
+    from openmcmc_tpu.parameters import ScaledMatrix
+    from openmcmc_tpu.samplers import NormalGamma, NormalNormal
+
+    n_time = 40
+    s = np.linspace(0.0, 10.0, n_time)
+    y = np.abs(np.sin(s)) + rng.normal(0.0, 0.4, n_time)
+    lo, hi = 0.0, 1.1
+    P = gmrf.precision_irregular(jnp.asarray(s, jnp.float32))
+    P = st.Banded(P.bands.at[0, 0].add(0.001))
+
+    def build(n_chains, seed):
+        mdl = Model(
+            [
+                Normal("y", mean="b", precision=ScaledMatrix("P_tau", "tau")),
+                Normal("b", mean="mu", precision=ScaledMatrix("P0", "lam"),
+                       domain_response_lower=lo, domain_response_upper=hi),
+                Gamma("lam", shape="a_lam", rate="b_lam"),
+                Gamma("tau", shape="a_tau", rate="b_tau"),
+            ]
+        )
+        state = {
+            "y": y, "b": np.clip(y, lo + 1e-3, hi - 1e-3), "mu": np.zeros(n_time),
+            "P0": P, "P_tau": st.Diagonal(jnp.ones(n_time)),
+            "lam": 1.0, "tau": 1.0, "a_lam": 2.0, "b_lam": 1.0, "a_tau": 2.0, "b_tau": 1.0,
+        }
+        m = MCMC(state, [NormalNormal("b", mdl), NormalGamma("lam", mdl), NormalGamma("tau", mdl)],
+                 mdl, n_burn=300, n_iter=400, n_chains=n_chains, seed=seed)
+        m.model.response = None
+        return m
+
+    m_f = build(2048, 3)
+    res_f = m_f.run(engine="fused")
+    assert res_f.engine == "fused_gmrf_smoother_truncated"
+    m_g = build(256, 5)
+    res_g = m_g.run(engine="generic")
+
+    b_f = np.asarray(res_f.store["b"]).reshape(-1, n_time)
+    b_g = np.asarray(res_g.store["b"]).reshape(-1, n_time)
+    assert b_f.min() >= lo - 1e-6 and b_f.max() <= hi + 1e-6
+    # truncation is active on this config (measured ~0.7% of generic draws
+    # within 0.05 of the lower bound)
+    assert (b_g < 0.05).mean() > 0.003
+    sd = b_g.std(0)
+    assert np.all(np.abs(b_f.mean(0) - b_g.mean(0)) < 0.15 * sd)
+    assert np.all(np.abs(b_f.std(0) / sd - 1.0) < 0.15)
+    for name in ("lam", "tau"):
+        fv = np.asarray(res_f.store[name]).reshape(-1)
+        gv = np.asarray(res_g.store[name]).reshape(-1)
+        assert abs(fv.mean() - gv.mean()) < 0.15 * gv.std(), name
