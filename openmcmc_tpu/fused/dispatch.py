@@ -2,8 +2,7 @@
 
 ``MCMC.run(engine="auto")`` calls :func:`match_fused_engine` with the driver object;
 if the model + sampler structure matches one of the fused families (and the run
-configuration is representable: scalar constant hyperparameters, bounded
-thinned sweep counts), the
+configuration is representable: scalar constant hyperparameters), the
 whole run executes as a single Pallas launch and is repackaged as an
 :class:`~openmcmc_tpu.mcmc.MCMCResult` with the generic driver's array conventions.
 

@@ -45,6 +45,17 @@ _PREC = lax.Precision.HIGHEST
 # See linalg/smallmat.py.
 _SMALL_DENSE_MAX = 64
 
+# NEGATIVE RESULT (round 5): a blocked mid-size DENSE factorization (p/64
+# trace-time steps of unrolled 64-block Cholesky + batched MXU panel updates,
+# meant to dodge the custom-call batch serialization) was built and MEASURED
+# on the expander-CAR conditional (p = 1024, 128 chains): 21.7 min compile and
+# 6.4 s per 20-sweep run vs 0.9 s through jnp.linalg.cholesky. The unrolled
+# inner kernels' full-panel residual updates re-read O(s * panel) per step, so
+# HBM traffic grows ~64x over the factorization's working set and swamps what
+# the custom-call serialization costs. Dense p > 64 therefore stays on the
+# XLA custom calls; incompressible patterns should ride the spectral engine
+# (see ordering.BadBandwidthWarning).
+
 
 def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Precision-pinned matrix multiply (a @ b) for use across the framework."""

@@ -421,8 +421,8 @@ class MCMC:
         results reproduce the generic driver's full contract: store keys incl.
         post-hoc fitted responses, log_post, acceptance stats (accept/proposal
         counted over burn + sampling), Robbins-Monro ``adapt_step`` with the same
-        burn-in window, ``n_thin`` (the launch runs n_thin-scaled sweeps and the
-        draw axis is strided), and chain-axis Mesh sharding (one independent kernel
+        burn-in window, ``n_thin`` (thinned IN-KERNEL: the store DMA strides, so
+        buffers stay O(n_iter) for any thinning), and chain-axis Mesh sharding (one independent kernel
         per device over its chain shard). ``resume`` works across the fused
         families -- every kernel takes per-chain warm-start inputs (RW: state +
         adapted step + counters; conjugates: the (lam, tau) carry; mMALA
