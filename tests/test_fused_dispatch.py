@@ -796,3 +796,35 @@ def test_truncated_smoother_resume_carries_latent(rng):
     np.testing.assert_allclose(
         np.asarray(warm["b"]).reshape(8, 16), np.asarray(res1.final_state["b"]).reshape(8, 16)
     )
+
+
+@pytest.mark.parametrize("family", ["spectral_smoother", "linreg", "truncated_thomas"])
+def test_inkernel_thinning_equals_strided_full_run(family):
+    """Under the deterministic interpret PRNG, a thinned run's stored draws
+    must equal the strided subsequence of the unthinned run's (same seed, same
+    per-sweep trajectory; only the store DMA gating differs). Covers the
+    conjugate engines' in-kernel thinning beyond the RW numpy-mirror test.
+    n_burn=0 on both sides: burn SWEEP counts scale with n_thin by design."""
+    def build(n_iter, n_thin):
+        # fresh generator per build: both runs must see IDENTICAL data
+        fresh = np.random.default_rng(7)
+        if family == "spectral_smoother":
+            m = _smoother_mcmc(fresh, n_chains=8)
+        elif family == "linreg":
+            m = _linreg_mcmc(fresh)
+        else:
+            m = _truncated_smoother_mcmc(fresh)
+        m.n_burn, m.n_iter, m.n_thin = 0, n_iter, n_thin
+        return m
+
+    with pltpu.force_tpu_interpret_mode():
+        res_full = build(8, 1).run(engine="fused")
+        res_thin = build(4, 2).run(engine="fused")
+    assert res_full.engine == res_thin.engine != "generic"
+    for key in res_thin.store:
+        full = np.asarray(res_full.store[key])
+        thin = np.asarray(res_thin.store[key])
+        np.testing.assert_allclose(thin, full[:, 1::2], rtol=1e-5, atol=1e-6, err_msg=key)
+    np.testing.assert_allclose(
+        np.asarray(res_thin.log_post), np.asarray(res_full.log_post)[:, 1::2], rtol=1e-5
+    )
